@@ -1,0 +1,117 @@
+"""Typed configuration for the GH-ICP TPU engine.
+
+Collects every constant the reference scatters across the CLI
+(``test/ghicp_main.cpp:60-78``), the energy function (``include/ghicp_reg.h:26-41``)
+and hardcoded literals (``ghicp_main.cpp:96-97,113``) into one documented
+dataclass, per SURVEY.md §5 "Config / flag system".
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class FeatureType(enum.Enum):
+    """Feature encoding for the hybrid metric (utility.h:51-57)."""
+
+    BSC = "bsc"
+    FPFH = "fpfh"
+    ROPS = "rops"   # enum parity only; "Not passed yet" in the reference too
+    NONE = "none"
+
+
+class CorrespondenceType(enum.Enum):
+    """Correspondence solver (utility.h:59-64)."""
+
+    KM = "km"    # globally-optimal bipartite matching (auction solver here)
+    NN = "nn"    # nearest neighbor with penalty gate
+    NNR = "nnr"  # reciprocal nearest neighbor
+
+
+@dataclasses.dataclass(frozen=True)
+class GHICPConfig:
+    """All tunables of the GH-ICP pipeline.
+
+    Defaults mirror the reference's large-scale TLS setup
+    (``script/run.sh:10-16``) and its hardcoded energy constants
+    (``include/ghicp_reg.h:32-40``).
+    """
+
+    # --- pipeline switches (ghicp_main.cpp:64-78) ---
+    feature: FeatureType = FeatureType.BSC
+    correspondence: CorrespondenceType = CorrespondenceType.KM
+    reg_dof: int = 6                      # 4 (leveled TLS) or 6
+    estimated_overlap: float = 0.6        # estimated IoU of the pair
+
+    # --- preprocessing (run.sh:10-13, ghicp_main.cpp:96-97) ---
+    voxel_size: float = 0.1               # downsampling resolution (m)
+    neighborhood_radius: float = 0.5      # PCA / curvature radius (m)
+    non_max_radius: float = 1.0           # keypoint NMS radius (m)
+    unstable_ratio_threshold: float = 0.65
+    min_neighbors: int = 20               # stability gate for keypoints
+    neighbor_k: int = 64                  # fixed-K cap for radius neighbors
+    keypoint_capacity: int = 0            # 0 = auto bucket
+
+    # --- adaptive keypoint target band (keypoint_detect.hpp:79-106) ---
+    adaptive_keypoints: bool = False
+    keypoints_min: int = 5000
+    keypoints_max: int = 50000
+
+    # --- BSC feature (ghicp_main.cpp:113; bfe.hpp:63-117) ---
+    bsc_grid_side: int = 7                # 7x7 cells per projection plane
+    bsc_seed: int = 20170417              # PRNG seed replacing sample_pattern.txt
+    bsc_neighbor_k: int = 128             # fixed-K cap inside sqrt(3)*r ball
+
+    # --- FPFH feature (fpfh.hpp:36-58) ---
+    fpfh_k: int = 20                      # KNN for normals + SPFH
+
+    # --- energy function (ghicp_reg.h:26-41) ---
+    penalty_initial: float = 2.0
+    para1_penalty: float = 1.0
+    para2_penalty: float = 1.0
+    min_cor: int = 10
+    weight_changing_rate: float = 6.0     # W_FD = exp(-iter / rate)
+    km_eps: float = 0.01                  # assignment epsilon (auction eps)
+    scale_factor: float = 0.005           # ED scale = factor * bbx_magnitude
+
+    # --- iteration / convergence (ghicp_reg.h:80, ghicp_reg.cpp:909-914) ---
+    weight_adjustment_ratio: float = 1.1
+    weight_adjustment_step: float = 0.1
+    converge_translation: float = 0.02    # m
+    converge_rotation: float = 0.02       # degrees
+    max_iterations: int = 100
+
+    # --- auction solver ---
+    auction_eps_scaling: float = 4.0      # epsilon division factor per phase
+    auction_max_rounds: int = 2000        # bidding rounds per epsilon phase
+    auction_start_eps: float = 0.0        # 0 = auto from cost range
+
+    # --- numerics ---
+    use_mxu_hamming: bool = True          # matmul-based Hamming (vs popcount)
+
+    def __post_init__(self):
+        if self.reg_dof not in (4, 6):
+            raise ValueError(f"reg_dof must be 4 or 6, got {self.reg_dof}")
+        if self.bsc_grid_side < 3:
+            raise ValueError("bsc_grid_side must be >= 3")
+
+    @property
+    def bsc_num_variants(self) -> int:
+        """LCS variants per source keypoint: 4 for 6-DoF, 2 for 4-DoF
+        (bfe.hpp:791-828); target always uses 1."""
+        return 4 if self.reg_dof == 6 else 2
+
+    @property
+    def bsc_grid_bits(self) -> int:
+        """Occupancy bits: 3 planes x side^2 (bfe.hpp:68)."""
+        return 3 * self.bsc_grid_side * self.bsc_grid_side
+
+    @property
+    def bsc_compare_bits(self) -> int:
+        """Comparison bits: per plane, side^2 pairs x {depth, density}
+        (bfe.hpp:69-70)."""
+        return 6 * self.bsc_grid_side * self.bsc_grid_side
+
+    @property
+    def bsc_total_bits(self) -> int:
+        return self.bsc_grid_bits + self.bsc_compare_bits

@@ -1,0 +1,136 @@
+"""Closed-form rigid transform estimators (masked, batched, jit-safe).
+
+TPU-native replacements for the reference's transform solvers:
+
+* :func:`kabsch_6dof` — weighted SVD (Umeyama) estimation, replacing PCL's
+  ``TransformationEstimationSVD`` used on the GH-ICP path
+  (src/ghicp_reg.cpp:857-866).
+* :func:`yaw_4dof` — a *true* closed-form 4-DoF (x, y, z, yaw) solver.  The
+  reference only has a Gauss-Newton variant in its unused baseline code
+  (src/common_reg.cpp:622-775) and always solves 6-DoF on the main path; the
+  SURVEY (§2 quirks) calls for a real 4-DoF estimator here.
+* :func:`similarity_2d_4p` / :func:`similarity_3d_7p` — linear least-squares
+  similarity solvers mirroring ``CSTRAN_4DOF`` / ``CSTRAN_7DOF``
+  (src/common_reg.cpp:425-617).
+
+All functions take padded correspondence arrays plus a weight/mask vector so
+they compile once regardless of how many pairs matched.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ghicp_tpu.core import transform as tf
+
+Array = jax.Array
+
+
+# Transform estimation is tiny (3x3 reductions) but accuracy-critical: pin
+# full-f32 matmul precision here regardless of the global TPU default, which
+# otherwise costs ~3 orders of magnitude of transform accuracy.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _weighted_centroids(src: Array, dst: Array, w: Array):
+    wsum = jnp.maximum(jnp.sum(w), 1e-12)
+    cs = jnp.sum(src * w[:, None], axis=0) / wsum
+    cd = jnp.sum(dst * w[:, None], axis=0) / wsum
+    return cs, cd, wsum
+
+
+def kabsch_6dof(src: Array, dst: Array, weights: Array) -> Array:
+    """Weighted Kabsch/Umeyama: the rigid T minimizing sum_i w_i |T(s_i)-d_i|^2.
+
+    Returns a [4,4] float32 transform.  Degenerate weight vectors (all zero)
+    return identity.  Reflection is repaired via the det sign trick, matching
+    the SVD estimator semantics of the reference (ghicp_reg.cpp:857-866).
+    """
+    w = weights.astype(jnp.float32)
+    cs, cd, wsum = _weighted_centroids(src, dst, w)
+    sc = (src - cs) * w[:, None]
+    dc = dst - cd
+    H = jnp.matmul(sc.T, dc, precision=_HI)  # [3,3] cross-covariance
+    U, S, Vt = jnp.linalg.svd(H.astype(jnp.float32))
+    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], jnp.float32)).at[2, 2].set(d)
+    R = jnp.matmul(jnp.matmul(Vt.T, D, precision=_HI), U.T, precision=_HI)
+    t = cd - jnp.matmul(R, cs, precision=_HI)
+    T = tf.from_rt(R, t)
+    ok = wsum > 1e-9
+    return jnp.where(ok, T, tf.identity())
+
+
+def yaw_4dof(src: Array, dst: Array, weights: Array) -> Array:
+    """Closed-form leveled (yaw-only) rigid estimate.
+
+    Minimizes sum_i w_i |Rz(theta) s_i + t - d_i|^2.  The optimal yaw is
+    theta = atan2(sum w (sx*dy - sy*dx), sum w (sx*dx + sy*dy)) on centered
+    coordinates; translation follows from the centroids.  Replaces the
+    iterative ``LLS_4DOF`` (common_reg.cpp:622-775) with one reduction.
+    """
+    w = weights.astype(jnp.float32)
+    cs, cd, wsum = _weighted_centroids(src, dst, w)
+    s = src - cs
+    d = dst - cd
+    num = jnp.sum(w * (s[:, 0] * d[:, 1] - s[:, 1] * d[:, 0]))
+    den = jnp.sum(w * (s[:, 0] * d[:, 0] + s[:, 1] * d[:, 1]))
+    theta = jnp.arctan2(num, den)
+    R = tf.rotz(theta).astype(jnp.float32)
+    t = cd - R @ cs
+    T = tf.from_rt(R, t)
+    ok = wsum > 1e-9
+    return jnp.where(ok, T, tf.identity())
+
+
+def similarity_2d_4p(src_xy: Array, dst_xy: Array, weights: Array):
+    """2D 4-parameter similarity (tx, ty, scale, yaw) via weighted LLS.
+
+    Solves the same normal equations as ``CSTRAN_4DOF``
+    (common_reg.cpp:425-515): x' = a*x - b*y + tx, y' = b*x + a*y + ty,
+    with scale = hypot(a, b).  Returns (params[tx,ty,s,sin,cos], residual A).
+    """
+    w = weights.astype(jnp.float32)
+    x, y = src_xy[:, 0], src_xy[:, 1]
+    u, v = dst_xy[:, 0], dst_xy[:, 1]
+    zeros = jnp.zeros_like(x)
+    ones = jnp.ones_like(x)
+    # rows: [1, 0, x, -y] -> u ; [0, 1, y, x] -> v
+    A1 = jnp.stack([ones, zeros, x, -y], axis=1)
+    A2 = jnp.stack([zeros, ones, y, x], axis=1)
+    A = jnp.concatenate([A1, A2], axis=0)
+    b = jnp.concatenate([u, v], axis=0)
+    ww = jnp.concatenate([w, w], axis=0)
+    AtA = A.T @ (A * ww[:, None])
+    Atb = A.T @ (b * ww)
+    sol = jnp.linalg.solve(AtA + 1e-9 * jnp.eye(4), Atb)
+    tx, ty, a, bb = sol
+    s = jnp.sqrt(a * a + bb * bb)
+    return jnp.stack([tx, ty, s, bb / s, a / s])
+
+
+def similarity_3d_7p(src: Array, dst: Array, weights: Array):
+    """Linearized 7-parameter 3D similarity (tx,ty,tz,rx,ry,rz,scale).
+
+    Same small-angle linear system as ``CSTRAN_7DOF`` (common_reg.cpp:517-617).
+    """
+    w = weights.astype(jnp.float32)
+    x, y, z = src[:, 0], src[:, 1], src[:, 2]
+    zeros = jnp.zeros_like(x)
+    ones = jnp.ones_like(x)
+    A1 = jnp.stack([ones, zeros, zeros, zeros, -z, y, x], axis=1)
+    A2 = jnp.stack([zeros, ones, zeros, z, zeros, -x, y], axis=1)
+    A3 = jnp.stack([zeros, zeros, ones, -y, x, zeros, z], axis=1)
+    A = jnp.concatenate([A1, A2, A3], axis=0)
+    b = jnp.concatenate([dst[:, 0], dst[:, 1], dst[:, 2]], axis=0)
+    ww = jnp.concatenate([w, w, w], axis=0)
+    AtA = A.T @ (A * ww[:, None])
+    Atb = A.T @ (b * ww)
+    return jnp.linalg.solve(AtA + 1e-9 * jnp.eye(7), Atb)
+
+
+def estimate(src: Array, dst: Array, weights: Array, dof: int = 6) -> Array:
+    """Dispatch on DoF; both branches are jit-safe (static python int)."""
+    if dof == 4:
+        return yaw_4dof(src, dst, weights)
+    return kabsch_6dof(src, dst, weights)
