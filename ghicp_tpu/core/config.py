@@ -50,6 +50,8 @@ class GHICPConfig:
     unstable_ratio_threshold: float = 0.65
     min_neighbors: int = 20               # stability gate for keypoints
     neighbor_k: int = 64                  # fixed-K cap for radius neighbors
+    nms_k: int = 256                      # fixed-K cap for NMS suppression
+    nms_cell_cap: int = 128               # per-cell candidate cap in NMS
     keypoint_capacity: int = 0            # 0 = auto bucket
 
     # --- adaptive keypoint target band (keypoint_detect.hpp:79-106) ---

@@ -1,0 +1,141 @@
+"""Fixed-K radius neighbor search on a voxel grid — the KD-tree replacement.
+
+The reference leans on PCL KD-trees for every neighborhood query
+(``include/pca.h:138``, ``include/binary_feature_extraction.hpp:641``,
+``include/keypoint_detect.hpp:162``).  KD-trees are pointer-chasing and
+serial; on TPU we instead bucket support points into grid cells of side
+``radius`` (so all neighbors of a query live in its 27 surrounding cells),
+sort once by cell hash, and turn every query into a fixed-shape gather:
+
+  1. hash support points by cell, argsort by (hash, index);
+  2. per query x 27 neighbor cells: ``searchsorted`` start/end in the sorted
+     hash array, take up to ``cell_cap`` candidates per cell;
+  3. mask candidates by true squared distance <= radius^2, keep the K nearest
+     via ``top_k``.
+
+Everything is static-shape; truncation (cell_cap / K) is the documented
+approximation knob (SURVEY.md §7 hard part 2).  Hash collisions only inject
+far-away candidates which the exact distance test then rejects.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ghicp_tpu.core.types import PointCloud
+
+Array = jax.Array
+
+_P1, _P2, _P3 = 73856093, 19349663, 83492791
+
+_OFFSETS = jnp.array(
+    [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+    dtype=jnp.int32)  # [27, 3]
+
+
+class NeighborList(NamedTuple):
+    """K-capped neighborhood: indices into the support cloud + validity."""
+
+    idx: Array     # [Nq, K] int32 indices into support
+    valid: Array   # [Nq, K] bool
+    dist2: Array   # [Nq, K] float32 squared distances (inf where invalid)
+
+    @property
+    def count(self) -> Array:
+        return jnp.sum(self.valid.astype(jnp.int32), axis=-1)
+
+
+class HashGrid(NamedTuple):
+    """Support cloud sorted by cell hash, ready for repeated queries."""
+
+    sorted_keys: Array  # [N] int32 cell hashes, ascending
+    order: Array        # [N] int32 permutation into the original support
+    xyz: Array          # [N, 3] support coordinates (original order)
+    mask: Array         # [N] support validity (original order)
+    min_xyz: Array      # [3] grid origin
+    cell: float         # cell side length
+
+
+def _cell_hash(c: Array) -> Array:
+    return c[..., 0] * _P1 + c[..., 1] * _P2 + c[..., 2] * _P3
+
+
+def build_grid(support: PointCloud, cell: float) -> HashGrid:
+    mn = jnp.min(jnp.where(support.mask[:, None], support.xyz, 3e38), axis=0)
+    coords = jnp.floor((support.xyz - mn) * (1.0 / cell)).astype(jnp.int32)
+    keys = _cell_hash(coords)
+    keys = jnp.where(support.mask, keys, jnp.int32(2**31 - 1))
+    order = jnp.argsort(keys).astype(jnp.int32)
+    return HashGrid(sorted_keys=keys[order], order=order, xyz=support.xyz,
+                    mask=support.mask, min_xyz=mn, cell=cell)
+
+
+def _query_block(grid: HashGrid, qxyz: Array, qmask: Array, radius: float,
+                 k: int, cell_cap: int, exclude_self_idx: Optional[Array]):
+    """Neighbors for one block of queries. qxyz: [B,3]."""
+    B = qxyz.shape[0]
+    qcell = jnp.floor((qxyz - grid.min_xyz) * (1.0 / grid.cell)).astype(jnp.int32)
+    # [B, 27] hashes of surrounding cells
+    hashes = _cell_hash(qcell[:, None, :] + _OFFSETS[None, :, :])
+    start = jnp.searchsorted(grid.sorted_keys, hashes, side="left")
+    end = jnp.searchsorted(grid.sorted_keys, hashes, side="right")
+    # [B, 27, cell_cap] candidate slots in the sorted array
+    slots = start[..., None] + jnp.arange(cell_cap, dtype=jnp.int32)
+    in_cell = slots < end[..., None]
+    slots = jnp.clip(slots, 0, grid.sorted_keys.shape[0] - 1)
+    cand = grid.order[slots].reshape(B, -1)              # [B, C]
+    cand_ok = in_cell.reshape(B, -1)
+    cxyz = grid.xyz[cand]                                # [B, C, 3]
+    d2 = jnp.sum((cxyz - qxyz[:, None, :]) ** 2, axis=-1)
+    ok = (cand_ok & grid.mask[cand] & (d2 <= radius * radius)
+          & qmask[:, None])
+    if exclude_self_idx is not None:
+        ok &= cand != exclude_self_idx[:, None]
+    d2 = jnp.where(ok, d2, jnp.float32(jnp.inf))
+    # K nearest among candidates.
+    neg, sel = jax.lax.top_k(-d2, k)                     # [B, K]
+    idx = jnp.take_along_axis(cand, sel, axis=1)
+    valid = jnp.take_along_axis(ok, sel, axis=1)
+    return NeighborList(idx=idx, valid=valid, dist2=-neg)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "k", "cell_cap",
+                                             "chunk", "include_self"))
+def radius_neighbors(query: PointCloud, support: PointCloud, radius: float,
+                     k: int = 64, cell_cap: int = 16, chunk: int = 4096,
+                     include_self: bool = True) -> NeighborList:
+    """K-capped fixed-radius neighbors of each query point in the support.
+
+    Mirrors ``tree.radiusSearch(pt, radius, ...)`` semantics with a K cap.
+    ``include_self=False`` drops exact index matches (for self-neighborhoods
+    where the caller wants strict neighbors).
+    """
+    grid = build_grid(support, cell=radius)
+    n = query.capacity
+    pad = (-n) % chunk
+    qxyz = jnp.pad(query.xyz, ((0, pad), (0, 0)))
+    qmask = jnp.pad(query.mask, (0, pad))
+    self_idx = None
+    if not include_self:
+        self_idx = jnp.pad(jnp.arange(n, dtype=jnp.int32), (0, pad),
+                           constant_values=-1)
+    qxyz = qxyz.reshape(-1, chunk, 3)
+    qmask = qmask.reshape(-1, chunk)
+    if self_idx is not None:
+        self_idx = self_idx.reshape(-1, chunk)
+
+        def body(args):
+            x, m, s = args
+            return _query_block(grid, x, m, radius, k, cell_cap, s)
+        out = jax.lax.map(body, (qxyz, qmask, self_idx))
+    else:
+        def body(args):
+            x, m = args
+            return _query_block(grid, x, m, radius, k, cell_cap, None)
+        out = jax.lax.map(body, (qxyz, qmask))
+    return NeighborList(idx=out.idx.reshape(-1, k)[:n],
+                        valid=out.valid.reshape(-1, k)[:n],
+                        dist2=out.dist2.reshape(-1, k)[:n])
