@@ -95,18 +95,28 @@ def _flip_permutations(g: int) -> np.ndarray:
 def variant_permutations(g: int, num_variants: int) -> np.ndarray:
     """[V, 3, g^2] per-plane grid permutations for the LCS flip variants.
 
-    Variant -> (xy, xz, yz) rearrange types, matching bfe.hpp:791-828:
-      1: (1, 2, 2)   [-X -Y  Z]
-      2: (3, 2, 1)   [ X -Y -Z]
-      3: (2, 1, 3)   [-X  Y -Z]
+    The four variants are the four proper-rotation sign combinations of the
+    PCA axes (x, n) the eigensolver cannot disambiguate (bfe.hpp:762-837):
+      0: ( x,  y,  z)    1: (-x, -y,  z)   [x -> -x]
+      2: ( x, -y, -z)    [n -> -n]         3: (-x,  y, -z)   [both]
+    Each flip maps the (xy, xz, yz) projection grids to exact cell
+    permutations; depth values negate along flipped depth axes, which the
+    mean/std-symmetric comparison bits (bfe.hpp:525-560) are invariant to —
+    so the permuted feature equals the feature computed in the flipped LCS.
+
+    Note: the reference's ``ReArrange_reverse_sym_*`` (bfe.hpp:702-733) reads
+    its grids with a transposed index layout (k/side vs the k%side used at
+    construction, bfe.hpp:239), so its rearrangements flip the wrong plane
+    axis on some planes.  We use the geometrically exact permutations — a
+    deliberate fidelity fix, validated by the rotation-invariance test.
     """
     f = _flip_permutations(g)
     ident, both, flip_v, flip_u = f[0], f[1], f[2], f[3]
     table = [
-        (ident, ident, ident),
-        (both, flip_v, flip_v),
-        (flip_u, flip_v, both),
-        (flip_v, both, flip_u),
+        (ident, ident, ident),    # ( x,  y,  z)
+        (both, flip_u, flip_u),   # (-x, -y,  z): qx,qy flip
+        (flip_v, flip_v, both),   # ( x, -y, -z): qy,qz flip
+        (flip_u, both, flip_v),   # (-x,  y, -z): qx,qz flip
     ]
     return np.stack([np.stack(t) for t in table])[:num_variants]
 
@@ -240,7 +250,7 @@ def _encode_keypoint(nxyz, nvalid, kp, pairs, perms, g, r):
                                              "num_variants", "neighbor_k"))
 def _extract_jit(cloud: PointCloud, kp_idx: Array, kp_mask: Array,
                  pairs: Array, perms: Array, radius: float, grid_side: int,
-                 num_variants: int, neighbor_k: int) -> BSCFeatures:
+                 num_variants: int, neighbor_k: int) -> Array:
     kp_xyz = cloud.xyz[kp_idx]
     kp_cloud = PointCloud(xyz=kp_xyz, mask=kp_mask)
     nb = radius_neighbors(kp_cloud, cloud, radius=float(np.sqrt(3.0) * radius),
@@ -254,9 +264,7 @@ def _extract_jit(cloud: PointCloud, kp_idx: Array, kp_mask: Array,
     )(nxyz, nvalid, kp_xyz)                                  # [S, V, n_bits]
     # Invalid keypoints -> all-zero features.
     bits = jnp.where(kp_mask[:, None, None], bits, 0.0)
-    packed = pack_bits(bits).transpose(1, 0, 2)              # [V, S, W]
-    return BSCFeatures(packed=packed, mask=kp_mask,
-                       n_bits=bits.shape[-1])
+    return pack_bits(bits).transpose(1, 0, 2)                # [V, S, W]
 
 
 def extract_bsc(cloud: PointCloud, kp_idx: Array, kp_mask: Array,
@@ -269,7 +277,9 @@ def extract_bsc(cloud: PointCloud, kp_idx: Array, kp_mask: Array,
     g = config.bsc_grid_side
     pairs = jnp.asarray(sample_pattern(config.bsc_seed, g))
     perms = jnp.asarray(variant_permutations(g, num_variants))
-    return _extract_jit(cloud, kp_idx, kp_mask, pairs, perms,
-                        radius=float(config.non_max_radius), grid_side=g,
-                        num_variants=num_variants,
-                        neighbor_k=config.bsc_neighbor_k)
+    packed = _extract_jit(cloud, kp_idx, kp_mask, pairs, perms,
+                          radius=float(config.non_max_radius), grid_side=g,
+                          num_variants=num_variants,
+                          neighbor_k=config.bsc_neighbor_k)
+    return BSCFeatures(packed=packed, mask=kp_mask,
+                       n_bits=config.bsc_total_bits)
