@@ -1,0 +1,142 @@
+"""Tests: cost matrices, NN/NNR matchers, auction vs scipy Hungarian."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+from ghicp_tpu.matching import (auction_match, blend_bsc, blend_none,
+                                euclidean_matrix, nn_match, nnr_match)
+
+
+def test_euclidean_matrix_exact():
+    rng = np.random.default_rng(0)
+    s = rng.normal(size=(40, 3)).astype(np.float32)
+    t = rng.normal(size=(30, 3)).astype(np.float32)
+    ed = np.asarray(euclidean_matrix(jnp.asarray(s), jnp.asarray(t),
+                                     jnp.float32(2.0)))
+    ref = 2.0 * np.linalg.norm(s[:, None] - t[None], axis=-1)
+    np.testing.assert_allclose(ed, ref, atol=1e-4)
+
+
+def test_blend_none_penalty_quirk():
+    """Penalty is always max(CDmean, 1.0) — reference overwrite at
+    ghicp_reg.cpp:230-239."""
+    rng = np.random.default_rng(1)
+    ed = jnp.asarray(rng.uniform(2, 4, (8, 8)).astype(np.float32))
+    m = jnp.ones(8, bool)
+    res = blend_none(ed, m, m)
+    np.testing.assert_allclose(float(res.penalty), float(res.cd_mean),
+                               rtol=1e-6)
+
+
+def test_nn_match_gate():
+    cd = jnp.asarray(np.array([[0.1, 5.0], [4.0, 6.0]], np.float32))
+    m2 = jnp.ones(2, bool)
+    res = nn_match(cd, jnp.float32(1.0), m2, m2)
+    assert res.w.tolist() == [1.0, 0.0]
+    assert int(res.tgt_idx[0]) == 0
+
+
+def test_nnr_mutual_only():
+    # Row 0 and 1 both prefer col 0; col 0 prefers row 0 -> only (0,0) kept.
+    cd = jnp.asarray(np.array([[0.1, 9.0], [0.2, 8.0]], np.float32))
+    m2 = jnp.ones(2, bool)
+    res = nnr_match(cd, m2, m2)
+    assert res.w.tolist() == [1.0, 0.0]
+
+
+def _km_reference(cd, penalty, ns, nt):
+    """Reference KM semantics via scipy on the padded square matrix."""
+    n = max(ns, nt)
+    b = np.full((n, n), -penalty)
+    gate = cd[:ns, :nt] < penalty
+    b[:ns, :nt] = np.where(gate, -cd[:ns, :nt], -penalty)
+    ri, ci = linear_sum_assignment(-b)  # scipy minimizes
+    total = b[ri, ci].sum()
+    real = [(i, j) for i, j in zip(ri, ci)
+            if i < ns and j < nt and b[i, j] != -penalty]
+    return total, real
+
+
+@pytest.mark.parametrize("ns,nt,seed", [(30, 30, 0), (40, 25, 1), (25, 40, 2),
+                                        (64, 64, 3)])
+def test_auction_matches_hungarian_energy(ns, nt, seed):
+    rng = np.random.default_rng(seed)
+    cd = rng.uniform(0, 10, size=(ns, nt)).astype(np.float32)
+    penalty = 6.0
+    mask_s = jnp.ones(ns, bool)
+    mask_t = jnp.ones(nt, bool)
+    res = auction_match(jnp.asarray(cd), jnp.float32(penalty), mask_s, mask_t,
+                        eps_final=0.001)
+    ref_total, ref_real = _km_reference(cd, penalty, ns, nt)
+
+    # Our achieved total benefit on the square problem:
+    w = np.asarray(res.match.w)
+    tj = np.asarray(res.match.tgt_idx)
+    n = max(ns, nt)
+    got_total = sum(-cd[i, tj[i]] for i in range(ns) if w[i] > 0)
+    got_total += -penalty * (n - int(w.sum()))
+    # epsilon-optimality bound: within n * eps of the Hungarian optimum.
+    assert got_total >= ref_total - n * 0.001 - 1e-3, (got_total, ref_total)
+    # Energy metric agrees with -total.
+    np.testing.assert_allclose(float(res.energy), -got_total, rtol=1e-5)
+
+
+def test_auction_outlier_rejection():
+    """Pairs with CD >= penalty must never be matched (km.cpp:162)."""
+    rng = np.random.default_rng(4)
+    cd = rng.uniform(5, 10, size=(20, 20)).astype(np.float32)
+    # Plant 5 good pairs under the gate.
+    for k in range(5):
+        cd[k, k] = 0.5
+    m = jnp.ones(20, bool)
+    res = auction_match(jnp.asarray(cd), jnp.float32(2.0), m, m)
+    w = np.asarray(res.match.w)
+    tj = np.asarray(res.match.tgt_idx)
+    assert int(res.match.n_matches) == 5
+    assert all(w[k] == 1 and tj[k] == k for k in range(5))
+    assert w[5:].sum() == 0
+
+
+def test_auction_padded_masks():
+    """Masked (padding) rows/cols behave like absent points."""
+    rng = np.random.default_rng(5)
+    cd_small = rng.uniform(0, 3, size=(10, 12)).astype(np.float32)
+    penalty = 2.0
+    # Embed into padded capacities with masks.
+    S, T = 16, 16
+    cd = np.full((S, T), np.inf, np.float32)
+    cd[:10, :12] = cd_small
+    mask_s = jnp.asarray(np.arange(S) < 10)
+    mask_t = jnp.asarray(np.arange(T) < 12)
+    res = auction_match(jnp.asarray(cd), jnp.float32(penalty), mask_s, mask_t,
+                        eps_final=0.001)
+    ref_total, ref_real = _km_reference(cd_small, penalty, 10, 12)
+    w = np.asarray(res.match.w)
+    tj = np.asarray(res.match.tgt_idx)
+    assert w[10:].sum() == 0
+    got_real = {(i, tj[i]) for i in range(10) if w[i] > 0}
+    # Same number of real matches as Hungarian (sets can differ only among
+    # degenerate optima; with random floats they coincide).
+    assert got_real == set(ref_real)
+
+
+def test_blend_bsc_weight_schedule():
+    ed = jnp.ones((4, 4), jnp.float32) * 2.0
+    fd = jnp.ones((4, 4), jnp.float32) * 100.0
+    m = jnp.ones(4, bool)
+    args = dict(mask_s=m, mask_t=m, rms=jnp.float32(1.0),
+                fdm=jnp.float32(50.0), fdstd=jnp.float32(10.0),
+                para1=jnp.float32(1.0), para2=jnp.float32(1.0),
+                scale=jnp.float32(1.0), weight_changing_rate=6.0,
+                penalty_initial=2.0)
+    r0 = blend_bsc(ed, fd, iteration=jnp.int32(0), **args)
+    # iter 0: WFD = 1 -> CD = FD
+    np.testing.assert_allclose(np.asarray(r0.cd), 100.0, rtol=1e-6)
+    r12 = blend_bsc(ed, fd, iteration=jnp.int32(12), **args)
+    wfd = np.exp(-12 / 6.0)
+    np.testing.assert_allclose(np.asarray(r12.cd),
+                               (1 - wfd) * 2.0 + wfd * 100.0, rtol=1e-5)
+    # Late-iteration penalty formula (ghicp_reg.cpp:279-287).
+    expect = 1.0 * 1.0 * 1.0 * (1 - wfd) + (50.0 + 1.0 * 10.0) * wfd
+    np.testing.assert_allclose(float(r12.penalty), max(expect, 5.0), rtol=1e-5)
