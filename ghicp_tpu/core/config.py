@@ -66,6 +66,7 @@ class GHICPConfig:
 
     # --- FPFH feature (fpfh.hpp:36-58) ---
     fpfh_k: int = 20                      # KNN for normals + SPFH
+    fpfh_radius: float = 0.0              # 0 = auto (3 * voxel_size)
 
     # --- energy function (ghicp_reg.h:26-41) ---
     penalty_initial: float = 2.0

@@ -33,24 +33,47 @@ def structured_scene(rng: np.random.Generator, n_points: int,
     n_boxes = n_points - n_ground - n_wall
     n_per_box = max(n_boxes // 12, 8)
     placed = 0
+    obj_id = 0
     while placed < n_boxes:
         c = rng.uniform([-extent * 0.8, -extent * 0.8, 0],
                         [extent * 0.8, extent * 0.8, 0])
-        size = rng.uniform(0.5, 3.0, size=3)
         m = min(n_per_box, n_boxes - placed)
-        # sample on the box surface: pick a face per point
-        face = rng.integers(0, 6, size=m)
-        uv = rng.uniform(0, 1, size=(m, 2))
-        pts = np.zeros((m, 3))
-        for axis in range(3):
-            lo = face == 2 * axis
-            hi = face == 2 * axis + 1
-            others = [a for a in range(3) if a != axis]
-            for sel, val in ((lo, 0.0), (hi, 1.0)):
-                pts[sel, axis] = val
-                pts[sel, others[0]] = uv[sel, 0]
-                pts[sel, others[1]] = uv[sel, 1]
-        parts.append(c + pts * size)
+        kind = obj_id % 3
+        obj_id += 1
+        if kind == 2:
+            # vertical cylinder (tree trunk / pillar): distinctive curvature
+            radius = rng.uniform(0.2, 1.2)
+            height = rng.uniform(1.0, 6.0)
+            ang = rng.uniform(0, 2 * np.pi, m)
+            z = rng.uniform(0, height, m)
+            pts = np.stack([radius * np.cos(ang), radius * np.sin(ang), z], 1)
+            parts.append(c + pts)
+        else:
+            # box with a random yaw and (kind==1) a random slanted top cut,
+            # so corners/edges differ between objects — avoids the
+            # feature-ambiguity of cloned axis-aligned boxes.
+            size = rng.uniform(0.5, 4.0, size=3)
+            face = rng.integers(0, 6, size=m)
+            uv = rng.uniform(0, 1, size=(m, 2))
+            pts = np.zeros((m, 3))
+            for axis in range(3):
+                lo = face == 2 * axis
+                hi = face == 2 * axis + 1
+                others = [a for a in range(3) if a != axis]
+                for sel, val in ((lo, 0.0), (hi, 1.0)):
+                    pts[sel, axis] = val
+                    pts[sel, others[0]] = uv[sel, 0]
+                    pts[sel, others[1]] = uv[sel, 1]
+            pts = pts * size
+            if kind == 1:
+                # slanted roof: shear the top face
+                slope = rng.uniform(-0.4, 0.4, 2)
+                pts[:, 2] += (pts[:, 0] * slope[0] + pts[:, 1] * slope[1]) \
+                    * (pts[:, 2] / max(size[2], 1e-6))
+            yaw = rng.uniform(0, 2 * np.pi)
+            Rz = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                           [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]])
+            parts.append(c + pts @ Rz.T)
         placed += m
     scene = np.concatenate(parts, axis=0)[:n_points]
     return scene.astype(np.float32)

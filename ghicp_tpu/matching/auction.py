@@ -54,9 +54,13 @@ def _bidding_round(b: Array, eps: Array, state):
     n = b.shape[0]
     unassigned = acol < 0
     v = b - p[None, :]
-    top2, j2 = jax.lax.top_k(v, 2)                       # [N,2]
-    j1 = j2[:, 0]
-    bid = p[j1] + top2[:, 0] - top2[:, 1] + eps
+    # Row top-2 via argmax + masked re-max: much faster than lax.top_k with
+    # retained indices (XLA CPU lowers top_k to a full variadic sort).
+    j1 = jnp.argmax(v, axis=1).astype(jnp.int32)
+    v1 = jnp.take_along_axis(v, j1[:, None], axis=1)[:, 0]
+    cols = jnp.arange(n, dtype=jnp.int32)
+    v2 = jnp.max(jnp.where(cols[None, :] == j1[:, None], _NEG, v), axis=1)
+    bid = p[j1] + v1 - v2 + eps
     bid = jnp.where(unassigned, bid, _NEG)
     # Column-wise highest bid (scatter-max), then the winning row.
     win_bid = jnp.full((n,), _NEG, jnp.float32).at[j1].max(bid)

@@ -1,0 +1,208 @@
+"""The GH-ICP registration engine: a jit-compiled fixed-point iteration.
+
+TPU-native re-design of ``GHRegistration::ghicp_reg`` (reference
+``src/ghicp_reg.cpp:24-112`` and the call stack of SURVEY.md §3.2).  The
+reference's host loop — recompute ED, blend CD, solve correspondence, SVD,
+convergence test, weight adjustment — becomes a single ``lax.while_loop``
+carrying the moving source keypoints, the accumulated transform, the penalty
+parameters and a fixed-size per-iteration metrics buffer.  One compilation,
+zero host round-trips per iteration.
+
+Semantics preserved (each with its reference anchor):
+  * FD computed once before the loop (ghicp_reg.cpp:33-44);
+  * ED = scale * pairwise distance each iteration (:114-139);
+  * CD blending + penalty schedule per feature type (:216-341);
+  * correspondence via auction (== KM, :343-604) / NN (:700) / NNR (:605);
+  * per-iteration RMSE over matched pairs, FDM/FDstd bookkeeping (:546-567);
+  * converge if cor < min_cor (:796); IoU = cor/(ns+nt-cor) (:799);
+  * SVD (Umeyama) transform; convergence when all |t| < converge_t and all
+    Euler angles < converge_r degrees (:839-914);
+  * RMS-after, success verdict RMSE_after < 1.5 * non_max_radius (:918-924);
+  * IoU-driven penalty weight adjustment (:771-789);
+  * Rt accumulation Rt = Rt_temp @ Rt (:93).
+
+Deliberate upgrades over the reference:
+  * ``reg_dof=4`` uses a *true* closed-form yaw-only estimator — the
+    reference always solves 6-DoF SVD even in 4-DoF mode (SURVEY.md §2
+    quirks; common_reg.cpp:622 is its unused 4-DoF solver);
+  * metrics are returned as arrays (energy/rmse/rmse_after/cor/iou/penalty
+    per iteration) instead of cout logs + side-effect files.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ghicp_tpu.core import transform as tf
+from ghicp_tpu.core.config import CorrespondenceType, FeatureType, GHICPConfig
+from ghicp_tpu.matching import (auction_match, blend_bsc, blend_fpfh,
+                                blend_none, euclidean_matrix, nn_match,
+                                nnr_match)
+from ghicp_tpu.registration.estimator import estimate
+
+Array = jax.Array
+
+
+class IterationMetrics(NamedTuple):
+    """Per-iteration history (reference vectors energy/rmse/..,
+    ghicp_reg.h:147-148), padded to max_iterations."""
+
+    energy: Array      # [I] assignment energy (KM path; 0 for NN/NNR)
+    rmse: Array        # [I] correspondence RMSE before transform
+    rmse_after: Array  # [I] after applying this iteration's transform
+    cor: Array         # [I] int32 number of correspondences
+    iou: Array         # [I]
+    penalty: Array     # [I]
+
+
+class GHICPResult(NamedTuple):
+    transform: Array        # [4,4] final source -> target
+    iterations: Array       # scalar int32
+    converged: Array        # bool
+    success: Array          # bool: RMSE_after < 1.5 * non_max_radius
+    final_rmse: Array       # scalar
+    metrics: IterationMetrics
+    matches: Array          # [S] int32 final target index per source (-1 none)
+
+
+class _State(NamedTuple):
+    kps: Array        # [S,3] current source keypoints
+    rt: Array         # [4,4]
+    it: Array         # int32
+    converged: Array  # bool
+    rms: Array        # running RMSE (init 99999, ghicp_reg.h:96)
+    fdm: Array
+    fdstd: Array
+    para1: Array
+    para2: Array
+    metrics: IterationMetrics
+    matches: Array    # [S] int32
+    rmse_after: Array
+
+
+def _matched_stats(src_pts, tgt_pts, fd, tgt_idx, w):
+    """RMSE / FDM / FDstd over matched pairs (ghicp_reg.cpp:546-567)."""
+    rows = jnp.arange(src_pts.shape[0])
+    t = tgt_pts[tgt_idx]
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    se = jnp.sum(w * jnp.sum((src_pts - t) ** 2, axis=-1))
+    rmse = jnp.sqrt(se / n)
+    fsel = fd[rows, tgt_idx]
+    fdm = jnp.sum(w * fsel) / n
+    fdstd = jnp.sqrt(jnp.sum(w * (fsel - fdm) ** 2) / n)
+    return rmse, fdm, fdstd
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def ghicp_register(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
+                   fd: Array, bbx_magnitude: Array,
+                   config: GHICPConfig) -> GHICPResult:
+    """Run the full GH-ICP iteration. ``fd``: [S, T] feature distance
+    (Hamming for BSC, |correlation| similarity for FPFH, zeros for none),
+    computed once like the reference (ghicp_reg.cpp:33-44)."""
+    S = kp_s.shape[0]
+    T = kp_t.shape[0]
+    scale = config.scale_factor * bbx_magnitude
+    ns = jnp.sum(mask_s.astype(jnp.float32))
+    nt = jnp.sum(mask_t.astype(jnp.float32))
+    I = config.max_iterations
+
+    zero_i = jnp.zeros((I,), jnp.float32)
+    metrics0 = IterationMetrics(energy=zero_i, rmse=zero_i, rmse_after=zero_i,
+                                cor=jnp.zeros((I,), jnp.int32), iou=zero_i,
+                                penalty=zero_i)
+    state0 = _State(
+        kps=kp_s, rt=tf.identity(), it=jnp.int32(0),
+        converged=jnp.bool_(False), rms=jnp.float32(99999.0),
+        fdm=jnp.float32(0.0), fdstd=jnp.float32(0.0),
+        para1=jnp.float32(config.para1_penalty),
+        para2=jnp.float32(config.para2_penalty),
+        metrics=metrics0, matches=jnp.full((S,), -1, jnp.int32),
+        rmse_after=jnp.float32(jnp.inf))
+
+    def body(st: _State) -> _State:
+        ed = euclidean_matrix(st.kps, kp_t, scale)
+        if config.feature == FeatureType.BSC:
+            cost = blend_bsc(ed, fd, mask_s, mask_t, st.it, st.rms, st.fdm,
+                             st.fdstd, st.para1, st.para2, scale,
+                             config.weight_changing_rate,
+                             config.penalty_initial)
+        elif config.feature == FeatureType.FPFH:
+            cost = blend_fpfh(ed, fd, mask_s, mask_t, st.it, st.rms,
+                              st.para1, st.para2, scale,
+                              config.penalty_initial)
+        else:
+            cost = blend_none(ed, mask_s, mask_t)
+
+        energy = jnp.float32(0.0)
+        if config.correspondence == CorrespondenceType.KM:
+            ares = auction_match(cost.cd, cost.penalty, mask_s, mask_t,
+                                 eps_final=config.km_eps,
+                                 eps_scaling=config.auction_eps_scaling,
+                                 max_rounds=config.auction_max_rounds)
+            match = ares.match
+            energy = ares.energy
+        elif config.correspondence == CorrespondenceType.NNR:
+            match = nnr_match(cost.cd, mask_s, mask_t)
+        else:
+            match = nn_match(cost.cd, cost.penalty, mask_s, mask_t)
+
+        w = match.w
+        cor = jnp.sum(w)
+        rmse, fdm, fdstd = _matched_stats(st.kps, kp_t, fd, match.tgt_idx, w)
+
+        converged = st.converged | (cor < config.min_cor)
+        iou = cor / jnp.maximum(ns + nt - cor, 1.0)
+
+        tgt_pts = kp_t[match.tgt_idx]
+        rt_step = estimate(st.kps, tgt_pts, w, dof=config.reg_dof)
+        R, t = tf.rotation(rt_step), tf.translation(rt_step)
+        ang = tf.euler_deg_zyx(R)
+        small = (jnp.all(jnp.abs(t) < config.converge_translation)
+                 & jnp.all(jnp.abs(ang) < config.converge_rotation))
+        converged = converged | small
+
+        kps_new = tf.apply(rt_step, st.kps)
+        n_for_after = jnp.maximum(cor, 1.0)
+        se_after = jnp.sum(w * jnp.sum((kps_new - tgt_pts) ** 2, axis=-1))
+        rmse_after = jnp.sqrt(se_after / n_for_after)
+
+        # IoU-driven penalty adjustment (ghicp_reg.cpp:771-789).
+        ratio = config.weight_adjustment_ratio
+        est = config.estimated_overlap
+        iou_safe = jnp.maximum(iou, 1e-9)
+        up = est / iou_safe > ratio
+        down = iou_safe / est > ratio
+        delta = jnp.where(up, config.weight_adjustment_step,
+                          jnp.where(down, -config.weight_adjustment_step, 0.0))
+
+        m = st.metrics
+        i = st.it
+        metrics = IterationMetrics(
+            energy=m.energy.at[i].set(energy),
+            rmse=m.rmse.at[i].set(rmse),
+            rmse_after=m.rmse_after.at[i].set(rmse_after),
+            cor=m.cor.at[i].set(cor.astype(jnp.int32)),
+            iou=m.iou.at[i].set(iou),
+            penalty=m.penalty.at[i].set(cost.penalty))
+
+        matches = jnp.where(w > 0, match.tgt_idx, -1)
+        return _State(
+            kps=kps_new, rt=tf.compose(rt_step, st.rt), it=i + 1,
+            converged=converged, rms=rmse, fdm=fdm, fdstd=fdstd,
+            para1=st.para1 + delta, para2=st.para2 + delta,
+            metrics=metrics, matches=matches, rmse_after=rmse_after)
+
+    def cond(st: _State):
+        return (~st.converged) & (st.it < config.max_iterations)
+
+    final = jax.lax.while_loop(cond, body, state0)
+    success = final.rmse_after < 1.5 * config.non_max_radius
+    return GHICPResult(transform=final.rt, iterations=final.it,
+                       converged=final.converged, success=success,
+                       final_rmse=final.rmse_after, metrics=final.metrics,
+                       matches=final.matches)

@@ -1,0 +1,148 @@
+"""End-to-end registration pipeline: the TPU equivalent of ghicp_main.
+
+Host-side orchestration mirroring ``test/ghicp_main.cpp:56-160``:
+read -> voxel downsample -> curvature keypoints -> feature encoding ->
+GH-ICP iteration -> final transform.  Between stages the padded clouds are
+compacted host-side into power-of-two buckets so every jitted stage compiles
+for a small set of static shapes (SURVEY.md §7 "static shapes").
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ghicp_tpu.core.config import FeatureType, GHICPConfig
+from ghicp_tpu.core.types import PointCloud, bucket_size, cloud_bounds
+from ghicp_tpu.features import (extract_bsc, fpfh_features,
+                                fpfh_similarity_matrix, min_hamming_fd)
+from ghicp_tpu.preprocess import detect_keypoints, voxel_downsample
+from ghicp_tpu.registration.ghicp import GHICPResult, ghicp_register
+
+
+@dataclasses.dataclass
+class RegistrationOutput:
+    transform: np.ndarray          # [4,4] source -> target
+    result: GHICPResult
+    n_source_down: int
+    n_target_down: int
+    n_source_keypoints: int
+    n_target_keypoints: int
+    timings: Dict[str, float]
+
+    @property
+    def success(self) -> bool:
+        return bool(self.result.success)
+
+    @property
+    def final_rmse(self) -> float:
+        return float(self.result.final_rmse)
+
+
+def _compact(cloud: PointCloud, capacity: Optional[int] = None) -> PointCloud:
+    pts = cloud.to_numpy()
+    return PointCloud.from_points(pts, capacity=capacity or bucket_size(len(pts)))
+
+
+def _keypoint_arrays(mask: np.ndarray, capacity: int):
+    idx = np.nonzero(mask)[0].astype(np.int32)
+    n = len(idx)
+    out = np.zeros(capacity, np.int32)
+    out[:n] = idx[:capacity]
+    m = np.zeros(capacity, bool)
+    m[:min(n, capacity)] = True
+    return jnp.asarray(out), jnp.asarray(m), n
+
+
+def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
+                  config: GHICPConfig,
+                  keypoint_capacity: Optional[int] = None
+                  ) -> RegistrationOutput:
+    """Register ``source`` onto ``target`` (both raw [n,3] float arrays).
+
+    Follows ghicp_main.cpp's stage order; returns the final [4,4] transform
+    plus per-iteration metrics.
+    """
+    timings: Dict[str, float] = {}
+    t0 = time.perf_counter()
+    cs = PointCloud.from_points(source_pts)
+    ct = PointCloud.from_points(target_pts)
+
+    # --- downsample (ghicp_main.cpp:88-90) ---
+    ds = _compact(voxel_downsample(cs, config.voxel_size))
+    dt = _compact(voxel_downsample(ct, config.voxel_size))
+    jax.block_until_ready(ds.xyz)
+    timings["downsample"] = time.perf_counter() - t0
+
+    # bbx magnitude of the downsampled source (ghicp_main.cpp:92-93)
+    bbx = float(cloud_bounds(ds).magnitude)
+
+    # --- keypoints (ghicp_main.cpp:96-100) ---
+    t0 = time.perf_counter()
+    if config.adaptive_keypoints:
+        from ghicp_tpu.preprocess import adaptive_detect
+        rs = adaptive_detect(ds, config)
+        rt = adaptive_detect(dt, config)
+    else:
+        rs = detect_keypoints(ds, config)
+        rt = detect_keypoints(dt, config)
+    mask_s_np = np.asarray(rs.mask)
+    mask_t_np = np.asarray(rt.mask)
+    nks, nkt = int(mask_s_np.sum()), int(mask_t_np.sum())
+    cap = keypoint_capacity or config.keypoint_capacity or bucket_size(
+        max(nks, nkt, 1))
+    kp_s_idx, kp_s_mask, _ = _keypoint_arrays(mask_s_np, cap)
+    kp_t_idx, kp_t_mask, _ = _keypoint_arrays(mask_t_np, cap)
+    timings["keypoints"] = time.perf_counter() - t0
+
+    kp_s = ds.xyz[kp_s_idx]
+    kp_t = dt.xyz[kp_t_idx]
+
+    # --- features (ghicp_main.cpp:107-141) ---
+    t0 = time.perf_counter()
+    if config.feature == FeatureType.BSC:
+        fs = extract_bsc(ds, kp_s_idx, kp_s_mask, config,
+                         num_variants=config.bsc_num_variants)
+        ft = extract_bsc(dt, kp_t_idx, kp_t_mask, config, num_variants=1)
+        fd = min_hamming_fd(fs.packed, ft.packed, fs.n_bits,
+                            use_mxu=config.use_mxu_hamming)
+    elif config.feature == FeatureType.FPFH:
+        radius = config.fpfh_radius or 3.0 * config.voxel_size
+        hs, _ = fpfh_features(ds, radius=radius, k=max(config.fpfh_k, 24))
+        ht, _ = fpfh_features(dt, radius=radius, k=max(config.fpfh_k, 24))
+        fd = fpfh_similarity_matrix(hs[kp_s_idx], ht[kp_t_idx])
+    elif config.feature == FeatureType.ROPS:
+        raise NotImplementedError(
+            "RoPS is enum-only in the reference too (ghicp_main.cpp:130-134)")
+    else:
+        fd = jnp.zeros((cap, cap), jnp.float32)
+    jax.block_until_ready(fd)
+    timings["features"] = time.perf_counter() - t0
+
+    # --- registration (ghicp_main.cpp:144-151) ---
+    t0 = time.perf_counter()
+    result = ghicp_register(kp_s, kp_s_mask, kp_t, kp_t_mask, fd,
+                            jnp.float32(bbx), config)
+    jax.block_until_ready(result.transform)
+    timings["register"] = time.perf_counter() - t0
+
+    return RegistrationOutput(
+        transform=np.asarray(result.transform),
+        result=result,
+        n_source_down=int(jnp.sum(ds.mask)),
+        n_target_down=int(jnp.sum(dt.mask)),
+        n_source_keypoints=nks, n_target_keypoints=nkt,
+        timings=timings)
+
+
+def transform_error(T_est: np.ndarray, T_gt: np.ndarray):
+    """(rotation error degrees, translation error meters) between transforms."""
+    dR = T_est[:3, :3] @ T_gt[:3, :3].T
+    c = np.clip((np.trace(dR) - 1.0) / 2.0, -1.0, 1.0)
+    rot_deg = np.degrees(np.arccos(c))
+    dt = np.linalg.norm(T_est[:3, 3] - T_gt[:3, 3])
+    return float(rot_deg), float(dt)

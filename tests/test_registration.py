@@ -1,0 +1,122 @@
+"""End-to-end registration tests (SURVEY.md §4: property tests — a known
+random rigid transform must be recovered within tolerance)."""
+import numpy as np
+import pytest
+
+from ghicp_tpu.core.config import (CorrespondenceType, FeatureType,
+                                   GHICPConfig)
+from ghicp_tpu.io.synthetic import make_pair, structured_scene
+from ghicp_tpu.registration import register_pair, transform_error
+
+
+def _full_overlap_pair(seed, n=8000, rot_deg=15.0, extent=10.0,
+                       yaw_only=True):
+    rng = np.random.default_rng(seed)
+    pts = structured_scene(rng, n, extent=extent)
+    theta = np.deg2rad(rot_deg)
+    if yaw_only:
+        R = np.array([[np.cos(theta), -np.sin(theta), 0],
+                      [np.sin(theta), np.cos(theta), 0], [0, 0, 1]],
+                     np.float32)
+    else:
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        R = (np.eye(3) + np.sin(theta) * K
+             + (1 - np.cos(theta)) * (K @ K)).astype(np.float32)
+    t = rng.uniform(-1.5, 1.5, 3).astype(np.float32)
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[:3, :3] = R
+    T_gt[:3, 3] = t
+    src = ((pts - t) @ R + rng.normal(0, 0.01, pts.shape)).astype(np.float32)
+    tgt = (pts + rng.normal(0, 0.01, pts.shape)).astype(np.float32)
+    return src, tgt, T_gt
+
+
+BASE = dict(voxel_size=0.15, neighborhood_radius=0.5, non_max_radius=1.0,
+            min_neighbors=8)
+
+
+def test_nnr_icp_partial_overlap():
+    src, tgt, T_gt = make_pair(seed=0, n_points=10000, rotation_deg=8.0,
+                               translation=0.8, noise=0.01, overlap=0.85,
+                               extent=12.0)
+    cfg = GHICPConfig(feature=FeatureType.NONE,
+                      correspondence=CorrespondenceType.NNR,
+                      estimated_overlap=0.7, max_iterations=60, **BASE)
+    out = register_pair(src, tgt, cfg)
+    rot, tr = transform_error(out.transform, T_gt)
+    assert out.success
+    assert rot < 1.5, rot
+    assert tr < 0.3, tr
+
+
+def test_nn_icp_converges():
+    src, tgt, T_gt = _full_overlap_pair(seed=1, rot_deg=5.0)
+    cfg = GHICPConfig(feature=FeatureType.NONE,
+                      correspondence=CorrespondenceType.NN,
+                      estimated_overlap=0.9, max_iterations=60, **BASE)
+    out = register_pair(src, tgt, cfg)
+    rot, tr = transform_error(out.transform, T_gt)
+    assert rot < 2.0 and tr < 0.5, (rot, tr)
+
+
+def test_ghicp_bsc_km_full_overlap():
+    """The headline config: BSC features + auction matching, 6-DoF."""
+    src, tgt, T_gt = _full_overlap_pair(seed=2, n=8000, rot_deg=20.0)
+    cfg = GHICPConfig(feature=FeatureType.BSC,
+                      correspondence=CorrespondenceType.KM,
+                      estimated_overlap=0.9, max_iterations=30, **BASE)
+    out = register_pair(src, tgt, cfg)
+    rot, tr = transform_error(out.transform, T_gt)
+    assert out.success
+    assert rot < 3.0, rot
+    assert tr < 0.5, tr
+    # RMSE decreases substantially over the run.
+    it = int(out.result.iterations)
+    rmse = np.asarray(out.result.metrics.rmse)[:it]
+    assert rmse[-1] < 0.3 * rmse[0]
+
+
+def test_ghicp_fpfh_nnr():
+    src, tgt, T_gt = _full_overlap_pair(seed=3, n=8000, rot_deg=10.0)
+    cfg = GHICPConfig(feature=FeatureType.FPFH,
+                      correspondence=CorrespondenceType.NNR,
+                      estimated_overlap=0.9, max_iterations=40, **BASE)
+    out = register_pair(src, tgt, cfg)
+    rot, tr = transform_error(out.transform, T_gt)
+    assert rot < 2.0 and tr < 0.5, (rot, tr)
+
+
+def test_ghicp_4dof():
+    """reg_dof=4 solves a true yaw-only transform (unlike the reference,
+    which always runs 6-DoF SVD — SURVEY.md §2 quirks)."""
+    src, tgt, T_gt = _full_overlap_pair(seed=4, rot_deg=12.0, yaw_only=True)
+    cfg = GHICPConfig(feature=FeatureType.NONE,
+                      correspondence=CorrespondenceType.NNR, reg_dof=4,
+                      estimated_overlap=0.9, max_iterations=60, **BASE)
+    out = register_pair(src, tgt, cfg)
+    rot, tr = transform_error(out.transform, T_gt)
+    assert rot < 1.5 and tr < 0.3, (rot, tr)
+    # The estimated rotation is exactly yaw-only.
+    R = out.transform[:3, :3]
+    assert abs(R[2, 2] - 1.0) < 1e-4
+    assert abs(R[0, 2]) < 1e-4 and abs(R[1, 2]) < 1e-4
+
+
+def test_min_cor_early_exit():
+    """Fewer than min_cor matches stops the loop (ghicp_reg.cpp:796-797)."""
+    rng = np.random.default_rng(5)
+    # Two tiny, far-apart clouds: NN gate kills everything.
+    src = rng.uniform(0, 1, (300, 3)).astype(np.float32)
+    tgt = rng.uniform(100, 101, (300, 3)).astype(np.float32) * 0 + 500.0
+    cfg = GHICPConfig(feature=FeatureType.NONE,
+                      correspondence=CorrespondenceType.NNR,
+                      estimated_overlap=0.5, max_iterations=10,
+                      voxel_size=0.05, neighborhood_radius=0.3,
+                      non_max_radius=0.2, min_neighbors=3)
+    out = register_pair(src, tgt, cfg)
+    # Degenerate targets give ~no keypoints -> early exit without NaNs.
+    assert np.isfinite(out.transform).all()
+    assert int(out.result.iterations) <= 10
