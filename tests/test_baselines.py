@@ -1,0 +1,79 @@
+"""Tests for the baseline registrars (common_reg.cpp equivalents)."""
+import numpy as np
+import pytest
+
+from ghicp_tpu.core.types import PointCloud
+from ghicp_tpu.io.synthetic import structured_scene
+from ghicp_tpu.registration.baselines import (gicp, icp_point2plane,
+                                              icp_point2point, overlap_ratio,
+                                              sac_ia_fpfh)
+from ghicp_tpu.registration.pipeline import transform_error
+
+
+def _pair(seed, n=6000, rot_deg=6.0, trans=0.5, extent=10.0, noise=0.01):
+    rng = np.random.default_rng(seed)
+    pts = structured_scene(rng, n, extent=extent)
+    theta = np.deg2rad(rot_deg)
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    R = (np.eye(3) + np.sin(theta) * K
+         + (1 - np.cos(theta)) * (K @ K)).astype(np.float32)
+    t = rng.uniform(-trans, trans, 3).astype(np.float32)
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[:3, :3] = R
+    T_gt[:3, 3] = t
+    src = ((pts - t) @ R + rng.normal(0, noise, pts.shape)).astype(np.float32)
+    tgt = (pts + rng.normal(0, noise, pts.shape)).astype(np.float32)
+    return PointCloud.from_points(src), PointCloud.from_points(tgt), T_gt
+
+
+def test_icp_point2point():
+    s, t, T_gt = _pair(0)
+    res = icp_point2point(s, t, corr_dist=1.5, max_iterations=50)
+    rot, tr = transform_error(np.asarray(res.transform), T_gt)
+    assert rot < 1.0 and tr < 0.15, (rot, tr)
+
+
+def test_icp_reciprocal():
+    s, t, T_gt = _pair(1)
+    res = icp_point2point(s, t, corr_dist=1.5, max_iterations=50,
+                          reciprocal=True)
+    rot, tr = transform_error(np.asarray(res.transform), T_gt)
+    assert rot < 1.0 and tr < 0.15, (rot, tr)
+
+
+def test_icp_point2plane():
+    s, t, T_gt = _pair(2)
+    res = icp_point2plane(s, t, corr_dist=1.5, max_iterations=30)
+    rot, tr = transform_error(np.asarray(res.transform), T_gt)
+    assert rot < 1.0 and tr < 0.15, (rot, tr)
+
+
+def test_gicp():
+    s, t, T_gt = _pair(3)
+    res = gicp(s, t, corr_dist=1.5, max_iterations=30)
+    rot, tr = transform_error(np.asarray(res.transform), T_gt)
+    assert rot < 1.0 and tr < 0.15, (rot, tr)
+
+
+def test_overlap_ratio():
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(0, 10, (2000, 3)).astype(np.float32)
+    a = PointCloud.from_points(pts)
+    b = PointCloud.from_points(pts + np.float32([0.01, 0, 0]))
+    assert float(overlap_ratio(a, b, thresh=0.1)) > 0.99
+    c = PointCloud.from_points(pts + np.float32([50, 0, 0]))
+    assert float(overlap_ratio(a, c, thresh=0.1)) < 0.01
+
+
+def test_sac_ia_fpfh_coarse():
+    """Coarse alignment recovers a large rotation well enough for ICP."""
+    from ghicp_tpu.core.config import GHICPConfig
+    s, t, T_gt = _pair(5, n=4000, rot_deg=40.0, trans=2.0)
+    cfg = GHICPConfig(voxel_size=0.2)
+    T, score = sac_ia_fpfh(s, t, cfg, n_hypotheses=512, inlier_thresh=0.6)
+    rot, tr = transform_error(np.asarray(T), T_gt)
+    # Coarse: inside the basin of ICP convergence.
+    assert rot < 15.0 and tr < 2.5, (rot, tr)
