@@ -26,6 +26,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ghicp_tpu.core.comm import LOCAL, Comm
+
 Array = jax.Array
 
 _HI = jax.lax.Precision.HIGHEST
@@ -51,18 +53,22 @@ def _pair_mask(mask_s: Array, mask_t: Array) -> Array:
     return mask_s[:, None] & mask_t[None, :]
 
 
-def _masked_stats(x: Array, m: Array):
+def _masked_stats(x: Array, m: Array, comm: Comm = LOCAL):
+    """Global mean/std over valid pairs; one psum pair when row-sharded."""
     mf = m.astype(jnp.float32)
-    n = jnp.maximum(jnp.sum(mf), 1.0)
-    mean = jnp.sum(jnp.where(m, x, 0.0)) / n
-    var = jnp.sum(jnp.where(m, (x - mean) ** 2, 0.0)) / n
+    n = jnp.maximum(comm.psum(jnp.sum(mf)), 1.0)
+    s1 = comm.psum(jnp.sum(jnp.where(m, x, 0.0)))
+    s2 = comm.psum(jnp.sum(jnp.where(m, x * x, 0.0)))
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
     return mean, jnp.sqrt(var)
 
 
-def blend_none(ed: Array, mask_s: Array, mask_t: Array) -> CostResult:
+def blend_none(ed: Array, mask_s: Array, mask_t: Array,
+               comm: Comm = LOCAL) -> CostResult:
     """No-feature cost (ghicp_reg.cpp:216-243)."""
     m = _pair_mask(mask_s, mask_t)
-    mean, std = _masked_stats(ed, m)
+    mean, std = _masked_stats(ed, m, comm)
     penalty = jnp.maximum(mean, 1.0)
     cd = jnp.where(m, ed, jnp.inf)
     return CostResult(cd=cd, penalty=penalty, cd_mean=mean, cd_std=std)
@@ -71,14 +77,14 @@ def blend_none(ed: Array, mask_s: Array, mask_t: Array) -> CostResult:
 def blend_bsc(ed: Array, fd: Array, mask_s: Array, mask_t: Array,
               iteration: Array, rms: Array, fdm: Array, fdstd: Array,
               para1: Array, para2: Array, scale: Array,
-              weight_changing_rate: float,
-              penalty_initial: float) -> CostResult:
+              weight_changing_rate: float, penalty_initial: float,
+              comm: Comm = LOCAL) -> CostResult:
     """Hybrid BSC cost + penalty schedule (ghicp_reg.cpp:245-293)."""
     m = _pair_mask(mask_s, mask_t)
     wfd = jnp.exp(-iteration.astype(jnp.float32) / weight_changing_rate)
     wed = 1.0 - wfd
     cd = wed * ed + wfd * fd
-    mean, std = _masked_stats(cd, m)
+    mean, std = _masked_stats(cd, m, comm)
     pen_late = rms * para1 * scale * wed + (fdm + para2 * fdstd) * wfd
     pen_early = mean - penalty_initial * std
     penalty = jnp.where(iteration > 1, pen_late, pen_early)
@@ -89,7 +95,8 @@ def blend_bsc(ed: Array, fd: Array, mask_s: Array, mask_t: Array,
 
 def blend_fpfh(ed: Array, fd_sim: Array, mask_s: Array, mask_t: Array,
                iteration: Array, rms: Array, para1: Array, para2: Array,
-               scale: Array, penalty_initial: float) -> CostResult:
+               scale: Array, penalty_initial: float,
+               comm: Comm = LOCAL) -> CostResult:
     """FPFH cost CD = ED / FD^(1/(iter+1)) (ghicp_reg.cpp:295-341).
 
     FD here is a *similarity* in (0, 1]; small floor avoids division blowup
@@ -98,7 +105,7 @@ def blend_fpfh(ed: Array, fd_sim: Array, mask_s: Array, mask_t: Array,
     m = _pair_mask(mask_s, mask_t)
     k = 1.0 / (iteration.astype(jnp.float32) + 1.0)
     cd = ed / jnp.power(jnp.maximum(fd_sim, 1e-6), k)
-    mean, std = _masked_stats(cd, m)
+    mean, std = _masked_stats(cd, m, comm)
     pen_late = rms * para1 * scale * para2
     pen_early = mean / penalty_initial
     penalty = jnp.where(iteration > 1, pen_late, pen_early)

@@ -16,6 +16,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ghicp_tpu.core.comm import LOCAL, Comm
+
 Array = jax.Array
 
 
@@ -25,26 +27,37 @@ class MatchResult(NamedTuple):
     n_matches: Array # scalar int32
 
 
-def nn_match(cd: Array, penalty: Array, mask_s: Array,
-             mask_t: Array) -> MatchResult:
+def nn_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
+             comm: Comm = LOCAL) -> MatchResult:
     """Closest target per source, kept only if below the penalty gate
-    (ghicp_reg.cpp:700-769)."""
+    (ghicp_reg.cpp:700-769).  Row-local, so sharding rows is free."""
     j = jnp.argmin(cd, axis=1).astype(jnp.int32)
     mincd = jnp.min(cd, axis=1)
     w = (mask_s & (mincd < penalty)).astype(jnp.float32)
     return MatchResult(tgt_idx=j, w=w,
-                       n_matches=jnp.sum(w).astype(jnp.int32))
+                       n_matches=comm.psum(jnp.sum(w)).astype(jnp.int32))
 
 
-def nnr_match(cd: Array, mask_s: Array, mask_t: Array) -> MatchResult:
-    """Reciprocal nearest neighbors, no gate (ghicp_reg.cpp:605-698)."""
+def nnr_match(cd: Array, mask_s: Array, mask_t: Array,
+              comm: Comm = LOCAL) -> MatchResult:
+    """Reciprocal nearest neighbors, no gate (ghicp_reg.cpp:605-698).
+
+    With sharded rows, the per-target column argmin resolves globally via a
+    (pmin value, pmax row-id) pair over the mesh axis.
+    """
+    S = cd.shape[0]
+    row_gid = comm.axis_index() * S + jnp.arange(S, dtype=jnp.int32)
     sv = jnp.argmin(cd, axis=1).astype(jnp.int32)   # [S] best target per src
-    tv = jnp.argmin(cd, axis=0).astype(jnp.int32)   # [T] best source per tgt
-    rows = jnp.arange(cd.shape[0], dtype=jnp.int32)
-    mutual = tv[sv] == rows
-    # Rows whose entire cost row is +inf (padding) pick arbitrary argmin;
-    # guard with validity of the chosen pair.
+    # Global best source per target column.
+    colmin = comm.pmin(jnp.min(cd, axis=0))         # [T]
+    at_min = cd == colmin[None, :]
+    # Lowest row id at the minimum (the reference's first-hit serial scan,
+    # ghicp_reg.cpp:637-646).
+    big = jnp.int32(2**30)
+    tv_local = jnp.min(jnp.where(at_min, row_gid[:, None], big), axis=0)
+    tv = comm.pmin(tv_local)                        # [T] global row id
+    mutual = tv[sv] == row_gid
     ok = mask_s & mutual & jnp.isfinite(jnp.min(cd, axis=1))
     w = ok.astype(jnp.float32)
     return MatchResult(tgt_idx=sv, w=w,
-                       n_matches=jnp.sum(w).astype(jnp.int32))
+                       n_matches=comm.psum(jnp.sum(w)).astype(jnp.int32))

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ghicp_tpu.core import transform as tf
+from ghicp_tpu.core.comm import LOCAL, Comm
 
 Array = jax.Array
 
@@ -32,25 +33,30 @@ Array = jax.Array
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _weighted_centroids(src: Array, dst: Array, w: Array):
-    wsum = jnp.maximum(jnp.sum(w), 1e-12)
-    cs = jnp.sum(src * w[:, None], axis=0) / wsum
-    cd = jnp.sum(dst * w[:, None], axis=0) / wsum
+def _weighted_centroids(src: Array, dst: Array, w: Array,
+                        comm: Comm = LOCAL):
+    wsum = jnp.maximum(comm.psum(jnp.sum(w)), 1e-12)
+    cs = comm.psum(jnp.sum(src * w[:, None], axis=0)) / wsum
+    cd = comm.psum(jnp.sum(dst * w[:, None], axis=0)) / wsum
     return cs, cd, wsum
 
 
-def kabsch_6dof(src: Array, dst: Array, weights: Array) -> Array:
+def kabsch_6dof(src: Array, dst: Array, weights: Array,
+                comm: Comm = LOCAL) -> Array:
     """Weighted Kabsch/Umeyama: the rigid T minimizing sum_i w_i |T(s_i)-d_i|^2.
 
     Returns a [4,4] float32 transform.  Degenerate weight vectors (all zero)
     return identity.  Reflection is repaired via the det sign trick, matching
     the SVD estimator semantics of the reference (ghicp_reg.cpp:857-866).
+    With a distributed comm, correspondences are row-sharded and the 3x3
+    cross-covariance reduces over the mesh axis (one psum); the tiny SVD then
+    runs replicated on every device.
     """
     w = weights.astype(jnp.float32)
-    cs, cd, wsum = _weighted_centroids(src, dst, w)
+    cs, cd, wsum = _weighted_centroids(src, dst, w, comm)
     sc = (src - cs) * w[:, None]
     dc = dst - cd
-    H = jnp.matmul(sc.T, dc, precision=_HI)  # [3,3] cross-covariance
+    H = comm.psum(jnp.matmul(sc.T, dc, precision=_HI))  # [3,3]
     U, S, Vt = jnp.linalg.svd(H.astype(jnp.float32))
     d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0], jnp.float32)).at[2, 2].set(d)
@@ -61,7 +67,8 @@ def kabsch_6dof(src: Array, dst: Array, weights: Array) -> Array:
     return jnp.where(ok, T, tf.identity())
 
 
-def yaw_4dof(src: Array, dst: Array, weights: Array) -> Array:
+def yaw_4dof(src: Array, dst: Array, weights: Array,
+             comm: Comm = LOCAL) -> Array:
     """Closed-form leveled (yaw-only) rigid estimate.
 
     Minimizes sum_i w_i |Rz(theta) s_i + t - d_i|^2.  The optimal yaw is
@@ -70,11 +77,11 @@ def yaw_4dof(src: Array, dst: Array, weights: Array) -> Array:
     iterative ``LLS_4DOF`` (common_reg.cpp:622-775) with one reduction.
     """
     w = weights.astype(jnp.float32)
-    cs, cd, wsum = _weighted_centroids(src, dst, w)
+    cs, cd, wsum = _weighted_centroids(src, dst, w, comm)
     s = src - cs
     d = dst - cd
-    num = jnp.sum(w * (s[:, 0] * d[:, 1] - s[:, 1] * d[:, 0]))
-    den = jnp.sum(w * (s[:, 0] * d[:, 0] + s[:, 1] * d[:, 1]))
+    num = comm.psum(jnp.sum(w * (s[:, 0] * d[:, 1] - s[:, 1] * d[:, 0])))
+    den = comm.psum(jnp.sum(w * (s[:, 0] * d[:, 0] + s[:, 1] * d[:, 1])))
     theta = jnp.arctan2(num, den)
     R = tf.rotz(theta).astype(jnp.float32)
     t = cd - R @ cs
@@ -129,8 +136,9 @@ def similarity_3d_7p(src: Array, dst: Array, weights: Array):
     return jnp.linalg.solve(AtA + 1e-9 * jnp.eye(7), Atb)
 
 
-def estimate(src: Array, dst: Array, weights: Array, dof: int = 6) -> Array:
+def estimate(src: Array, dst: Array, weights: Array, dof: int = 6,
+             comm: Comm = LOCAL) -> Array:
     """Dispatch on DoF; both branches are jit-safe (static python int)."""
     if dof == 4:
-        return yaw_4dof(src, dst, weights)
-    return kabsch_6dof(src, dst, weights)
+        return yaw_4dof(src, dst, weights, comm)
+    return kabsch_6dof(src, dst, weights, comm)

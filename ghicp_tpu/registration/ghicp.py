@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ghicp_tpu.core import transform as tf
+from ghicp_tpu.core.comm import LOCAL, Comm
 from ghicp_tpu.core.config import CorrespondenceType, FeatureType, GHICPConfig
 from ghicp_tpu.matching import (auction_match, blend_bsc, blend_fpfh,
                                 blend_none, euclidean_matrix, nn_match,
@@ -84,32 +85,41 @@ class _State(NamedTuple):
     rmse_after: Array
 
 
-def _matched_stats(src_pts, tgt_pts, fd, tgt_idx, w):
+def _matched_stats(src_pts, tgt_pts, fd, tgt_idx, w, comm: Comm):
     """RMSE / FDM / FDstd over matched pairs (ghicp_reg.cpp:546-567)."""
     rows = jnp.arange(src_pts.shape[0])
     t = tgt_pts[tgt_idx]
-    n = jnp.maximum(jnp.sum(w), 1.0)
-    se = jnp.sum(w * jnp.sum((src_pts - t) ** 2, axis=-1))
+    n = jnp.maximum(comm.psum(jnp.sum(w)), 1.0)
+    se = comm.psum(jnp.sum(w * jnp.sum((src_pts - t) ** 2, axis=-1)))
     rmse = jnp.sqrt(se / n)
     fsel = fd[rows, tgt_idx]
-    fdm = jnp.sum(w * fsel) / n
-    fdstd = jnp.sqrt(jnp.sum(w * (fsel - fdm) ** 2) / n)
+    s1 = comm.psum(jnp.sum(w * fsel))
+    s2 = comm.psum(jnp.sum(w * fsel * fsel))
+    fdm = s1 / n
+    fdstd = jnp.sqrt(jnp.maximum(s2 / n - fdm * fdm, 0.0))
     return rmse, fdm, fdstd
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def ghicp_register(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
-                   fd: Array, bbx_magnitude: Array,
-                   config: GHICPConfig) -> GHICPResult:
-    """Run the full GH-ICP iteration. ``fd``: [S, T] feature distance
-    (Hamming for BSC, |correlation| similarity for FPFH, zeros for none),
-    computed once like the reference (ghicp_reg.cpp:33-44)."""
+def ghicp_loop(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
+               fd: Array, bbx_magnitude: Array, config: GHICPConfig,
+               comm: Comm = LOCAL,
+               total_rows: Optional[int] = None) -> GHICPResult:
+    """The GH-ICP fixed-point loop (unjitted body — see ``ghicp_register``
+    for the single-device entry and ``ghicp_tpu.shard`` for the SPMD one).
+
+    ``fd``: [S, T] feature distance (Hamming for BSC, |correlation|
+    similarity for FPFH, zeros for none), computed once like the reference
+    (ghicp_reg.cpp:33-44).  Under a distributed ``comm``, kp_s/mask_s/fd are
+    the local row shards and every reduction crosses the mesh axis.
+    """
     S = kp_s.shape[0]
     T = kp_t.shape[0]
     scale = config.scale_factor * bbx_magnitude
-    ns = jnp.sum(mask_s.astype(jnp.float32))
+    ns = comm.psum(jnp.sum(mask_s.astype(jnp.float32)))
     nt = jnp.sum(mask_t.astype(jnp.float32))
     I = config.max_iterations
+    if total_rows is None:
+        total_rows = S
 
     zero_i = jnp.zeros((I,), jnp.float32)
     metrics0 = IterationMetrics(energy=zero_i, rmse=zero_i, rmse_after=zero_i,
@@ -130,36 +140,38 @@ def ghicp_register(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
             cost = blend_bsc(ed, fd, mask_s, mask_t, st.it, st.rms, st.fdm,
                              st.fdstd, st.para1, st.para2, scale,
                              config.weight_changing_rate,
-                             config.penalty_initial)
+                             config.penalty_initial, comm)
         elif config.feature == FeatureType.FPFH:
             cost = blend_fpfh(ed, fd, mask_s, mask_t, st.it, st.rms,
                               st.para1, st.para2, scale,
-                              config.penalty_initial)
+                              config.penalty_initial, comm)
         else:
-            cost = blend_none(ed, mask_s, mask_t)
+            cost = blend_none(ed, mask_s, mask_t, comm)
 
         energy = jnp.float32(0.0)
         if config.correspondence == CorrespondenceType.KM:
             ares = auction_match(cost.cd, cost.penalty, mask_s, mask_t,
                                  eps_final=config.km_eps,
                                  eps_scaling=config.auction_eps_scaling,
-                                 max_rounds=config.auction_max_rounds)
+                                 max_rounds=config.auction_max_rounds,
+                                 comm=comm, total_rows=total_rows)
             match = ares.match
             energy = ares.energy
         elif config.correspondence == CorrespondenceType.NNR:
-            match = nnr_match(cost.cd, mask_s, mask_t)
+            match = nnr_match(cost.cd, mask_s, mask_t, comm)
         else:
-            match = nn_match(cost.cd, cost.penalty, mask_s, mask_t)
+            match = nn_match(cost.cd, cost.penalty, mask_s, mask_t, comm)
 
         w = match.w
-        cor = jnp.sum(w)
-        rmse, fdm, fdstd = _matched_stats(st.kps, kp_t, fd, match.tgt_idx, w)
+        cor = comm.psum(jnp.sum(w))
+        rmse, fdm, fdstd = _matched_stats(st.kps, kp_t, fd, match.tgt_idx,
+                                          w, comm)
 
         converged = st.converged | (cor < config.min_cor)
         iou = cor / jnp.maximum(ns + nt - cor, 1.0)
 
         tgt_pts = kp_t[match.tgt_idx]
-        rt_step = estimate(st.kps, tgt_pts, w, dof=config.reg_dof)
+        rt_step = estimate(st.kps, tgt_pts, w, dof=config.reg_dof, comm=comm)
         R, t = tf.rotation(rt_step), tf.translation(rt_step)
         ang = tf.euler_deg_zyx(R)
         small = (jnp.all(jnp.abs(t) < config.converge_translation)
@@ -168,7 +180,8 @@ def ghicp_register(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
 
         kps_new = tf.apply(rt_step, st.kps)
         n_for_after = jnp.maximum(cor, 1.0)
-        se_after = jnp.sum(w * jnp.sum((kps_new - tgt_pts) ** 2, axis=-1))
+        se_after = comm.psum(
+            jnp.sum(w * jnp.sum((kps_new - tgt_pts) ** 2, axis=-1)))
         rmse_after = jnp.sqrt(se_after / n_for_after)
 
         # IoU-driven penalty adjustment (ghicp_reg.cpp:771-789).
@@ -206,3 +219,12 @@ def ghicp_register(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
                        converged=final.converged, success=success,
                        final_rmse=final.rmse_after, metrics=final.metrics,
                        matches=final.matches)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def ghicp_register(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
+                   fd: Array, bbx_magnitude: Array,
+                   config: GHICPConfig) -> GHICPResult:
+    """Single-device jitted entry point for the GH-ICP loop."""
+    return ghicp_loop(kp_s, mask_s, kp_t, mask_t, fd, bbx_magnitude,
+                      config, LOCAL)

@@ -1,0 +1,72 @@
+"""SPMD GH-ICP: source-keypoint rows sharded over a device mesh.
+
+The reference is single-process (SURVEY.md §2: "Parallelism: none"); the
+scale axis of GH-ICP is the n_s x n_t cost matrix (the analogue of attention
+scores, SURVEY.md §5).  Here the *same engine code* (`ghicp_loop`) runs under
+``jax.shard_map`` over a 1-D mesh:
+
+  * source keypoints, masks and the FD matrix are sharded by rows —
+    each device owns S/d rows of every [S, T] matrix it builds;
+  * target keypoints and prices are replicated;
+  * all cross-row reductions (cost statistics, auction bid resolution,
+    Kabsch cross-covariance, RMSE sums, convergence flags) ride the mesh
+    axis as psum/pmax/pmin collectives (ICI on a real slice) through the
+    :class:`~ghicp_tpu.core.comm.Comm` object.
+
+The auction's per-round traffic is O(T) scalars per device (column price
+vector + winner ids), independent of the row count — the bidding compute
+stays fully local.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ghicp_tpu.core.comm import Comm
+from ghicp_tpu.core.config import GHICPConfig
+from ghicp_tpu.registration.ghicp import (GHICPResult, IterationMetrics,
+                                          ghicp_loop)
+
+AXIS = "rows"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D device mesh over the first ``n_devices`` local devices."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (AXIS,))
+
+
+def ghicp_register_sharded(kp_s, mask_s, kp_t, mask_t, fd, bbx_magnitude,
+                           config: GHICPConfig, mesh: Mesh) -> GHICPResult:
+    """Row-sharded GH-ICP over ``mesh``.  kp_s/mask_s/fd row counts must be
+    divisible by the mesh size (pad the keypoint bucket accordingly)."""
+    S = kp_s.shape[0]
+    n = mesh.devices.size
+    if S % n != 0:
+        raise ValueError(f"row count {S} not divisible by mesh size {n}")
+    comm = Comm(axis=AXIS)
+
+    out_specs = GHICPResult(
+        transform=P(), iterations=P(), converged=P(), success=P(),
+        final_rmse=P(),
+        metrics=IterationMetrics(energy=P(), rmse=P(), rmse_after=P(),
+                                 cor=P(), iou=P(), penalty=P()),
+        matches=P(AXIS))
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(), P(), P(AXIS), P()),
+        out_specs=out_specs, check_vma=False)
+    def run(kp_s, mask_s, kp_t, mask_t, fd, bbx):
+        return ghicp_loop(kp_s, mask_s, kp_t, mask_t, fd, bbx, config,
+                          comm=comm, total_rows=S)
+
+    return run(kp_s, mask_s, kp_t, mask_t, fd,
+               jnp.asarray(bbx_magnitude, jnp.float32))

@@ -1,0 +1,105 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (conftest.py forces
+XLA_FLAGS=--xla_force_host_platform_device_count=8; SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ghicp_tpu.core.config import (CorrespondenceType, FeatureType,
+                                   GHICPConfig)
+from ghicp_tpu.registration.ghicp import ghicp_register
+from ghicp_tpu.shard import ghicp_register_sharded, make_mesh
+
+
+def _problem(seed=0, S=128, T=96, n_live_s=100, n_live_t=90):
+    rng = np.random.default_rng(seed)
+    tgt = rng.uniform(0, 10, (T, 3)).astype(np.float32)
+    theta = np.deg2rad(8.0)
+    R = np.array([[np.cos(theta), -np.sin(theta), 0],
+                  [np.sin(theta), np.cos(theta), 0], [0, 0, 1]], np.float32)
+    t = np.float32([0.5, -0.3, 0.2])
+    src = ((tgt[:S] if S <= T else
+            np.concatenate([tgt, rng.uniform(0, 10, (S - T, 3)).astype(np.float32)]))
+           - t) @ R
+    src = src.astype(np.float32) + rng.normal(0, 0.005, (S, 3)).astype(np.float32)
+    mask_s = np.arange(S) < n_live_s
+    mask_t = np.arange(T) < n_live_t
+    fd = np.zeros((S, T), np.float32)
+    return (jnp.asarray(src), jnp.asarray(mask_s), jnp.asarray(tgt),
+            jnp.asarray(mask_t), jnp.asarray(fd))
+
+
+@pytest.mark.parametrize("corr", [CorrespondenceType.NN,
+                                  CorrespondenceType.NNR,
+                                  CorrespondenceType.KM])
+def test_sharded_matches_single_device(corr):
+    """The SPMD engine must agree with the single-device engine."""
+    assert len(jax.devices()) >= 8
+    kp_s, mask_s, kp_t, mask_t, fd = _problem()
+    cfg = GHICPConfig(feature=FeatureType.NONE, correspondence=corr,
+                      estimated_overlap=0.8, max_iterations=8,
+                      auction_max_rounds=600)
+    single = ghicp_register(kp_s, mask_s, kp_t, mask_t, fd,
+                            jnp.float32(30.0), cfg)
+    mesh = make_mesh(8)
+    shard = ghicp_register_sharded(kp_s, mask_s, kp_t, mask_t, fd,
+                                   30.0, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(shard.transform),
+                               np.asarray(single.transform), atol=2e-4)
+    assert int(shard.iterations) == int(single.iterations)
+    it = int(single.iterations)
+    np.testing.assert_allclose(np.asarray(shard.metrics.rmse)[:it],
+                               np.asarray(single.metrics.rmse)[:it],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(shard.metrics.cor)[:it],
+                                  np.asarray(single.metrics.cor)[:it])
+
+
+def test_sharded_auction_optimality():
+    """Sharded auction reaches the Hungarian optimum on a random matrix."""
+    from scipy.optimize import linear_sum_assignment
+    from ghicp_tpu.core.comm import Comm
+    from ghicp_tpu.matching.auction import auction_match
+    from jax.sharding import PartitionSpec as P
+
+    rng = np.random.default_rng(1)
+    S = T = 64
+    cd = rng.uniform(0, 10, (S, T)).astype(np.float32)
+    penalty = 6.0
+    mesh = make_mesh(8)
+    comm = Comm(axis="rows")
+
+    @jax.jit
+    @functools_partial_shard(mesh)
+    def run(cd, mask_s, mask_t):
+        return auction_match(cd, jnp.float32(penalty), mask_s, mask_t,
+                             eps_final=0.001, comm=comm, total_rows=S).match
+
+    match = run(jnp.asarray(cd), jnp.ones(S, bool), jnp.ones(T, bool))
+    w = np.asarray(match.w)
+    tj = np.asarray(match.tgt_idx)
+    n = max(S, T)
+    got = sum(-cd[i, tj[i]] for i in range(S) if w[i] > 0) \
+        - penalty * (n - int(w.sum()))
+    b = np.full((n, n), -penalty)
+    gate = cd < penalty
+    b[:S, :T] = np.where(gate, -cd, -penalty)
+    ri, ci = linear_sum_assignment(-b)
+    ref = b[ri, ci].sum()
+    assert got >= ref - n * 0.001 - 1e-3, (got, ref)
+
+
+def functools_partial_shard(mesh):
+    """shard_map decorator: rows sharded, masks sharded/replicated."""
+    import functools
+    from jax.sharding import PartitionSpec as P
+    from ghicp_tpu.matching.matchers import MatchResult
+
+    def deco(f):
+        return functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P("rows"), P("rows"), P()),
+            out_specs=MatchResult(tgt_idx=P("rows"), w=P("rows"),
+                                  n_matches=P()),
+            check_vma=False)(f)
+    return deco
