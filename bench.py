@@ -49,6 +49,10 @@ def baseline_iteration_time(kp_s, kp_t, fd, scale, penalty_like, n_rep=2):
 
 def main():
     import jax
+    # Persistent XLA cache: axon remote compiles are minutes-long; cached
+    # executables make repeat bench runs compile-free.
+    jax.config.update("jax_compilation_cache_dir", "/root/.ghicp_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from ghicp_tpu.core.config import (CorrespondenceType, FeatureType,
                                        GHICPConfig)

@@ -1,0 +1,126 @@
+"""Command-line driver: the TPU equivalent of the ``ghicp`` binary.
+
+Accepts the reference's 13 positional arguments (test/ghicp_main.cpp:56-78,
+script/run.sh:21-24) so existing run scripts port directly:
+
+  ghicp <targetT> <sourceS> <outputR> <feature B|F|R|N> <corres K|N|R>
+        <voxel_size> <neighborhood_radius> <non_max_radius>
+        <weight_adjust_ratio> <weight_adjust_step> <dof 4|6>
+        <estimated_overlap> <launch_viewer 0|1>
+
+There is no interactive viewer on a TPU host: ``launch_viewer=1`` instead
+exports the registered pair as PLY files next to the output (SURVEY.md §5
+"observability" replacement).  Per-iteration metrics print as structured
+lines replacing the reference's cout stream (ghicp_reg.cpp:546-905).
+
+Usage:  python -m ghicp_tpu.cli.main <13 args>   (or named flags, -h)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+_FEATURE = {"B": "bsc", "F": "fpfh", "R": "rops", "N": "none"}
+_CORRES = {"K": "km", "N": "nn", "R": "nnr"}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ghicp",
+        description="TPU-native GH-ICP pairwise point cloud registration")
+    p.add_argument("target", help="target cloud (.pcd/.las/.ply/.txt)")
+    p.add_argument("source", help="source cloud to be transformed")
+    p.add_argument("output", help="registered source output path")
+    p.add_argument("feature", choices=list("BFRN"),
+                   help="B=BSC F=FPFH R=RoPS N=none")
+    p.add_argument("corres", choices=list("KNR"),
+                   help="K=global-optimal (auction/KM) N=NN R=reciprocal NN")
+    p.add_argument("voxel_size", type=float)
+    p.add_argument("neighborhood_radius", type=float)
+    p.add_argument("non_max_radius", type=float)
+    p.add_argument("weight_adjust_ratio", type=float)
+    p.add_argument("weight_adjust_step", type=float)
+    p.add_argument("dof", type=int, choices=[4, 6])
+    p.add_argument("estimated_overlap", type=float)
+    p.add_argument("viewer", type=int, choices=[0, 1],
+                   help="1 = also export PLY snapshots of the aligned pair")
+    p.add_argument("--max-iterations", type=int, default=100)
+    p.add_argument("--json", action="store_true",
+                   help="print a single JSON result line")
+    p.add_argument("--jax-cache", default="/root/.ghicp_jax_cache",
+                   help="persistent XLA compilation cache dir ('' disables)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    if args.jax_cache:
+        jax.config.update("jax_compilation_cache_dir", args.jax_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from ghicp_tpu.core import transform as tf
+    from ghicp_tpu.core.config import (CorrespondenceType, FeatureType,
+                                       GHICPConfig)
+    from ghicp_tpu.io import read_cloud, write_cloud
+    from ghicp_tpu.registration import register_pair
+
+    config = GHICPConfig(
+        feature=FeatureType(_FEATURE[args.feature]),
+        correspondence=CorrespondenceType(_CORRES[args.corres]),
+        reg_dof=args.dof,
+        estimated_overlap=args.estimated_overlap,
+        voxel_size=args.voxel_size,
+        neighborhood_radius=args.neighborhood_radius,
+        non_max_radius=args.non_max_radius,
+        weight_adjustment_ratio=args.weight_adjust_ratio,
+        weight_adjustment_step=args.weight_adjust_step,
+        max_iterations=args.max_iterations)
+
+    t0 = time.perf_counter()
+    tgt, shift_t = read_cloud(args.target)
+    src, shift_s = read_cloud(args.source)
+    print(f"[io] target {len(tgt)} pts, source {len(src)} pts "
+          f"({time.perf_counter() - t0:.1f}s)")
+
+    out = register_pair(src, tgt, config)
+    it = int(out.result.iterations)
+    m = out.result.metrics
+    for i in range(it):
+        print(f"[iter {i:3d}] cor={int(np.asarray(m.cor)[i])} "
+              f"rmse={float(np.asarray(m.rmse)[i]):.4f} "
+              f"iou={float(np.asarray(m.iou)[i]):.3f} "
+              f"penalty={float(np.asarray(m.penalty)[i]):.3f}")
+    verdict = "Succeed" if out.success else "Failed"
+    print(f"[result] Registration {verdict}. iterations={it} "
+          f"final_rmse={out.final_rmse:.4f} "
+          f"keypoints={out.n_source_keypoints}/{out.n_target_keypoints}")
+    print("[transform]")
+    print(np.array2string(out.transform, precision=6, suppress_small=False))
+
+    registered = src @ out.transform[:3, :3].T + out.transform[:3, 3]
+    write_cloud(args.output, registered, global_shift=shift_s)
+    print(f"[io] wrote {args.output}")
+
+    if args.viewer:
+        base = args.output.rsplit(".", 1)[0]
+        write_cloud(base + "_pair_source.ply", registered)
+        write_cloud(base + "_pair_target.ply", tgt)
+        print(f"[viewer] exported {base}_pair_*.ply")
+
+    if args.json:
+        print(json.dumps({
+            "success": bool(out.success), "iterations": it,
+            "final_rmse": out.final_rmse,
+            "transform": out.transform.tolist(),
+            "timings": out.timings}))
+    return 0 if out.success else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
