@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ghicp_tpu.core.types import PointCloud
 
@@ -31,9 +32,15 @@ Array = jax.Array
 
 _P1, _P2, _P3 = 73856093, 19349663, 83492791
 
-_OFFSETS = jnp.array(
-    [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
-    dtype=jnp.int32)  # [27, 3]
+# Hash deltas of the 27 neighbor cells.  The cell hash is linear in the cell
+# coordinates, so hash(c + off) = hash(c) + hash(off): queries only ever
+# build [B] and [B, 27] tensors.  (Materializing [B, 27, 3] int32
+# intermediates triggers a pathological multi-minute XLA:TPU compile on the
+# axon backend — keep integer tensors 2-D with large minor dims.)
+_OFFSET_HASHES = np.array(
+    [dx * _P1 + dy * _P2 + dz * _P3
+     for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+    dtype=np.int32)  # [27]
 
 
 class NeighborList(NamedTuple):
@@ -59,14 +66,18 @@ class HashGrid(NamedTuple):
     cell: float         # cell side length
 
 
-def _cell_hash(c: Array) -> Array:
-    return c[..., 0] * _P1 + c[..., 1] * _P2 + c[..., 2] * _P3
+def _point_hash(xyz: Array, min_xyz: Array, cell: float) -> Array:
+    """[N] int32 cell hash per point, built from 1-D column vectors only."""
+    inv = 1.0 / cell
+    hx = jnp.floor((xyz[:, 0] - min_xyz[0]) * inv).astype(jnp.int32) * _P1
+    hy = jnp.floor((xyz[:, 1] - min_xyz[1]) * inv).astype(jnp.int32) * _P2
+    hz = jnp.floor((xyz[:, 2] - min_xyz[2]) * inv).astype(jnp.int32) * _P3
+    return hx + hy + hz
 
 
 def build_grid(support: PointCloud, cell: float) -> HashGrid:
     mn = jnp.min(jnp.where(support.mask[:, None], support.xyz, 3e38), axis=0)
-    coords = jnp.floor((support.xyz - mn) * (1.0 / cell)).astype(jnp.int32)
-    keys = _cell_hash(coords)
+    keys = _point_hash(support.xyz, mn, cell)
     keys = jnp.where(support.mask, keys, jnp.int32(2**31 - 1))
     order = jnp.argsort(keys).astype(jnp.int32)
     return HashGrid(sorted_keys=keys[order], order=order, xyz=support.xyz,
@@ -77,17 +88,20 @@ def _query_block(grid: HashGrid, qxyz: Array, qmask: Array, radius: float,
                  k: int, cell_cap: int, exclude_self_idx: Optional[Array]):
     """Neighbors for one block of queries. qxyz: [B,3]."""
     B = qxyz.shape[0]
-    qcell = jnp.floor((qxyz - grid.min_xyz) * (1.0 / grid.cell)).astype(jnp.int32)
-    # [B, 27] hashes of surrounding cells
-    hashes = _cell_hash(qcell[:, None, :] + _OFFSETS[None, :, :])
+    # [B, 27] hashes of surrounding cells: linear hash -> point hash + const
+    qh = _point_hash(qxyz, grid.min_xyz, grid.cell)
+    hashes = qh[:, None] + jnp.asarray(_OFFSET_HASHES)[None, :]
     start = jnp.searchsorted(grid.sorted_keys, hashes, side="left")
     end = jnp.searchsorted(grid.sorted_keys, hashes, side="right")
-    # [B, 27, cell_cap] candidate slots in the sorted array
-    slots = start[..., None] + jnp.arange(cell_cap, dtype=jnp.int32)
-    in_cell = slots < end[..., None]
+    # [B, 27*cell_cap] candidate slots, built 2-D throughout.
+    start_r = jnp.repeat(start, cell_cap, axis=1)        # [B, C]
+    end_r = jnp.repeat(end, cell_cap, axis=1)
+    lane = jnp.tile(jnp.arange(cell_cap, dtype=jnp.int32), 27)[None, :]
+    slots = start_r + lane
+    in_cell = slots < end_r
     slots = jnp.clip(slots, 0, grid.sorted_keys.shape[0] - 1)
-    cand = grid.order[slots].reshape(B, -1)              # [B, C]
-    cand_ok = in_cell.reshape(B, -1)
+    cand = grid.order[slots]                             # [B, C]
+    cand_ok = in_cell
     cxyz = grid.xyz[cand]                                # [B, C, 3]
     d2 = jnp.sum((cxyz - qxyz[:, None, :]) ** 2, axis=-1)
     ok = (cand_ok & grid.mask[cand] & (d2 <= radius * radius)

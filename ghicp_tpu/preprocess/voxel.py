@@ -31,9 +31,16 @@ _P1, _P2, _P3 = 73856093, 19349663, 83492791
 
 
 def voxel_keys(xyz: Array, min_xyz: Array, voxel_size) -> Array:
-    """int32 hash key of the voxel containing each point ([N,3] -> [N])."""
-    v = jnp.floor((xyz - min_xyz) * (1.0 / voxel_size)).astype(jnp.int32)
-    return v[:, 0] * _P1 + v[:, 1] * _P2 + v[:, 2] * _P3
+    """int32 hash key of the voxel containing each point ([N,3] -> [N]).
+
+    Column-wise (1-D integer vectors only): [N,3] int32 intermediates cause
+    pathological XLA:TPU compile times on the axon backend.
+    """
+    inv = 1.0 / voxel_size
+    hx = jnp.floor((xyz[:, 0] - min_xyz[0]) * inv).astype(jnp.int32) * _P1
+    hy = jnp.floor((xyz[:, 1] - min_xyz[1]) * inv).astype(jnp.int32) * _P2
+    hz = jnp.floor((xyz[:, 2] - min_xyz[2]) * inv).astype(jnp.int32) * _P3
+    return hx + hy + hz
 
 
 def voxel_downsample(cloud: PointCloud, voxel_size: float) -> PointCloud:

@@ -49,20 +49,21 @@ class ICPResult(NamedTuple):
 
 def _nn_1(grid, pts, mask, radius: float):
     """Nearest target neighbor per point: (idx [N], dist [N], ok [N])."""
-    qc = PointCloud(xyz=pts, mask=mask)
     # Re-implemented inline to stay jittable inside while_loop bodies.
     n = pts.shape[0]
-    coords = jnp.floor((pts - grid.min_xyz) * (1.0 / grid.cell)).astype(jnp.int32)
-    from ghicp_tpu.preprocess.neighbors import _OFFSETS, _cell_hash
-    hashes = _cell_hash(coords[:, None, :] + _OFFSETS[None, :, :])
+    from ghicp_tpu.preprocess.neighbors import _OFFSET_HASHES, _point_hash
+    qh = _point_hash(pts, grid.min_xyz, grid.cell)
+    hashes = qh[:, None] + jnp.asarray(_OFFSET_HASHES)[None, :]
     start = jnp.searchsorted(grid.sorted_keys, hashes, side="left")
     end = jnp.searchsorted(grid.sorted_keys, hashes, side="right")
     cap = 8
-    slots = start[..., None] + jnp.arange(cap, dtype=jnp.int32)
-    in_cell = slots < end[..., None]
-    slots = jnp.clip(slots, 0, grid.sorted_keys.shape[0] - 1)
-    cand = grid.order[slots].reshape(n, -1)
-    ok = in_cell.reshape(n, -1) & grid.mask[cand]
+    start_r = jnp.repeat(start, cap, axis=1)
+    end_r = jnp.repeat(end, cap, axis=1)
+    lane = jnp.tile(jnp.arange(cap, dtype=jnp.int32), 27)[None, :]
+    slots = jnp.clip(start_r + lane, 0, grid.sorted_keys.shape[0] - 1)
+    in_cell = (start_r + lane) < end_r
+    cand = grid.order[slots]
+    ok = in_cell & grid.mask[cand]
     d2 = jnp.sum((grid.xyz[cand] - pts[:, None, :]) ** 2, axis=-1)
     d2 = jnp.where(ok & (d2 <= radius * radius), d2, jnp.inf)
     k = jnp.argmin(d2, axis=1)
