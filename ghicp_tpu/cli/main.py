@@ -91,11 +91,11 @@ def main(argv=None) -> int:
     out = register_pair(src, tgt, config)
     it = int(out.result.iterations)
     m = out.result.metrics
+    cor, rmse, iou, pen = (np.asarray(m.cor), np.asarray(m.rmse),
+                           np.asarray(m.iou), np.asarray(m.penalty))
     for i in range(it):
-        print(f"[iter {i:3d}] cor={int(np.asarray(m.cor)[i])} "
-              f"rmse={float(np.asarray(m.rmse)[i]):.4f} "
-              f"iou={float(np.asarray(m.iou)[i]):.3f} "
-              f"penalty={float(np.asarray(m.penalty)[i]):.3f}")
+        print(f"[iter {i:3d}] cor={int(cor[i])} rmse={float(rmse[i]):.4f} "
+              f"iou={float(iou[i]):.3f} penalty={float(pen[i]):.3f}")
     verdict = "Succeed" if out.success else "Failed"
     print(f"[result] Registration {verdict}. iterations={it} "
           f"final_rmse={out.final_rmse:.4f} "

@@ -78,9 +78,21 @@ class PointCloud:
 
     def to_numpy(self) -> np.ndarray:
         """Host-side compacted [n,3] float32 array of live points."""
-        xyz = np.asarray(self.xyz)
+        xyz = fetch_xyz(self.xyz)
         mask = np.asarray(self.mask)
         return xyz[mask]
+
+
+def fetch_xyz(x) -> np.ndarray:
+    """Device -> host transfer of an [N, 3] array via its transpose.
+
+    Downloading small-minor-dim arrays through the axon TPU tunnel is ~100x
+    slower than downloading [3, N] (tiled-layout relayout on the device side
+    of the link); route every coordinate download through this helper.
+    """
+    if hasattr(x, "device"):  # jax array
+        return np.asarray(jnp.transpose(x)).T
+    return np.asarray(x)
 
 
 @jax.tree_util.register_dataclass
