@@ -102,8 +102,8 @@ def _matched_stats(src_pts, tgt_pts, fd, tgt_idx, w, comm: Comm):
 
 def ghicp_loop(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
                fd: Array, bbx_magnitude: Array, config: GHICPConfig,
-               comm: Comm = LOCAL,
-               total_rows: Optional[int] = None) -> GHICPResult:
+               comm: Comm = LOCAL, total_rows: Optional[int] = None,
+               init_transform: Optional[Array] = None) -> GHICPResult:
     """The GH-ICP fixed-point loop (unjitted body — see ``ghicp_register``
     for the single-device entry and ``ghicp_tpu.shard`` for the SPMD one).
 
@@ -121,12 +121,21 @@ def ghicp_loop(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
     if total_rows is None:
         total_rows = S
 
+    # Optional warm start (coarse alignment / checkpoint resume) — the
+    # reference always restarts from identity (ghicp_reg.h:95).
+    if init_transform is None:
+        rt0 = tf.identity()
+        kps0 = kp_s
+    else:
+        rt0 = init_transform
+        kps0 = tf.apply(init_transform, kp_s)
+
     zero_i = jnp.zeros((I,), jnp.float32)
     metrics0 = IterationMetrics(energy=zero_i, rmse=zero_i, rmse_after=zero_i,
                                 cor=jnp.zeros((I,), jnp.int32), iou=zero_i,
                                 penalty=zero_i)
     state0 = _State(
-        kps=kp_s, rt=tf.identity(), it=jnp.int32(0),
+        kps=kps0, rt=rt0, it=jnp.int32(0),
         converged=jnp.bool_(False), rms=jnp.float32(99999.0),
         fdm=jnp.float32(0.0), fdstd=jnp.float32(0.0),
         para1=jnp.float32(config.para1_penalty),
@@ -223,8 +232,8 @@ def ghicp_loop(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def ghicp_register(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
-                   fd: Array, bbx_magnitude: Array,
-                   config: GHICPConfig) -> GHICPResult:
+                   fd: Array, bbx_magnitude: Array, config: GHICPConfig,
+                   init_transform: Optional[Array] = None) -> GHICPResult:
     """Single-device jitted entry point for the GH-ICP loop."""
     return ghicp_loop(kp_s, mask_s, kp_t, mask_t, fd, bbx_magnitude,
-                      config, LOCAL)
+                      config, LOCAL, init_transform=init_transform)

@@ -60,7 +60,8 @@ def _keypoint_arrays(mask: np.ndarray, capacity: int):
 
 def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
                   config: GHICPConfig,
-                  keypoint_capacity: Optional[int] = None
+                  keypoint_capacity: Optional[int] = None,
+                  initial_transform: Optional[np.ndarray] = None
                   ) -> RegistrationOutput:
     """Register ``source`` onto ``target`` (both raw [n,3] float arrays).
 
@@ -125,8 +126,10 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
 
     # --- registration (ghicp_main.cpp:144-151) ---
     t0 = time.perf_counter()
+    T0 = None if initial_transform is None else jnp.asarray(
+        initial_transform, jnp.float32)
     result = ghicp_register(kp_s, kp_s_mask, kp_t, kp_t_mask, fd,
-                            jnp.float32(bbx), config)
+                            jnp.float32(bbx), config, T0)
     jax.block_until_ready(result.transform)
     timings["register"] = time.perf_counter() - t0
 
