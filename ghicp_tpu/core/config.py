@@ -49,10 +49,17 @@ class GHICPConfig:
     non_max_radius: float = 1.0           # keypoint NMS radius (m)
     unstable_ratio_threshold: float = 0.65
     min_neighbors: int = 20               # stability gate for keypoints
-    neighbor_k: int = 64                  # fixed-K cap for radius neighbors
+    neighbor_k: int = 128                 # fixed-K cap for radius neighbors
+    pca_cell_cap: int = 64                # per-cell candidate cap in PCA
     nms_k: int = 256                      # fixed-K cap for NMS suppression
     nms_cell_cap: int = 128               # per-cell candidate cap in NMS
     keypoint_capacity: int = 0            # 0 = auto bucket
+
+    # --- sub-voxel keypoint refinement (TPU-build improvement; not in the
+    #     reference, whose keypoints sit on raw samples) ---
+    refine_keypoints: bool = True
+    refine_radius: float = 0.0            # 0 = auto (3 * voxel_size)
+    min_curvature: float = 0.0            # extra keypoint gate (0 = ref.)
 
     # --- adaptive keypoint target band (keypoint_detect.hpp:79-106) ---
     adaptive_keypoints: bool = False
@@ -84,10 +91,8 @@ class GHICPConfig:
     converge_rotation: float = 0.02       # degrees
     max_iterations: int = 100
 
-    # --- auction solver ---
-    auction_eps_scaling: float = 4.0      # epsilon division factor per phase
-    auction_max_rounds: int = 2000        # bidding rounds per epsilon phase
-    auction_start_eps: float = 0.0        # 0 = auto from cost range
+    # --- auction solver (single-phase forward auction with outside option) ---
+    auction_max_rounds: int = 8000        # bidding-round safety cap
 
     # --- numerics ---
     use_mxu_hamming: bool = True          # matmul-based Hamming (vs popcount)

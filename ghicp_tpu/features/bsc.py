@@ -248,10 +248,9 @@ def _encode_keypoint(nxyz, nvalid, kp, pairs, perms, g, r):
 
 @functools.partial(jax.jit, static_argnames=("grid_side", "radius",
                                              "num_variants", "neighbor_k"))
-def _extract_jit(cloud: PointCloud, kp_idx: Array, kp_mask: Array,
+def _extract_jit(cloud: PointCloud, kp_xyz: Array, kp_mask: Array,
                  pairs: Array, perms: Array, radius: float, grid_side: int,
                  num_variants: int, neighbor_k: int) -> Array:
-    kp_xyz = cloud.xyz[kp_idx]
     kp_cloud = PointCloud(xyz=kp_xyz, mask=kp_mask)
     nb = radius_neighbors(kp_cloud, cloud, radius=float(np.sqrt(3.0) * radius),
                           k=neighbor_k, cell_cap=max(neighbor_k // 4, 16))
@@ -267,17 +266,23 @@ def _extract_jit(cloud: PointCloud, kp_idx: Array, kp_mask: Array,
     return pack_bits(bits).transpose(1, 0, 2)                # [V, S, W]
 
 
-def extract_bsc(cloud: PointCloud, kp_idx: Array, kp_mask: Array,
+def extract_bsc(cloud: PointCloud, keypoints: Array, kp_mask: Array,
                 config: GHICPConfig, num_variants: int) -> BSCFeatures:
-    """BSC features of keypoints ``kp_idx`` of ``cloud``.
+    """BSC features at keypoint locations over the support ``cloud``.
 
+    ``keypoints``: either [S] int32 indices into the cloud or [S, 3] float
+    positions (sub-voxel refined keypoints are off-lattice).
     ``num_variants``: 1 for the target cloud, ``config.bsc_num_variants``
     (2 or 4) for the source (bfe.hpp:603-676; ghicp_main.cpp:115-116).
     """
+    if keypoints.ndim == 1:
+        kp_xyz = cloud.xyz[keypoints]
+    else:
+        kp_xyz = keypoints
     g = config.bsc_grid_side
     pairs = jnp.asarray(sample_pattern(config.bsc_seed, g))
     perms = jnp.asarray(variant_permutations(g, num_variants))
-    packed = _extract_jit(cloud, kp_idx, kp_mask, pairs, perms,
+    packed = _extract_jit(cloud, kp_xyz, kp_mask, pairs, perms,
                           radius=float(config.non_max_radius), grid_side=g,
                           num_variants=num_variants,
                           neighbor_k=config.bsc_neighbor_k)

@@ -11,19 +11,23 @@ import numpy as np
 
 def structured_scene(rng: np.random.Generator, n_points: int,
                      extent: float = 20.0) -> np.ndarray:
-    """A TLS-like scene: ground plane + walls + scattered boxes + clutter.
+    """A TLS-like scene: ground plane + walls + scattered distinct objects.
 
     Surfaces (not uniform volume noise) so that curvature keypoints and BSC
     features are meaningful, mimicking the terrestrial scans the reference
-    targets (README.md:16-20).
+    targets (README.md:16-20).  The object mix is deliberately diverse
+    (yawed boxes, slant-roofed boxes, cylinders, octahedra) so that
+    curvature keypoints are *point-like and repeatable* across independent
+    samplings — long featureless edges produce NMS keypoints at arbitrary
+    positions and no registration pipeline can match them.
     """
     parts = []
-    n_ground = n_points // 3
+    n_ground = n_points // 6
     g = rng.uniform([-extent, -extent, 0], [extent, extent, 0.02],
                     size=(n_ground, 3))
     parts.append(g)
 
-    n_wall = n_points // 4
+    n_wall = n_points // 6
     w1 = rng.uniform([-extent, -extent, 0], [extent, -extent + 0.02, 6.0],
                      size=(n_wall // 2, 3))
     w2 = rng.uniform([-extent, -extent, 0], [-extent + 0.02, extent, 6.0],
@@ -31,16 +35,25 @@ def structured_scene(rng: np.random.Generator, n_points: int,
     parts.extend([w1, w2])
 
     n_boxes = n_points - n_ground - n_wall
-    n_per_box = max(n_boxes // 12, 8)
+    n_per_box = max(n_boxes // 40, 8)
     placed = 0
     obj_id = 0
     while placed < n_boxes:
         c = rng.uniform([-extent * 0.8, -extent * 0.8, 0],
                         [extent * 0.8, extent * 0.8, 0])
         m = min(n_per_box, n_boxes - placed)
-        kind = obj_id % 3
+        kind = obj_id % 4
         obj_id += 1
-        if kind == 2:
+        if kind == 3:
+            # octahedron (|x|+|y|+|z| = s) at a random orientation: eight
+            # sharp point-like vertices -> repeatable curvature keypoints
+            s = rng.uniform(0.5, 1.8)
+            v = rng.normal(size=(m, 3))
+            v = v / np.maximum(np.abs(v).sum(1, keepdims=True), 1e-9) * s
+            q = rng.normal(size=(3, 3))
+            Q, _ = np.linalg.qr(q)
+            parts.append(c + np.array([0, 0, s]) + v @ Q.T)
+        elif kind == 2:
             # vertical cylinder (tree trunk / pillar): distinctive curvature
             radius = rng.uniform(0.2, 1.2)
             height = rng.uniform(1.0, 6.0)

@@ -35,7 +35,7 @@ global row ids.  Same code path runs single-chip with the LOCAL comm.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -55,11 +55,23 @@ class AuctionResult(NamedTuple):
     rounds: Array      # total bidding rounds executed
 
 
-def _bidding_round(b: Array, eps: Array, row_gid: Array, state, comm: Comm):
-    """One synchronous bidding round.
+_SINK = jnp.int32(2**30)  # "unmatched" pseudo-column (infinite capacity)
 
-    b: [R, C] local benefit rows; row_gid: [R] global row ids; state =
-    (owner [C] global row id or -1, acol [R] assigned col or -1, p [C]).
+
+def _bidding_round(b: Array, eps: Array, sink_value: Array,
+                   sink_slack: Array, row_gid: Array, state, comm: Comm):
+    """One synchronous bidding round with an outside option.
+
+    b: [R, C] local benefit rows (real columns only; ungated pairs carry
+    -inf); ``sink_value``: the reservation profit (-penalty) — an
+    infinite-capacity pseudo-column at permanent price 0, absorbing rows
+    whose best real surplus falls below it.  This replaces KM's explicit
+    dummy rows/columns (ghicp_reg.cpp:348-365): thousands of *identical*
+    dummy rows otherwise serialize the auction (every tied row bids the same
+    column each round, one winner per round).
+
+    state = (owner [C] global row id or -1, acol [R]: real col, _SINK, or
+    -1 unassigned, p [C]).
     """
     owner, acol, p = state
     R, C = b.shape
@@ -71,12 +83,20 @@ def _bidding_round(b: Array, eps: Array, row_gid: Array, state, comm: Comm):
     v1 = jnp.take_along_axis(v, j1[:, None], axis=1)[:, 0]
     cols = jnp.arange(C, dtype=jnp.int32)
     v2 = jnp.max(jnp.where(cols[None, :] == j1[:, None], _NEG, v), axis=1)
+    # Rows whose best real surplus is below the outside option exit to the
+    # sink once and for all (prices start at 0 and only rise, so v1 only
+    # falls — with fresh prices the decision is final-safe).
+    to_sink = unassigned & (v1 <= sink_value - sink_slack)
+    acol = jnp.where(to_sink, _SINK, acol)
+    bidding = unassigned & ~to_sink
+    # Second-best includes the ever-available sink.
+    v2 = jnp.maximum(v2, sink_value)
     bid = p[j1] + v1 - v2 + eps
-    bid = jnp.where(unassigned, bid, _NEG)
+    bid = jnp.where(bidding, bid, _NEG)
     # Local per-column best bid, then global resolution over the mesh axis.
     win_bid = jnp.full((C,), _NEG, jnp.float32).at[j1].max(bid)
     win_bid = comm.pmax(win_bid)
-    is_best = unassigned & (bid == win_bid[j1]) & (win_bid[j1] > _NEG)
+    is_best = bidding & (bid == win_bid[j1]) & (win_bid[j1] > _NEG)
     winner = jnp.full((C,), -1, jnp.int32).at[j1].max(
         jnp.where(is_best, row_gid, -1))
     winner = comm.pmax(winner)
@@ -98,8 +118,8 @@ def _bidding_round(b: Array, eps: Array, row_gid: Array, state, comm: Comm):
     return owner, acol, p
 
 
-def _run_phase(b: Array, eps: Array, p: Array, row_gid: Array,
-               max_rounds: int, comm: Comm):
+def _run_phase(b: Array, eps: Array, sink_value: Array, sink_slack: Array,
+               p: Array, row_gid: Array, max_rounds: int, comm: Comm):
     R, C = b.shape
     owner = jnp.full((C,), -1, jnp.int32)
     acol = jnp.full((R,), -1, jnp.int32)
@@ -111,8 +131,8 @@ def _run_phase(b: Array, eps: Array, p: Array, row_gid: Array,
 
     def body(c):
         owner, acol, p, r = c
-        owner, acol, p = _bidding_round(b, eps, row_gid,
-                                        (owner, acol, p), comm)
+        owner, acol, p = _bidding_round(b, eps, sink_value, sink_slack,
+                                        row_gid, (owner, acol, p), comm)
         return owner, acol, p, r + 1
 
     owner, acol, p, r = jax.lax.while_loop(
@@ -120,79 +140,68 @@ def _run_phase(b: Array, eps: Array, p: Array, row_gid: Array,
     return owner, acol, p, r
 
 
-def auction_assign(b: Array, eps_final, eps_scaling: float, max_rounds: int,
+def auction_assign(b: Array, sink_value, eps, max_rounds: int,
                    comm: Comm = LOCAL, row_offset=None):
-    """Core assignment on a benefit matrix b [R, C] (maximization).
+    """Core assignment on a benefit matrix b [R, C] (maximization) with an
+    outside option at ``sink_value`` per row.
 
-    Returns (acol [R] assigned column per row (-1 if unassigned at round
-    cap), prices [C], rounds).  Requires global rows <= C.
+    Single-phase forward auction from zero prices.  With a fixed-price
+    outside option, epsilon-scaling phase resets are unsound (inherited
+    price overshoot pushes rows into the sink prematurely), and with real-
+    valued costs the bid margins — not eps — dominate convergence, so a
+    single phase at the final epsilon is both exact-at-eps and fast.
+
+    Returns (acol [R]: assigned column, _SINK for unmatched, or -1 at round
+    cap; prices [C]; rounds).
     """
     R, C = b.shape
     if row_offset is None:
         row_offset = comm.axis_index() * R
     row_gid = row_offset + jnp.arange(R, dtype=jnp.int32)
-
-    eps_final_arr = jnp.float32(eps_final)
-    spread = comm.pmax(jnp.maximum(jnp.max(b) - jnp.min(b), 0.0))
-    eps0 = jnp.maximum(spread * 0.5, eps_final_arr)
-
-    def cond(c):
-        return ~c[0]
-
-    def body(c):
-        done, eps, p, acol, rounds = c
-        _, acol, p, r = _run_phase(b, eps, p, row_gid, max_rounds, comm)
-        done = eps <= eps_final_arr * 1.0001
-        eps = jnp.maximum(eps / eps_scaling, eps_final_arr)
-        return done, eps, p, acol, rounds + r
-
     p0 = jnp.zeros((C,), jnp.float32)
-    ac0 = jnp.full((R,), -1, jnp.int32)
-    _, _, p, acol, rounds = jax.lax.while_loop(
-        cond, body, (jnp.bool_(False), eps0, p0, ac0, jnp.int32(0)))
+    _, acol, p, rounds = _run_phase(
+        b, jnp.float32(eps), jnp.float32(sink_value), jnp.float32(0.0),
+        p0, row_gid, max_rounds, comm)
     return acol, p, rounds
 
 
-@functools.partial(jax.jit, static_argnames=("eps_final", "eps_scaling",
-                                             "max_rounds", "comm",
-                                             "total_rows"))
+@functools.partial(jax.jit, static_argnames=("eps_final", "max_rounds",
+                                             "comm", "total_rows"))
 def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
-                  eps_final: float = 0.01, eps_scaling: float = 4.0,
-                  max_rounds: int = 4000, comm: Comm = LOCAL,
+                  eps_final: float = 0.01, max_rounds: int = 8000,
+                  comm: Comm = LOCAL,
                   total_rows: int = None) -> AuctionResult:
     """Global-optimal correspondence via auction (KM equivalent).
 
     cd: [S, T] blended cost (+inf at invalid pairs); S may be a local row
-    shard when ``comm`` is distributed.  Matching is over the padded
-    *square* problem (dummy rows/columns at -penalty, km.cpp padding
-    semantics): forward auction's epsilon-optimality guarantee needs
-    rows == columns, and extra all-dummy rows/columns never change the
-    optimal real-match set.  Returned matches are the *real* pairs
-    (CD < penalty), KM's output semantics (km.cpp:144-233).
+    shard when ``comm`` is distributed.  KM's dummy padding
+    (ghicp_reg.cpp:348-365: every non-gated pair worth exactly -penalty,
+    a pair is real iff its weight beats that) is equivalent to matching
+    with an *outside option*: maximize sum of matched (penalty - CD) over
+    gated pairs, rows free to stay unmatched.  The auction therefore runs
+    on the real [S, T] benefits with a -penalty reservation sink — same
+    optimal real-match set as the reference's square problem, none of its
+    dummy-row thrash.  Returned matches are the *real* pairs
+    (km.cpp:144-233 output semantics).
     """
     S, T = cd.shape
     rows_total = total_rows if total_rows is not None else S
-    n_dev = max(rows_total // S, 1)
-    # Square up: every device hosts an equal slice of the dummy rows.
-    extra = max(T - rows_total, 0)
-    pad_local = -(-extra // n_dev)
-    R = S + pad_local
-    C = max(rows_total + pad_local * n_dev, T)
     gate = jnp.isfinite(cd) & (cd < penalty)
-    b = jnp.full((R, C), 0.0, jnp.float32) - penalty
-    b = b.at[:S, :T].set(jnp.where(gate, -cd, -penalty))
+    b = jnp.where(gate, -cd, _NEG)
 
-    acol, p, rounds = auction_assign(b, eps_final, eps_scaling, max_rounds,
+    acol, p, rounds = auction_assign(b, -penalty, eps_final, max_rounds,
                                      comm)
-    acol = acol[:S]
-    jc = jnp.clip(acol, 0, T - 1)
-    real = (mask_s & (acol >= 0) & (acol < T)
-            & gate[jnp.arange(S), jc])
+    matched = (acol >= 0) & (acol < T)
+    jc = jnp.where(matched, acol, 0)
+    real = mask_s & matched & gate[jnp.arange(S), jc]
     w = real.astype(jnp.float32)
     cor = comm.psum(jnp.sum(w))
     matched_cd = comm.psum(
         jnp.sum(jnp.where(real, cd[jnp.arange(S), jc], 0.0)))
-    energy = matched_cd + penalty * (C - cor)
+    # Energy bookkeeping on the reference's square problem of size
+    # n = max(total_rows, T) (km.cpp:128-141).
+    n_sq = jnp.float32(max(rows_total, T))
+    energy = matched_cd + penalty * (n_sq - cor)
     match = MatchResult(tgt_idx=jc.astype(jnp.int32), w=w,
                         n_matches=cor.astype(jnp.int32))
     return AuctionResult(match=match, prices=p, energy=energy, rounds=rounds)

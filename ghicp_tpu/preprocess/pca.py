@@ -1,9 +1,11 @@
 """Batched neighborhood PCA: eigenvalues, curvature, normals.
 
 TPU-native re-design of ``PrincipleComponentAnalysis`` (reference
-``include/pca.h:133-250``): one vectorized pass computes every point's
-neighborhood covariance and a batched 3x3 Jacobi eigendecomposition, instead
-of a serial KD-tree query + Eigen solve per point.
+``include/pca.h:133-250``): one fused, chunked pass computes every point's
+grid neighborhood, covariance and a batched 3x3 Jacobi eigendecomposition —
+no serial KD-tree queries, and no materialized [N, K] neighbor lists (at TLS
+scale, 1M points x K=256 would be gigabytes; the fused pipeline keeps only
+[chunk, K] alive inside a ``lax.map``).
 
 Feature definitions follow pca.h:225-247 exactly:
   curvature   = lambda3 / (lambda1 + lambda2 + lambda3)
@@ -14,6 +16,7 @@ with lambda1 >= lambda2 >= lambda3.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -21,7 +24,8 @@ import jax.numpy as jnp
 
 from ghicp_tpu.core.types import PointCloud
 from ghicp_tpu.ops.eigh3 import eigh3
-from ghicp_tpu.preprocess.neighbors import NeighborList, radius_neighbors
+from ghicp_tpu.preprocess.neighbors import (NeighborList, _query_block,
+                                            build_grid, radius_neighbors)
 
 Array = jax.Array
 
@@ -52,19 +56,50 @@ def neighborhood_covariance(xyz: Array, neighbors: NeighborList):
     return cov, mean, cnt
 
 
-def pca_features(cloud: PointCloud, radius: float, k: int = 64,
-                 cell_cap: int = 16, chunk: int = 4096) -> PCAFeatures:
-    """Per-point PCA features over a fixed-radius (K-capped) neighborhood."""
-    nb = radius_neighbors(cloud, cloud, radius=radius, k=k,
-                          cell_cap=cell_cap, chunk=chunk)
-    return pca_from_neighbors(cloud, nb)
+def _pca_of_block(grid, qxyz, qmask, radius, k, cell_cap):
+    nb = _query_block(grid, qxyz, qmask, radius, k, cell_cap, None)
+    cov, _, cnt = neighborhood_covariance(grid.xyz, nb)
+    vals, vecs = eigh3(cov)
+    vals = jnp.maximum(vals, 0.0)   # covariance is PSD; clamp round-off
+    total = jnp.sum(vals, axis=-1)
+    curvature = jnp.where(total > 0, vals[:, 2] / jnp.maximum(total, 1e-30),
+                          0.0)
+    valid = qmask & (cnt >= 3)
+    return PCAFeatures(eigvals=vals, principal=vecs[:, :, 0],
+                       normal=vecs[:, :, 2], curvature=curvature,
+                       n_neighbors=cnt.astype(jnp.int32), valid=valid)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "k", "cell_cap",
+                                             "chunk"))
+def pca_features(cloud: PointCloud, radius: float, k: int = 128,
+                 cell_cap: int = 64, chunk: int = 4096) -> PCAFeatures:
+    """Per-point PCA features over a fixed-radius (K-capped) neighborhood.
+
+    Fused + chunked: peak extra memory is O(chunk * 27 * cell_cap), never
+    O(N * K).
+    """
+    grid = build_grid(cloud, cell=radius)
+    n = cloud.capacity
+    pad = (-n) % chunk
+    qxyz = jnp.pad(cloud.xyz, ((0, pad), (0, 0)))
+    qmask = jnp.pad(cloud.mask, (0, pad))
+
+    def body(args):
+        x, m = args
+        return _pca_of_block(grid, x, m, radius, k, cell_cap)
+
+    out = jax.lax.map(body, (qxyz.reshape(-1, chunk, 3),
+                             qmask.reshape(-1, chunk)))
+    return PCAFeatures(*(v.reshape((-1,) + v.shape[2:])[:n] for v in out))
 
 
 @jax.jit
 def pca_from_neighbors(cloud: PointCloud, nb: NeighborList) -> PCAFeatures:
+    """PCA features from a precomputed neighbor list (small clouds only)."""
     cov, _, cnt = neighborhood_covariance(cloud.xyz, nb)
     vals, vecs = eigh3(cov)
-    vals = jnp.maximum(vals, 0.0)  # covariance is PSD; clamp Jacobi round-off
+    vals = jnp.maximum(vals, 0.0)
     total = jnp.sum(vals, axis=-1)
     curvature = jnp.where(total > 0, vals[:, 2] / jnp.maximum(total, 1e-30), 0.0)
     valid = cloud.mask & (cnt >= 3)

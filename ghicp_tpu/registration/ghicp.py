@@ -161,7 +161,6 @@ def ghicp_loop(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
         if config.correspondence == CorrespondenceType.KM:
             ares = auction_match(cost.cd, cost.penalty, mask_s, mask_t,
                                  eps_final=config.km_eps,
-                                 eps_scaling=config.auction_eps_scaling,
                                  max_rounds=config.auction_max_rounds,
                                  comm=comm, total_rows=total_rows)
             match = ares.match

@@ -1,0 +1,159 @@
+"""Multi-pair (station-graph) registration.
+
+The reference hints at multi-view use through ``PCFD`` — "Pairwise Cloud
+Feature Distance used for multi-view registration as weight of MST"
+(include/ghicp_reg.h:141) — but ships no driver for it.  This module is the
+TPU-native realization (BASELINE.json config 5):
+
+* every station cloud is preprocessed and BSC-encoded **once**
+  (:class:`Station`), with the full variant set so it can act as source or
+  target of any pair;
+* each requested pair runs the jitted GH-ICP engine on the cached
+  keypoints/features — all pairs share one compiled executable because the
+  keypoint buckets are padded to a common capacity;
+* global station poses come from a maximum-spanning-tree over pair quality
+  (IoU of the converged registration, the reference's PCFD role), chaining
+  pairwise transforms from a root station.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ghicp_tpu.core.config import FeatureType, GHICPConfig
+from ghicp_tpu.core.types import PointCloud, bucket_size, cloud_bounds
+from ghicp_tpu.features import extract_bsc, min_hamming_fd
+from ghicp_tpu.preprocess import detect_keypoints, voxel_downsample
+from ghicp_tpu.registration.ghicp import GHICPResult, ghicp_register
+
+
+@dataclasses.dataclass
+class Station:
+    """One preprocessed scan: downsampled cloud + keypoints + features."""
+
+    index: int
+    kp_xyz: jax.Array        # [cap, 3]
+    kp_mask: jax.Array       # [cap]
+    bsc_packed: Optional[jax.Array]  # [V, cap, W] (None for Ft=none)
+    n_keypoints: int
+    bbx_magnitude: float
+
+
+@dataclasses.dataclass
+class PairResult:
+    source: int
+    target: int
+    transform: np.ndarray
+    result: GHICPResult
+
+    @property
+    def quality(self) -> float:
+        """Final IoU — the MST edge weight (PCFD role, ghicp_reg.h:140)."""
+        it = max(int(self.result.iterations) - 1, 0)
+        return float(np.asarray(self.result.metrics.iou)[it])
+
+
+def build_station(pts: np.ndarray, index: int, config: GHICPConfig,
+                  capacity: int) -> Station:
+    from ghicp_tpu.preprocess import pca_features
+    from ghicp_tpu.preprocess.keypoints import refine_positions
+    cloud = PointCloud.from_points(pts)
+    down = voxel_downsample(cloud, config.voxel_size)
+    dpts = down.to_numpy()
+    dcloud = PointCloud.from_points(dpts)
+    bbx = float(cloud_bounds(dcloud).magnitude)
+    pca = pca_features(dcloud, radius=config.neighborhood_radius,
+                       k=config.neighbor_k, cell_cap=config.pca_cell_cap)
+    res = detect_keypoints(dcloud, config, pca)
+    pos = dcloud.xyz
+    if config.refine_keypoints:
+        rr = config.refine_radius or 3.0 * config.voxel_size
+        pos = refine_positions(dcloud, pca.curvature, res.mask,
+                               res.candidates, radius=rr)
+    mask_np = np.asarray(res.mask)
+    idx = np.nonzero(mask_np)[0].astype(np.int32)
+    nk = len(idx)
+    kp_idx = np.zeros(capacity, np.int32)
+    kp_idx[:min(nk, capacity)] = idx[:capacity]
+    kp_mask = np.zeros(capacity, bool)
+    kp_mask[:min(nk, capacity)] = True
+    kp_idx_j = jnp.asarray(kp_idx)
+    kp_mask_j = jnp.asarray(kp_mask)
+    kp_xyz = pos[kp_idx_j]
+    packed = None
+    if config.feature == FeatureType.BSC:
+        feats = extract_bsc(dcloud, kp_xyz, kp_mask_j, config,
+                            num_variants=config.bsc_num_variants)
+        packed = feats.packed
+    return Station(index=index, kp_xyz=kp_xyz,
+                   kp_mask=kp_mask_j, bsc_packed=packed, n_keypoints=nk,
+                   bbx_magnitude=bbx)
+
+
+def register_graph(clouds: Sequence[np.ndarray],
+                   pairs: Sequence[Tuple[int, int]],
+                   config: GHICPConfig,
+                   keypoint_capacity: Optional[int] = None
+                   ) -> Tuple[List[PairResult], List[np.ndarray]]:
+    """Register every (source, target) pair; return pair results + global
+    poses (one [4,4] per station, root = station 0)."""
+    # Common capacity so every pair reuses one compiled engine.
+    cap = keypoint_capacity or config.keypoint_capacity or 2048
+    stations = [build_station(p, i, config, cap)
+                for i, p in enumerate(clouds)]
+
+    results: List[PairResult] = []
+    for (si, ti) in pairs:
+        s, t = stations[si], stations[ti]
+        if config.feature == FeatureType.BSC:
+            fd = min_hamming_fd(s.bsc_packed, t.bsc_packed[:1],
+                                441, use_mxu=config.use_mxu_hamming)
+        else:
+            fd = jnp.zeros((cap, cap), jnp.float32)
+        res = ghicp_register(s.kp_xyz, s.kp_mask, t.kp_xyz, t.kp_mask, fd,
+                             jnp.float32(s.bbx_magnitude), config)
+        results.append(PairResult(source=si, target=ti,
+                                  transform=np.asarray(res.transform),
+                                  result=res))
+
+    poses = _poses_from_mst(len(clouds), results)
+    return results, poses
+
+
+def _poses_from_mst(n: int, results: List[PairResult]) -> List[np.ndarray]:
+    """Chain pairwise transforms along a maximum-quality spanning tree.
+
+    Pose[i] maps station i's frame into station 0's frame.
+    """
+    # Edge list with quality weights (IoU) — Prim's algorithm from node 0.
+    edges: Dict[int, List[Tuple[float, int, np.ndarray]]] = {
+        i: [] for i in range(n)}
+    for r in results:
+        # transform maps source -> target.
+        T = r.transform
+        edges[r.source].append((r.quality, r.target, np.linalg.inv(T)))
+        edges[r.target].append((r.quality, r.source, T))
+    poses: List[Optional[np.ndarray]] = [None] * n
+    poses[0] = np.eye(4, dtype=np.float32)
+    visited = {0}
+    import heapq
+    heap = [(-q, 0, nbr, T) for (q, nbr, T) in edges[0]]
+    heapq.heapify(heap)
+    while heap and len(visited) < n:
+        negq, frm, to, T_to_frm = heapq.heappop(heap)
+        if to in visited:
+            continue
+        # T_to_frm maps `to` frame -> `frm` frame.
+        poses[to] = (poses[frm] @ T_to_frm).astype(np.float32)
+        visited.add(to)
+        for (q, nbr, T) in edges[to]:
+            if nbr not in visited:
+                heapq.heappush(heap, (-q, to, nbr, T))
+    for i in range(n):
+        if poses[i] is None:
+            poses[i] = np.eye(4, dtype=np.float32)  # disconnected station
+    return poses

@@ -82,15 +82,32 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
     # bbx magnitude of the downsampled source (ghicp_main.cpp:92-93)
     bbx = float(cloud_bounds(ds).magnitude)
 
-    # --- keypoints (ghicp_main.cpp:96-100) ---
+    # --- keypoints (ghicp_main.cpp:96-100) + sub-voxel refinement ---
     t0 = time.perf_counter()
     if config.adaptive_keypoints:
         from ghicp_tpu.preprocess import adaptive_detect
         rs = adaptive_detect(ds, config)
         rt = adaptive_detect(dt, config)
+        pos_s, pos_t = ds.xyz, dt.xyz
     else:
-        rs = detect_keypoints(ds, config)
-        rt = detect_keypoints(dt, config)
+        from ghicp_tpu.preprocess import pca_features
+        from ghicp_tpu.preprocess.keypoints import refine_positions
+        fs_pca = pca_features(ds, radius=config.neighborhood_radius,
+                              k=config.neighbor_k,
+                              cell_cap=config.pca_cell_cap)
+        ft_pca = pca_features(dt, radius=config.neighborhood_radius,
+                              k=config.neighbor_k,
+                              cell_cap=config.pca_cell_cap)
+        rs = detect_keypoints(ds, config, fs_pca)
+        rt = detect_keypoints(dt, config, ft_pca)
+        if config.refine_keypoints:
+            rr = config.refine_radius or 3.0 * config.voxel_size
+            pos_s = refine_positions(ds, fs_pca.curvature, rs.mask,
+                                     rs.candidates, radius=rr)
+            pos_t = refine_positions(dt, ft_pca.curvature, rt.mask,
+                                     rt.candidates, radius=rr)
+        else:
+            pos_s, pos_t = ds.xyz, dt.xyz
     mask_s_np = np.asarray(rs.mask)
     mask_t_np = np.asarray(rt.mask)
     nks, nkt = int(mask_s_np.sum()), int(mask_t_np.sum())
@@ -100,15 +117,15 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
     kp_t_idx, kp_t_mask, _ = _keypoint_arrays(mask_t_np, cap)
     timings["keypoints"] = time.perf_counter() - t0
 
-    kp_s = ds.xyz[kp_s_idx]
-    kp_t = dt.xyz[kp_t_idx]
+    kp_s = pos_s[kp_s_idx]
+    kp_t = pos_t[kp_t_idx]
 
     # --- features (ghicp_main.cpp:107-141) ---
     t0 = time.perf_counter()
     if config.feature == FeatureType.BSC:
-        fs = extract_bsc(ds, kp_s_idx, kp_s_mask, config,
+        fs = extract_bsc(ds, kp_s, kp_s_mask, config,
                          num_variants=config.bsc_num_variants)
-        ft = extract_bsc(dt, kp_t_idx, kp_t_mask, config, num_variants=1)
+        ft = extract_bsc(dt, kp_t, kp_t_mask, config, num_variants=1)
         fd = min_hamming_fd(fs.packed, ft.packed, fs.n_bits,
                             use_mxu=config.use_mxu_hamming)
     elif config.feature == FeatureType.FPFH:
