@@ -184,9 +184,10 @@ def read_las(path: str) -> np.ndarray:
         f.seek(offset_to_points)
         buf = f.read(n * rec_len)
     raw = np.frombuffer(buf, dtype=np.uint8, count=n * rec_len)
-    raw = raw.reshape(n, rec_len)
-    xyz_i = raw[:, :12].copy().view("<i4").reshape(n, 3)
-    xyz = xyz_i.astype(np.float64) * [sx, sy, sz] + [ox, oy, oz]
+    # Multithreaded native decode when available (ghicp_native.cpp).
+    from ghicp_tpu import native
+    xyz = native.las_decode(raw, n, rec_len, np.array([sx, sy, sz]),
+                            np.array([ox, oy, oz]))
     return xyz  # float64: caller applies global shift before float32 cast
 
 
