@@ -61,13 +61,19 @@ def _keypoint_arrays(mask: np.ndarray, capacity: int):
 def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
                   config: GHICPConfig,
                   keypoint_capacity: Optional[int] = None,
-                  initial_transform: Optional[np.ndarray] = None
-                  ) -> RegistrationOutput:
+                  initial_transform: Optional[np.ndarray] = None,
+                  profile_dir: Optional[str] = None) -> RegistrationOutput:
     """Register ``source`` onto ``target`` (both raw [n,3] float arrays).
 
     Follows ghicp_main.cpp's stage order; returns the final [4,4] transform
-    plus per-iteration metrics.
+    plus per-iteration metrics.  ``profile_dir`` wraps the run in a
+    ``jax.profiler`` trace (the reference's only tracing is ad-hoc clock_t
+    timing, common_reg.cpp:55-56; SURVEY.md §5).
     """
+    if profile_dir is not None:
+        with jax.profiler.trace(profile_dir):
+            return register_pair(source_pts, target_pts, config,
+                                 keypoint_capacity, initial_transform, None)
     timings: Dict[str, float] = {}
     t0 = time.perf_counter()
     cs = PointCloud.from_points(source_pts)

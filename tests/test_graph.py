@@ -1,0 +1,51 @@
+"""Multi-pair station-graph registration test (BASELINE config 5)."""
+import numpy as np
+
+from ghicp_tpu.core.config import (CorrespondenceType, FeatureType,
+                                   GHICPConfig)
+from ghicp_tpu.io.synthetic import structured_scene
+from ghicp_tpu.registration.graph import register_graph
+
+
+def test_station_graph_chain():
+    """Three stations of one scene; chained poses recover ground truth."""
+    rng = np.random.default_rng(0)
+    pts = structured_scene(rng, 9000, extent=8.0)
+
+    def rigid(theta_deg, t):
+        th = np.deg2rad(theta_deg)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = [[np.cos(th), -np.sin(th), 0],
+                     [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+        T[:3, 3] = t
+        return T
+
+    # Station i's cloud = T_i^-1(scene): pose T_i maps station i -> world.
+    # Adjacent-station offsets kept inside the featureless-NNR convergence
+    # basin (relative rotations <= 8 degrees).
+    poses_gt = [rigid(0, [0, 0, 0]), rigid(6, [1.0, -0.5, 0.1]),
+                rigid(12, [0.2, 0.7, -0.1])]
+    clouds = []
+    for T in poses_gt:
+        Ri, ti = T[:3, :3], T[:3, 3]
+        local = (pts - ti) @ Ri  # R^T (x - t)
+        clouds.append((local + rng.normal(0, 0.01, pts.shape))
+                      .astype(np.float32))
+
+    cfg = GHICPConfig(feature=FeatureType.NONE,
+                      correspondence=CorrespondenceType.NNR,
+                      voxel_size=0.15, neighborhood_radius=0.5,
+                      non_max_radius=1.0, min_neighbors=8,
+                      estimated_overlap=0.9, max_iterations=40)
+    pairs = [(1, 0), (2, 1)]
+    results, poses = register_graph(clouds, pairs, cfg,
+                                    keypoint_capacity=512)
+    assert len(results) == 2
+    # Station poses: pose[i] maps station i frame -> station 0 frame
+    # (= world, since T_0 = I).
+    for i in (1, 2):
+        err = poses[i] @ np.linalg.inv(poses_gt[i])
+        rot = np.degrees(np.arccos(np.clip((np.trace(err[:3, :3]) - 1) / 2,
+                                           -1, 1)))
+        tr = np.linalg.norm(err[:3, 3])
+        assert rot < 2.0 and tr < 0.3, (i, rot, tr)
