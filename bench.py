@@ -33,7 +33,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_bench_pair(n_points=400_000, extent=15.0, seed=7):
+def make_bench_pair(n_points=800_000, extent=25.0, seed=7):
     """Shared scene geometry, independent noise, partial overlap, 6-DoF."""
     from ghicp_tpu.io.synthetic import structured_scene
     rng = np.random.default_rng(seed)
@@ -95,8 +95,8 @@ def main():
     cfg = GHICPConfig(feature=FeatureType.BSC,
                       correspondence=CorrespondenceType.KM,
                       voxel_size=0.1, neighborhood_radius=0.5,
-                      non_max_radius=1.0, min_neighbors=15,
-                      min_curvature=0.02, bsc_neighbor_k=256,
+                      non_max_radius=0.7, min_neighbors=15,
+                      min_curvature=0.01, bsc_neighbor_k=256,
                       estimated_overlap=0.8, max_iterations=60)
     t0 = time.perf_counter()
     out = register_pair(src, tgt, cfg)
@@ -118,7 +118,8 @@ def main():
     reg_time = out2.timings["register"]
     iters2 = max(int(out2.result.iterations), 1)
     its_per_sec = iters2 / reg_time
-    log(f"warm rerun: total={warm_total:.1f}s register={reg_time:.2f}s "
+    log(f"warm rerun: total={warm_total:.1f}s "
+        f"timings={ {k: round(v, 2) for k, v in out2.timings.items()} } "
         f"({iters2} iters -> {its_per_sec:.2f} it/s)")
 
     bt = baseline_iteration_time(out.n_source_keypoints,
