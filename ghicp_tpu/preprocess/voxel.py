@@ -19,6 +19,8 @@ voxel.  Compaction to a smaller bucket happens host-side between stages.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -43,8 +45,9 @@ def voxel_keys(xyz: Array, min_xyz: Array, voxel_size) -> Array:
     return hx + hy + hz
 
 
+@functools.partial(jax.jit, static_argnames=("voxel_size",))
 def voxel_downsample(cloud: PointCloud, voxel_size: float) -> PointCloud:
-    """One point per voxel; jit-safe, shape-preserving (mask shrinks)."""
+    """One point per voxel; jitted, shape-preserving (mask shrinks)."""
     bounds = cloud_bounds(cloud)
     keys = voxel_keys(cloud.xyz, bounds.min_xyz, voxel_size)
     # Invalid points sort last (max key) and stay masked out.
