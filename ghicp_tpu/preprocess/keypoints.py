@@ -90,8 +90,8 @@ def non_max_suppression(cloud: PointCloud, curvature: Array, candidates: Array,
     return selected, rounds
 
 
-def refine_positions(cloud: PointCloud, curvature: Array, selected: Array,
-                     candidates: Array, radius: float, k: int = 32,
+def refine_positions(kp_xyz: Array, kp_mask: Array, cand_cloud: PointCloud,
+                     cand_curvature: Array, radius: float, k: int = 48,
                      cell_cap: int = 32, chunk: int = 2048) -> Array:
     """Sub-voxel keypoint localization: curvature-weighted mean shift.
 
@@ -102,22 +102,31 @@ def refine_positions(cloud: PointCloud, curvature: Array, selected: Array,
     that jitter away.  (Not in the reference — its keypoints sit on raw
     samples; this is a fidelity *improvement* gated by the same end-metric.)
 
-    Returns [N, 3]: refined positions (unchanged where not selected).
+    kp_xyz/kp_mask: compacted keypoint positions [S,3]/[S];
+    cand_cloud/cand_curvature: compacted pruning survivors.
+    Returns [S, 3] refined positions.
     """
-    cand_cloud = PointCloud(xyz=cloud.xyz, mask=candidates)
-    query = PointCloud(xyz=cloud.xyz, mask=selected)
+    query = PointCloud(xyz=kp_xyz, mask=kp_mask)
     nb = radius_neighbors(query, cand_cloud, radius=radius, k=k,
-                          cell_cap=cell_cap, chunk=chunk)
-    w = jnp.where(nb.valid, jnp.maximum(curvature[nb.idx], 0.0), 0.0)
+                          cell_cap=cell_cap, chunk=min(chunk, kp_xyz.shape[0]))
+    w = jnp.where(nb.valid, jnp.maximum(cand_curvature[nb.idx], 0.0), 0.0)
     wsum = jnp.maximum(jnp.sum(w, axis=1), 1e-12)
-    centroid = jnp.einsum("nk,nkd->nd", w, cloud.xyz[nb.idx]) / wsum[:, None]
-    ok = selected & (jnp.sum(nb.valid, axis=1) > 0)
-    return jnp.where(ok[:, None], centroid, cloud.xyz)
+    centroid = jnp.einsum("nk,nkd->nd", w,
+                          cand_cloud.xyz[nb.idx]) / wsum[:, None]
+    ok = kp_mask & (jnp.sum(nb.valid, axis=1) > 0)
+    return jnp.where(ok[:, None], centroid, kp_xyz)
 
 
 def detect_keypoints(cloud: PointCloud, config: GHICPConfig,
                      feats: PCAFeatures | None = None) -> KeypointResult:
-    """Full pipeline: PCA -> stability pruning -> NMS (ghicp_main.cpp:96-100)."""
+    """Full pipeline: PCA -> stability pruning -> NMS (ghicp_main.cpp:96-100).
+
+    Host-staged: pruning survivors are compacted into a small bucket before
+    the NMS rounds — suppressing a few thousand candidates must not cost
+    full-cloud-capacity work (the padded cloud can be 1M+ rows).
+    """
+    import numpy as np
+    from ghicp_tpu.core.types import bucket_size, fetch_xyz
     if feats is None:
         feats = pca_features(cloud, radius=config.neighborhood_radius,
                              k=config.neighbor_k,
@@ -126,10 +135,50 @@ def detect_keypoints(cloud: PointCloud, config: GHICPConfig,
                                 config.min_neighbors)
     if config.min_curvature > 0.0:
         candidates = candidates & (feats.curvature >= config.min_curvature)
-    selected, rounds = non_max_suppression(
-        cloud, feats.curvature, candidates, radius=config.non_max_radius,
-        k=config.nms_k, cell_cap=config.nms_cell_cap, chunk=1024)
-    return KeypointResult(mask=selected, candidates=candidates, rounds=rounds)
+
+    cand_np = np.asarray(candidates)
+    idx = np.nonzero(cand_np)[0]
+    n = cloud.capacity
+    if len(idx) == 0:
+        z = jnp.zeros((n,), bool)
+        return KeypointResult(mask=z, candidates=candidates,
+                              rounds=jnp.int32(0))
+    cap = bucket_size(len(idx), min_size=256)
+    xyz_np = fetch_xyz(cloud.xyz)
+    curv_np = np.asarray(feats.curvature)
+    cxyz = np.zeros((cap, 3), np.float32)
+    cxyz[:len(idx)] = xyz_np[idx]
+    ccurv = np.zeros(cap, np.float32)
+    ccurv[:len(idx)] = curv_np[idx]
+    cmask = np.zeros(cap, bool)
+    cmask[:len(idx)] = True
+    compact = PointCloud(xyz=jnp.asarray(cxyz), mask=jnp.asarray(cmask))
+    sel_c, rounds = non_max_suppression(
+        compact, jnp.asarray(ccurv), compact.mask,
+        radius=config.non_max_radius, k=config.nms_k,
+        cell_cap=config.nms_cell_cap, chunk=min(1024, cap))
+    sel_np = np.zeros(n, bool)
+    sel_np[idx] = np.asarray(sel_c)[:len(idx)]
+    return KeypointResult(mask=jnp.asarray(sel_np), candidates=candidates,
+                          rounds=rounds)
+
+
+def compact_candidates(cloud: PointCloud, feats: PCAFeatures,
+                       candidates) -> tuple[PointCloud, Array]:
+    """Host-side compaction of pruning survivors for refine_positions."""
+    import numpy as np
+    from ghicp_tpu.core.types import bucket_size, fetch_xyz
+    idx = np.nonzero(np.asarray(candidates))[0]
+    cap = bucket_size(max(len(idx), 1), min_size=256)
+    cxyz = np.zeros((cap, 3), np.float32)
+    ccurv = np.zeros(cap, np.float32)
+    cmask = np.zeros(cap, bool)
+    if len(idx):
+        cxyz[:len(idx)] = fetch_xyz(cloud.xyz)[idx]
+        ccurv[:len(idx)] = np.asarray(feats.curvature)[idx]
+        cmask[:len(idx)] = True
+    return (PointCloud(xyz=jnp.asarray(cxyz), mask=jnp.asarray(cmask)),
+            jnp.asarray(ccurv))
 
 
 def adaptive_detect(cloud: PointCloud, config: GHICPConfig) -> KeypointResult:

@@ -84,16 +84,14 @@ def build_grid(support: PointCloud, cell: float) -> HashGrid:
                     mask=support.mask, min_xyz=mn, cell=cell)
 
 
-def _query_block(grid: HashGrid, qxyz: Array, qmask: Array, radius: float,
-                 k: int, cell_cap: int, exclude_self_idx: Optional[Array]):
-    """Neighbors for one block of queries. qxyz: [B,3]."""
-    B = qxyz.shape[0]
-    # [B, 27] hashes of surrounding cells: linear hash -> point hash + const
+def _candidate_window(grid: HashGrid, qxyz: Array, qmask: Array,
+                      radius: float, cell_cap: int):
+    """All in-radius candidates per query: (cand [B, 27*cell_cap] indices,
+    ok [B, 27*cell_cap] validity).  Built 2-D throughout."""
     qh = _point_hash(qxyz, grid.min_xyz, grid.cell)
-    hashes = qh[:, None] + jnp.asarray(_OFFSET_HASHES)[None, :]
+    hashes = qh[:, None] + jnp.asarray(_OFFSET_HASHES)[None, :]   # [B, 27]
     start = jnp.searchsorted(grid.sorted_keys, hashes, side="left")
     end = jnp.searchsorted(grid.sorted_keys, hashes, side="right")
-    # [B, 27*cell_cap] candidate slots, built 2-D throughout.
     start_r = jnp.repeat(start, cell_cap, axis=1)        # [B, C]
     end_r = jnp.repeat(end, cell_cap, axis=1)
     lane = jnp.tile(jnp.arange(cell_cap, dtype=jnp.int32), 27)[None, :]
@@ -101,11 +99,19 @@ def _query_block(grid: HashGrid, qxyz: Array, qmask: Array, radius: float,
     in_cell = slots < end_r
     slots = jnp.clip(slots, 0, grid.sorted_keys.shape[0] - 1)
     cand = grid.order[slots]                             # [B, C]
-    cand_ok = in_cell
+    cxyz = grid.xyz[cand]
+    d2 = jnp.sum((cxyz - qxyz[:, None, :]) ** 2, axis=-1)
+    ok = (in_cell & grid.mask[cand] & (d2 <= radius * radius)
+          & qmask[:, None])
+    return cand, ok
+
+
+def _query_block(grid: HashGrid, qxyz: Array, qmask: Array, radius: float,
+                 k: int, cell_cap: int, exclude_self_idx: Optional[Array]):
+    """K-nearest in-radius neighbors for one block of queries. qxyz: [B,3]."""
+    cand, ok = _candidate_window(grid, qxyz, qmask, radius, cell_cap)
     cxyz = grid.xyz[cand]                                # [B, C, 3]
     d2 = jnp.sum((cxyz - qxyz[:, None, :]) ** 2, axis=-1)
-    ok = (cand_ok & grid.mask[cand] & (d2 <= radius * radius)
-          & qmask[:, None])
     if exclude_self_idx is not None:
         ok &= cand != exclude_self_idx[:, None]
     d2 = jnp.where(ok, d2, jnp.float32(jnp.inf))

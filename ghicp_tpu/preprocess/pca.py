@@ -57,8 +57,24 @@ def neighborhood_covariance(xyz: Array, neighbors: NeighborList):
 
 
 def _pca_of_block(grid, qxyz, qmask, radius, k, cell_cap):
-    nb = _query_block(grid, qxyz, qmask, radius, k, cell_cap, None)
-    cov, _, cnt = neighborhood_covariance(grid.xyz, nb)
+    """Moment-accumulation PCA over the full in-radius candidate window.
+
+    Unlike feature extraction, PCA needs no neighbor *list* — only the
+    masked moment sums (count, mean, scatter matrix) over all candidates
+    within the radius.  Skipping the K-nearest ``top_k`` (a full sort per
+    point on TPU) makes this both faster and *more* faithful to the
+    reference, which uses every in-radius neighbor (pca.h:151-157).
+    ``k`` caps nothing here; coverage is bounded by 27 * cell_cap.
+    """
+    from ghicp_tpu.preprocess.neighbors import _candidate_window
+    cand, ok = _candidate_window(grid, qxyz, qmask, radius, cell_cap)
+    cxyz = grid.xyz[cand]                                    # [B, C, 3]
+    w = ok.astype(jnp.float32)
+    cnt = jnp.sum(w, axis=1)
+    denom = jnp.maximum(cnt, 1.0)
+    mean = jnp.einsum("bc,bcd->bd", w, cxyz) / denom[:, None]
+    d = cxyz - mean[:, None, :]
+    cov = jnp.einsum("bc,bci,bcj->bij", w, d, d) / denom[:, None, None]
     vals, vecs = eigh3(cov)
     vals = jnp.maximum(vals, 0.0)   # covariance is PSD; clamp round-off
     total = jnp.sum(vals, axis=-1)

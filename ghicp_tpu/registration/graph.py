@@ -60,7 +60,8 @@ class PairResult:
 def build_station(pts: np.ndarray, index: int, config: GHICPConfig,
                   capacity: int) -> Station:
     from ghicp_tpu.preprocess import pca_features
-    from ghicp_tpu.preprocess.keypoints import refine_positions
+    from ghicp_tpu.preprocess.keypoints import (compact_candidates,
+                                                refine_positions)
     cloud = PointCloud.from_points(pts)
     down = voxel_downsample(cloud, config.voxel_size)
     dpts = down.to_numpy()
@@ -69,11 +70,6 @@ def build_station(pts: np.ndarray, index: int, config: GHICPConfig,
     pca = pca_features(dcloud, radius=config.neighborhood_radius,
                        k=config.neighbor_k, cell_cap=config.pca_cell_cap)
     res = detect_keypoints(dcloud, config, pca)
-    pos = dcloud.xyz
-    if config.refine_keypoints:
-        rr = config.refine_radius or 3.0 * config.voxel_size
-        pos = refine_positions(dcloud, pca.curvature, res.mask,
-                               res.candidates, radius=rr)
     mask_np = np.asarray(res.mask)
     idx = np.nonzero(mask_np)[0].astype(np.int32)
     nk = len(idx)
@@ -83,7 +79,11 @@ def build_station(pts: np.ndarray, index: int, config: GHICPConfig,
     kp_mask[:min(nk, capacity)] = True
     kp_idx_j = jnp.asarray(kp_idx)
     kp_mask_j = jnp.asarray(kp_mask)
-    kp_xyz = pos[kp_idx_j]
+    kp_xyz = dcloud.xyz[kp_idx_j]
+    if config.refine_keypoints:
+        rr = config.refine_radius or 3.0 * config.voxel_size
+        cc, curv = compact_candidates(dcloud, pca, res.candidates)
+        kp_xyz = refine_positions(kp_xyz, kp_mask_j, cc, curv, radius=rr)
     packed = None
     if config.feature == FeatureType.BSC:
         feats = extract_bsc(dcloud, kp_xyz, kp_mask_j, config,

@@ -90,14 +90,13 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
 
     # --- keypoints (ghicp_main.cpp:96-100) + sub-voxel refinement ---
     t0 = time.perf_counter()
+    fs_pca = ft_pca = None
     if config.adaptive_keypoints:
         from ghicp_tpu.preprocess import adaptive_detect
         rs = adaptive_detect(ds, config)
         rt = adaptive_detect(dt, config)
-        pos_s, pos_t = ds.xyz, dt.xyz
     else:
         from ghicp_tpu.preprocess import pca_features
-        from ghicp_tpu.preprocess.keypoints import refine_positions
         fs_pca = pca_features(ds, radius=config.neighborhood_radius,
                               k=config.neighbor_k,
                               cell_cap=config.pca_cell_cap)
@@ -106,14 +105,6 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
                               cell_cap=config.pca_cell_cap)
         rs = detect_keypoints(ds, config, fs_pca)
         rt = detect_keypoints(dt, config, ft_pca)
-        if config.refine_keypoints:
-            rr = config.refine_radius or 3.0 * config.voxel_size
-            pos_s = refine_positions(ds, fs_pca.curvature, rs.mask,
-                                     rs.candidates, radius=rr)
-            pos_t = refine_positions(dt, ft_pca.curvature, rt.mask,
-                                     rt.candidates, radius=rr)
-        else:
-            pos_s, pos_t = ds.xyz, dt.xyz
     mask_s_np = np.asarray(rs.mask)
     mask_t_np = np.asarray(rt.mask)
     nks, nkt = int(mask_s_np.sum()), int(mask_t_np.sum())
@@ -121,10 +112,18 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
         max(nks, nkt, 1))
     kp_s_idx, kp_s_mask, _ = _keypoint_arrays(mask_s_np, cap)
     kp_t_idx, kp_t_mask, _ = _keypoint_arrays(mask_t_np, cap)
-    timings["keypoints"] = time.perf_counter() - t0
 
-    kp_s = pos_s[kp_s_idx]
-    kp_t = pos_t[kp_t_idx]
+    kp_s = ds.xyz[kp_s_idx]
+    kp_t = dt.xyz[kp_t_idx]
+    if config.refine_keypoints and fs_pca is not None:
+        from ghicp_tpu.preprocess.keypoints import (compact_candidates,
+                                                    refine_positions)
+        rr = config.refine_radius or 3.0 * config.voxel_size
+        cc_s, curv_s = compact_candidates(ds, fs_pca, rs.candidates)
+        cc_t, curv_t = compact_candidates(dt, ft_pca, rt.candidates)
+        kp_s = refine_positions(kp_s, kp_s_mask, cc_s, curv_s, radius=rr)
+        kp_t = refine_positions(kp_t, kp_t_mask, cc_t, curv_t, radius=rr)
+    timings["keypoints"] = time.perf_counter() - t0
 
     # --- features (ghicp_main.cpp:107-141) ---
     t0 = time.perf_counter()
