@@ -95,8 +95,8 @@ def main():
     cfg = GHICPConfig(feature=FeatureType.BSC,
                       correspondence=CorrespondenceType.KM,
                       voxel_size=0.1, neighborhood_radius=0.5,
-                      non_max_radius=0.7, min_neighbors=15,
-                      min_curvature=0.01, bsc_neighbor_k=256,
+                      non_max_radius=0.5, min_neighbors=15,
+                      bsc_neighbor_k=256,
                       pca_cell_cap=40,  # ~25 pts/cell at this density
                       estimated_overlap=0.8, max_iterations=60)
     t0 = time.perf_counter()
