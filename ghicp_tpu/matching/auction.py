@@ -76,13 +76,12 @@ def _bidding_round(b: Array, eps: Array, sink_value: Array,
     owner, acol, p = state
     R, C = b.shape
     unassigned = acol < 0
-    v = b - p[None, :]
-    # Row top-2 via argmax + masked re-max (lax.top_k lowers to a full sort
-    # on CPU and is much slower).
-    j1 = jnp.argmax(v, axis=1).astype(jnp.int32)
-    v1 = jnp.take_along_axis(v, j1[:, None], axis=1)[:, 0]
-    cols = jnp.arange(C, dtype=jnp.int32)
-    v2 = jnp.max(jnp.where(cols[None, :] == j1[:, None], _NEG, v), axis=1)
+    # Row-wise top-2 of (b - p): fused single-sweep Pallas kernel on TPU
+    # (ghicp_tpu/ops/top2.py), argmax + masked re-max elsewhere (lax.top_k
+    # lowers to a full sort on CPU and is much slower).
+    from ghicp_tpu.ops.top2 import top2_rows
+    use_pallas = jax.default_backend() == "tpu"
+    v1, j1, v2 = top2_rows(b, p, use_pallas=use_pallas)
     # Rows whose best real surplus is below the outside option exit to the
     # sink once and for all (prices start at 0 and only rise, so v1 only
     # falls — with fresh prices the decision is final-safe).
