@@ -33,62 +33,76 @@ def top2_rows_ref(b: Array, p: Array):
     return v1, j1, v2
 
 
-def _top2_kernel(b_ref, p_ref, v1_ref, j1_ref, v2_ref, *, tc: int):
-    C = b_ref.shape[1]
-    n_chunks = C // tc
+def _top2_kernel(b_ref, p_ref, v1_ref, j1_ref, v2_ref,
+                 s_v1, s_j1, s_v2, *, tc: int):
+    """Grid = (row tiles, column tiles); the column axis is innermost and
+    sequential, so the running top-2 lives in VMEM scratch across it."""
     ts = b_ref.shape[0]
+    j = pl.program_id(1)
+    n_col = pl.num_programs(1)
 
-    def body(k, carry):
-        v1, j1, v2 = carry
-        off = k * tc
-        v = b_ref[:, pl.ds(off, tc)] - p_ref[0, pl.ds(off, tc)]
-        cols = jax.lax.broadcasted_iota(jnp.int32, (ts, tc), 1) + off
-        m1 = jnp.max(v, axis=1)
-        a1 = jnp.argmax(v, axis=1).astype(jnp.int32) + off
-        m2 = jnp.max(jnp.where(cols == a1[:, None], _NEG, v), axis=1)
-        # Merge chunk top-2 into running top-2:
-        # second best overall = max(min(v1, m1), v2, m2).
-        new_v1 = jnp.maximum(v1, m1)
-        new_j1 = jnp.where(m1 > v1, a1, j1)
-        new_v2 = jnp.maximum(jnp.minimum(v1, m1), jnp.maximum(v2, m2))
-        return new_v1, new_j1, new_v2
+    @pl.when(j == 0)
+    def _():
+        s_v1[:] = jnp.full((ts,), _NEG, jnp.float32)
+        s_j1[:] = jnp.zeros((ts,), jnp.int32)
+        s_v2[:] = jnp.full((ts,), _NEG, jnp.float32)
 
-    init = (jnp.full((ts,), _NEG, jnp.float32),
-            jnp.zeros((ts,), jnp.int32),
-            jnp.full((ts,), _NEG, jnp.float32))
-    v1, j1, v2 = jax.lax.fori_loop(0, n_chunks, body, init)
-    v1_ref[:] = v1
-    j1_ref[:] = j1
-    v2_ref[:] = v2
+    off = j * tc
+    v = b_ref[:, :] - p_ref[0, :]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ts, tc), 1) + off
+    m1 = jnp.max(v, axis=1)
+    a1 = jnp.argmax(v, axis=1).astype(jnp.int32) + off
+    m2 = jnp.max(jnp.where(cols == a1[:, None], _NEG, v), axis=1)
+    v1, j1, v2 = s_v1[:], s_j1[:], s_v2[:]
+    # Merge chunk top-2 into running top-2:
+    # second best overall = max(min(v1, m1), v2, m2).
+    s_v1[:] = jnp.maximum(v1, m1)
+    s_j1[:] = jnp.where(m1 > v1, a1, j1)
+    s_v2[:] = jnp.maximum(jnp.minimum(v1, m1), jnp.maximum(v2, m2))
+
+    @pl.when(j == n_col - 1)
+    def _():
+        # [ts, 128] lane-aligned output buffers; column 0 carries the data.
+        v1_ref[:] = jnp.broadcast_to(s_v1[:][:, None], (ts, 128))
+        j1_ref[:] = jnp.broadcast_to(s_j1[:][:, None], (ts, 128))
+        v2_ref[:] = jnp.broadcast_to(s_v2[:][:, None], (ts, 128))
 
 
 @functools.partial(jax.jit, static_argnames=("ts", "tc"))
 def top2_rows_pallas(b: Array, p: Array, ts: int = 256, tc: int = 512):
     """Pallas top-2: b [S, C] (S % ts == 0, C % tc == 0), p [C]."""
     S, C = b.shape
-    grid = (S // ts,)
+    grid = (S // ts, C // tc)
     p2 = p.reshape(1, C)
     out = pl.pallas_call(
         functools.partial(_top2_kernel, tc=tc),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ts, C), lambda i: (i, 0),
+            pl.BlockSpec((ts, tc), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, 0),
+            pl.BlockSpec((1, tc), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((ts,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ts,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ts,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((S,), jnp.float32),
-            jax.ShapeDtypeStruct((S,), jnp.int32),
-            jax.ShapeDtypeStruct((S,), jnp.float32),
+            jax.ShapeDtypeStruct((S, 128), jnp.float32),
+            jax.ShapeDtypeStruct((S, 128), jnp.int32),
+            jax.ShapeDtypeStruct((S, 128), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((ts,), jnp.float32),
+            pltpu.VMEM((ts,), jnp.int32),
+            pltpu.VMEM((ts,), jnp.float32),
+        ],
     )(b, p2)
-    return out
+    return out[0][:, 0], out[1][:, 0], out[2][:, 0]
 
 
 def top2_rows(b: Array, p: Array, use_pallas: bool = False):
