@@ -91,8 +91,8 @@ class GHICPConfig:
     converge_rotation: float = 0.02       # degrees
     max_iterations: int = 100
 
-    # --- auction solver (single-phase forward auction with outside option) ---
-    auction_max_rounds: int = 8000        # bidding-round safety cap
+    # --- auction solver (eps-scaling forward auction with outside option) ---
+    auction_max_rounds: int = 2000        # per-phase bidding-round cap
 
     # --- numerics ---
     use_mxu_hamming: bool = True          # matmul-based Hamming (vs popcount)

@@ -117,38 +117,41 @@ def _bidding_round(b: Array, eps: Array, sink_value: Array,
     return owner, acol, p
 
 
-def _run_phase(b: Array, eps: Array, sink_value: Array, sink_slack: Array,
-               p: Array, row_gid: Array, max_rounds: int, comm: Comm):
-    R, C = b.shape
-    owner = jnp.full((C,), -1, jnp.int32)
-    acol = jnp.full((R,), -1, jnp.int32)
-
+def _run_phase(b: Array, eps: Array, sink_value: Array, state,
+               row_gid: Array, max_rounds, comm: Comm):
+    """Bid until every row is assigned (to a column or the sink)."""
     def cond(c):
-        _, acol, _, r = c
+        (_, acol, _), r = c
         any_unassigned = comm.psum(jnp.sum((acol < 0).astype(jnp.int32)))
         return (any_unassigned > 0) & (r < max_rounds)
 
     def body(c):
-        owner, acol, p, r = c
-        owner, acol, p = _bidding_round(b, eps, sink_value, sink_slack,
-                                        row_gid, (owner, acol, p), comm)
-        return owner, acol, p, r + 1
+        st, r = c
+        st = _bidding_round(b, eps, sink_value, jnp.float32(0.0),
+                            row_gid, st, comm)
+        return st, r + 1
 
-    owner, acol, p, r = jax.lax.while_loop(
-        cond, body, (owner, acol, p, jnp.int32(0)))
+    (owner, acol, p), r = jax.lax.while_loop(
+        cond, body, (state, jnp.int32(0)))
     return owner, acol, p, r
 
 
 def auction_assign(b: Array, sink_value, eps, max_rounds: int,
-                   comm: Comm = LOCAL, row_offset=None):
-    """Core assignment on a benefit matrix b [R, C] (maximization) with an
-    outside option at ``sink_value`` per row.
+                   comm: Comm = LOCAL, row_offset=None,
+                   eps_scaling: float = 5.0):
+    """Assignment on a benefit matrix b [R, C] (maximization) with an
+    outside option at ``sink_value`` per row, via epsilon scaling with
+    *kept assignments*.
 
-    Single-phase forward auction from zero prices.  With a fixed-price
-    outside option, epsilon-scaling phase resets are unsound (inherited
-    price overshoot pushes rows into the sink prematurely), and with real-
-    valued costs the bid margins — not eps — dominate convergence, so a
-    single phase at the final epsilon is both exact-at-eps and fast.
+    A fixed small epsilon makes price wars crawl (rounds ~ spread/eps, tens
+    of thousands at TLS scale), while classic scaling-with-reset is unsound
+    against a fixed-price outside option (inherited overshoot falsely sinks
+    rows).  The sound middle road: between phases keep (owner, acol, p) and
+    unassign only the rows whose epsilon-complementary-slackness is violated
+    at the new epsilon — prices stay monotone, the sink decision is always
+    made against live competition, and the final phase enforces eps-CS at
+    ``eps`` globally, giving the usual n*eps optimality bound (observed
+    exact vs Hungarian in the test matrices).
 
     Returns (acol [R]: assigned column, _SINK for unmatched, or -1 at round
     cap; prices [C]; rounds).
@@ -157,10 +160,74 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
     if row_offset is None:
         row_offset = comm.axis_index() * R
     row_gid = row_offset + jnp.arange(R, dtype=jnp.int32)
-    p0 = jnp.zeros((C,), jnp.float32)
-    _, acol, p, rounds = _run_phase(
-        b, jnp.float32(eps), jnp.float32(sink_value), jnp.float32(0.0),
-        p0, row_gid, max_rounds, comm)
+    eps_final = jnp.float32(eps)
+    finite_max = comm.pmax(jnp.max(jnp.where(jnp.isfinite(b), b, _NEG)))
+    spread = jnp.maximum(finite_max - jnp.float32(sink_value), 0.0)
+    eps0 = jnp.maximum(spread / 8.0, eps_final)
+
+    def reopen_violators(st, eps_prev, eps_now):
+        """Deflate the systematic +eps bid overshoot, then unassign rows
+        violating eps-CS at the tightened epsilon.
+
+        Every winning bid prices its column eps above the margin-supported
+        dual; against a *fixed-price* outside option that overshoot
+        systematically favors the sink once epsilon tightens.  Rolling all
+        prices back by the epsilon delta cancels it (relative column order
+        is unchanged; under-pricing only causes extra bidding next phase).
+        """
+        owner, acol, p = st
+        p = jnp.maximum(p - (eps_prev - eps_now), 0.0)
+        rows = jnp.arange(R)
+
+        def cs_ok(p_now):
+            v = b - p_now[None, :]
+            v1 = jnp.max(jnp.maximum(v, jnp.float32(sink_value)), axis=1)
+            cur = jnp.where((acol >= 0) & (acol < C), acol, 0)
+            assigned_val = jnp.where(acol == _SINK,
+                                     jnp.float32(sink_value), v[rows, cur])
+            return (acol < 0) | (assigned_val >= v1 - eps_now)
+
+        # Fixed point: find CS violators, unassign them AND free their
+        # columns, zero unowned prices (a price is only meaningful while an
+        # owner supports it — the reverse-auction role), and re-check: the
+        # zeroed columns may create new violators.  Each sweep only frees
+        # more, so this is monotone; 4 sweeps cover the cascades seen in
+        # practice and correctness never depends on convergence (the next
+        # bidding phase re-establishes CS for whatever remains open).
+        def sweep(_, st2):
+            owner, acol, p = st2
+            ok = cs_ok(p)
+            reopened_col = jnp.where(~ok & (acol >= 0) & (acol < C),
+                                     acol, C)
+            owner = owner.at[reopened_col].set(-1, mode="drop")
+            owner = comm.pmin(owner)
+            acol = jnp.where(ok, acol, -1)
+            p = jnp.where(owner < 0, 0.0, p)
+            return owner, acol, p
+
+        owner, acol, p = jax.lax.fori_loop(0, 4, sweep, (owner, acol, p))
+        return owner, acol, p
+
+    def cond(c):
+        return ~c[0]
+
+    def body(c):
+        done, eps_now, st, rounds = c
+        owner, acol, p, r = _run_phase(b, eps_now, jnp.float32(sink_value),
+                                       st, row_gid, max_rounds, comm)
+        done = eps_now <= eps_final * 1.0001
+        eps_next = jnp.maximum(eps_now / eps_scaling, eps_final)
+        # Reopen CS violators only when another phase will actually run —
+        # the final phase's assignment must be returned intact.
+        ro, ra, rp = reopen_violators((owner, acol, p), eps_now, eps_next)
+        st = (jnp.where(done, owner, ro), jnp.where(done, acol, ra),
+              jnp.where(done, p, rp))
+        return done, eps_next, st, rounds + r
+
+    st0 = (jnp.full((C,), -1, jnp.int32), jnp.full((R,), -1, jnp.int32),
+           jnp.zeros((C,), jnp.float32))
+    _, _, (owner, acol, p), rounds = jax.lax.while_loop(
+        cond, body, (jnp.bool_(False), eps0, st0, jnp.int32(0)))
     return acol, p, rounds
 
 
