@@ -236,3 +236,20 @@ def ghicp_register(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
     """Single-device jitted entry point for the GH-ICP loop."""
     return ghicp_loop(kp_s, mask_s, kp_t, mask_t, fd, bbx_magnitude,
                       config, LOCAL, init_transform=init_transform)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def ghicp_register_batched(kp_s: Array, mask_s: Array, kp_t: Array,
+                           mask_t: Array, fd: Array, bbx_magnitude: Array,
+                           config: GHICPConfig) -> GHICPResult:
+    """Batched multi-pair registration: one vmapped engine over a leading
+    pair axis (SURVEY.md §2 parallelism item (c)).
+
+    All inputs gain a leading [P] axis (shared keypoint capacities).  Under
+    vmap the convergence `while_loop` runs until every pair converges; pairs
+    that finish early idle inside masked iterations — the batch amortizes
+    kernel launches and keeps the chip saturated for station-graph sweeps.
+    """
+    fn = jax.vmap(lambda a, b, c, d, e, f: ghicp_loop(
+        a, b, c, d, e, f, config, LOCAL))
+    return fn(kp_s, mask_s, kp_t, mask_t, fd, bbx_magnitude)
