@@ -100,41 +100,23 @@ def _matched_stats(src_pts, tgt_pts, fd, tgt_idx, w, comm: Comm):
     return rmse, fdm, fdstd
 
 
-def ghicp_loop(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
-               fd: Array, bbx_magnitude: Array, config: GHICPConfig,
-               comm: Comm = LOCAL, total_rows: Optional[int] = None,
-               init_transform: Optional[Array] = None) -> GHICPResult:
-    """The GH-ICP fixed-point loop (unjitted body — see ``ghicp_register``
-    for the single-device entry and ``ghicp_tpu.shard`` for the SPMD one).
-
-    ``fd``: [S, T] feature distance (Hamming for BSC, |correlation|
-    similarity for FPFH, zeros for none), computed once like the reference
-    (ghicp_reg.cpp:33-44).  Under a distributed ``comm``, kp_s/mask_s/fd are
-    the local row shards and every reduction crosses the mesh axis.
-    """
+def _initial_state(kp_s: Array, config: GHICPConfig,
+                   init_transform: Optional[Array] = None) -> _State:
+    """Loop state at iteration 0 (optionally warm-started — the reference
+    always restarts from identity, ghicp_reg.h:95)."""
     S = kp_s.shape[0]
-    T = kp_t.shape[0]
-    scale = config.scale_factor * bbx_magnitude
-    ns = comm.psum(jnp.sum(mask_s.astype(jnp.float32)))
-    nt = jnp.sum(mask_t.astype(jnp.float32))
     I = config.max_iterations
-    if total_rows is None:
-        total_rows = S
-
-    # Optional warm start (coarse alignment / checkpoint resume) — the
-    # reference always restarts from identity (ghicp_reg.h:95).
     if init_transform is None:
         rt0 = tf.identity()
         kps0 = kp_s
     else:
         rt0 = init_transform
         kps0 = tf.apply(init_transform, kp_s)
-
     zero_i = jnp.zeros((I,), jnp.float32)
     metrics0 = IterationMetrics(energy=zero_i, rmse=zero_i, rmse_after=zero_i,
                                 cor=jnp.zeros((I,), jnp.int32), iou=zero_i,
                                 penalty=zero_i)
-    state0 = _State(
+    return _State(
         kps=kps0, rt=rt0, it=jnp.int32(0),
         converged=jnp.bool_(False), rms=jnp.float32(99999.0),
         fdm=jnp.float32(0.0), fdstd=jnp.float32(0.0),
@@ -142,6 +124,15 @@ def ghicp_loop(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
         para2=jnp.float32(config.para2_penalty),
         metrics=metrics0, matches=jnp.full((S,), -1, jnp.int32),
         rmse_after=jnp.float32(jnp.inf))
+
+
+def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
+               bbx_magnitude: Array, config: GHICPConfig, comm: Comm,
+               total_rows: int):
+    """One GH-ICP iteration as a while_loop body closure."""
+    scale = config.scale_factor * bbx_magnitude
+    ns = comm.psum(jnp.sum(mask_s.astype(jnp.float32)))
+    nt = jnp.sum(mask_t.astype(jnp.float32))
 
     def body(st: _State) -> _State:
         ed = euclidean_matrix(st.kps, kp_t, scale)
@@ -218,6 +209,27 @@ def ghicp_loop(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
             para1=st.para1 + delta, para2=st.para2 + delta,
             metrics=metrics, matches=matches, rmse_after=rmse_after)
 
+    return body
+
+
+def ghicp_loop(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
+               fd: Array, bbx_magnitude: Array, config: GHICPConfig,
+               comm: Comm = LOCAL, total_rows: Optional[int] = None,
+               init_transform: Optional[Array] = None) -> GHICPResult:
+    """The GH-ICP fixed-point loop (unjitted body — see ``ghicp_register``
+    for the single-device entry and ``ghicp_tpu.shard`` for the SPMD one).
+
+    ``fd``: [S, T] feature distance (Hamming for BSC, |correlation|
+    similarity for FPFH, zeros for none), computed once like the reference
+    (ghicp_reg.cpp:33-44).  Under a distributed ``comm``, kp_s/mask_s/fd are
+    the local row shards and every reduction crosses the mesh axis.
+    """
+    if total_rows is None:
+        total_rows = kp_s.shape[0]
+    state0 = _initial_state(kp_s, config, init_transform)
+    body = _make_body(kp_t, mask_s, mask_t, fd, bbx_magnitude, config, comm,
+                      total_rows)
+
     def cond(st: _State):
         return (~st.converged) & (st.it < config.max_iterations)
 
@@ -227,6 +239,49 @@ def ghicp_loop(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
                        converged=final.converged, success=success,
                        final_rmse=final.rmse_after, metrics=final.metrics,
                        matches=final.matches)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "limit_step"))
+def _ghicp_chunk(state: _State, kp_t: Array, mask_s: Array, mask_t: Array,
+                 fd: Array, bbx_magnitude: Array, config: GHICPConfig,
+                 limit_step: int) -> _State:
+    """Advance the GH-ICP loop by at most ``limit_step`` iterations."""
+    body = _make_body(kp_t, mask_s, mask_t, fd, bbx_magnitude, config, LOCAL,
+                      fd.shape[0])
+    limit = jnp.minimum(state.it + limit_step,
+                        jnp.int32(config.max_iterations))
+
+    def cond(st: _State):
+        return (~st.converged) & (st.it < limit)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def ghicp_register_chunked(kp_s: Array, mask_s: Array, kp_t: Array,
+                           mask_t: Array, fd: Array, bbx_magnitude: Array,
+                           config: GHICPConfig, chunk: int = 8,
+                           init_transform: Optional[Array] = None
+                           ) -> GHICPResult:
+    """Host-stepped GH-ICP: the same loop dispatched ``chunk`` iterations at
+    a time.
+
+    Functionally identical to :func:`ghicp_register`; used by the pipeline
+    for large keypoint sets where one device dispatch would run for minutes
+    (remote-TPU transports impose execution deadlines), and doubles as the
+    observability hook — the host sees state between chunks.
+    """
+    state = _initial_state(kp_s, config, init_transform)
+    while True:
+        state = _ghicp_chunk(state, kp_t, mask_s, mask_t, fd,
+                             jnp.asarray(bbx_magnitude, jnp.float32),
+                             config, chunk)
+        if bool(state.converged) or int(state.it) >= config.max_iterations:
+            break
+    success = state.rmse_after < 1.5 * config.non_max_radius
+    return GHICPResult(transform=state.rt, iterations=state.it,
+                       converged=state.converged, success=success,
+                       final_rmse=state.rmse_after, metrics=state.metrics,
+                       matches=state.matches)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))

@@ -21,7 +21,8 @@ from ghicp_tpu.core.types import PointCloud, bucket_size, cloud_bounds
 from ghicp_tpu.features import (extract_bsc, fpfh_features,
                                 fpfh_similarity_matrix, min_hamming_fd)
 from ghicp_tpu.preprocess import detect_keypoints, voxel_downsample
-from ghicp_tpu.registration.ghicp import GHICPResult, ghicp_register
+from ghicp_tpu.registration.ghicp import (GHICPResult, ghicp_register,
+                                          ghicp_register_chunked)
 
 
 @dataclasses.dataclass
@@ -150,8 +151,11 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
     t0 = time.perf_counter()
     T0 = None if initial_transform is None else jnp.asarray(
         initial_transform, jnp.float32)
-    result = ghicp_register(kp_s, kp_s_mask, kp_t, kp_t_mask, fd,
-                            jnp.float32(bbx), config, T0)
+    # Host-stepped dispatch: one device call per few iterations (remote-TPU
+    # transports impose single-execution deadlines at large keypoint counts).
+    result = ghicp_register_chunked(kp_s, kp_s_mask, kp_t, kp_t_mask, fd,
+                                    jnp.float32(bbx), config, chunk=8,
+                                    init_transform=T0)
     jax.block_until_ready(result.transform)
     timings["register"] = time.perf_counter() - t0
 
