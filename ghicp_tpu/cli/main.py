@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print a single JSON result line")
     p.add_argument("--jax-cache", default="/root/.ghicp_jax_cache",
                    help="persistent XLA compilation cache dir ('' disables)")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed from the environment "
+                        "(JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                        "JAX_PROCESS_ID) before running")
     return p
 
 
@@ -63,6 +67,11 @@ def main(argv=None) -> int:
     if args.jax_cache:
         jax.config.update("jax_compilation_cache_dir", args.jax_cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.distributed:
+        from ghicp_tpu.shard import init_distributed
+        n_proc = init_distributed()
+        print(f"[distributed] {n_proc} process(es), "
+              f"{jax.device_count()} device(s)")
 
     from ghicp_tpu.core import transform as tf
     from ghicp_tpu.core.config import (CorrespondenceType, FeatureType,

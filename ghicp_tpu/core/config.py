@@ -51,6 +51,7 @@ class GHICPConfig:
     min_neighbors: int = 20               # stability gate for keypoints
     neighbor_k: int = 128                 # fixed-K cap for radius neighbors
     pca_cell_cap: int = 64                # per-cell candidate cap in PCA
+    pca_max_cells: int = 0                # cell-table slots (0 = capacity//8)
     nms_k: int = 256                      # fixed-K cap for NMS suppression
     nms_cell_cap: int = 128               # per-cell candidate cap in NMS
     keypoint_capacity: int = 0            # 0 = auto bucket

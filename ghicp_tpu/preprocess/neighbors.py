@@ -84,6 +84,85 @@ def build_grid(support: PointCloud, cell: float) -> HashGrid:
                     mask=support.mask, min_xyz=mn, cell=cell)
 
 
+class CellTable(NamedTuple):
+    """Cell-padded support layout: one [cap, 3] coordinate block per occupied
+    grid cell, cells ordered by ascending hash.
+
+    The point of this layout (vs the slot-window gather of
+    :func:`_candidate_window`) is gather *row* economy: XLA:TPU gathers run at
+    a fixed rate per **row** regardless of row width (measured ~60M rows/s on
+    the axon backend), so fetching a query's 27 neighbor cells as 27 rows of
+    ``[cap, 3]`` is ~``cap``x cheaper than fetching ``27 * cap`` scalar-row
+    candidates.  This is the TPU replacement for the reference's per-point
+    KD-tree radius queries in PCA (pca.h:138,151-157).
+    """
+
+    hashes: Array   # [C] int32 ascending cell hashes; INT_MAX padding
+    xyz: Array      # [C, cap, 3] cell-resident coordinates (zeros padding)
+    cnt: Array      # [C] int32 resident count per cell (clipped to cap)
+    min_xyz: Array  # [3] grid origin
+    cell: float     # cell side length
+
+
+def build_cell_table(support: PointCloud, cell: float, max_cells: int,
+                     cap: int) -> CellTable:
+    """Sort by cell hash, then scatter each point to (cell slot, rank) lanes.
+
+    ``max_cells`` must cover the number of occupied cells; overflowing cells
+    (or per-cell residents beyond ``cap``) are dropped from candidate sets —
+    the same truncation knob as ``cell_cap`` in the slot-window path.
+    """
+    imax = jnp.int32(2**31 - 1)
+    mn = jnp.min(jnp.where(support.mask[:, None], support.xyz, 3e38), axis=0)
+    keys = _point_hash(support.xyz, mn, cell)
+    keys = jnp.where(support.mask, keys, imax)
+    order = jnp.argsort(keys).astype(jnp.int32)
+    sk = keys[order]                                   # [N] ascending
+    n = sk.shape[0]
+    ar = jnp.arange(n, dtype=jnp.int32)
+    heads = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    cell_id = jnp.cumsum(heads.astype(jnp.int32)) - 1  # [N] ascending
+    run_start = jax.lax.cummax(jnp.where(heads, ar, 0))
+    rank = ar - run_start
+    valid = sk != imax
+    in_table = valid & (cell_id < max_cells)
+    slot = jnp.where(in_table & (rank < cap), cell_id * cap + rank,
+                     max_cells * cap)
+    flat = jnp.zeros((max_cells * cap + 1, 3), jnp.float32)
+    flat = flat.at[slot].set(support.xyz[order], mode="drop")
+    head_slot = jnp.where(heads & in_table, cell_id, max_cells)
+    hashes = jnp.full((max_cells + 1,), imax, jnp.int32)
+    hashes = hashes.at[head_slot].set(sk, mode="drop")
+    cnt = jnp.zeros((max_cells + 1,), jnp.int32)
+    cnt = cnt.at[jnp.where(in_table, cell_id, max_cells)].add(1, mode="drop")
+    return CellTable(hashes=hashes[:max_cells],
+                     xyz=flat[:-1].reshape(max_cells, cap, 3),
+                     cnt=jnp.minimum(cnt[:max_cells], cap),
+                     min_xyz=mn, cell=cell)
+
+
+def cell_candidates(table: CellTable, qxyz: Array, qmask: Array):
+    """In-radius candidate coordinates per query from the 27 neighbor cells.
+
+    Returns (cxyz [B, 27*cap, 3], ok [B, 27*cap]); ``ok`` covers cell
+    existence and lane residency but NOT the radius test (callers apply it on
+    their own distance computation).  The only large gather is [B, 27] rows
+    of [cap, 3] blocks.
+    """
+    cap = table.xyz.shape[1]
+    qh = _point_hash(qxyz, table.min_xyz, table.cell)
+    nh = qh[:, None] + jnp.asarray(_OFFSET_HASHES)[None, :]       # [B, 27]
+    cid = jnp.searchsorted(table.hashes, nh).astype(jnp.int32)
+    cid = jnp.minimum(cid, table.hashes.shape[0] - 1)
+    exists = table.hashes[cid] == nh                              # [B, 27]
+    cxyz = table.xyz[cid]                                         # [B,27,cap,3]
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    ok = exists[:, :, None] & (lane[None, None, :] < table.cnt[cid][:, :, None])
+    ok &= qmask[:, None, None]
+    b = qxyz.shape[0]
+    return cxyz.reshape(b, 27 * cap, 3), ok.reshape(b, 27 * cap)
+
+
 def _candidate_window(grid: HashGrid, qxyz: Array, qmask: Array,
                       radius: float, cell_cap: int):
     """All in-radius candidates per query: (cand [B, 27*cell_cap] indices,

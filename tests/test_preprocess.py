@@ -162,3 +162,28 @@ def test_detect_keypoints_on_structured_scene():
     dd = np.linalg.norm(kp[:, None] - kp[None], axis=-1)
     np.fill_diagonal(dd, 1e9)
     assert dd.min() > 1.0
+
+
+def test_pca_cell_table_matches_neighbor_list():
+    """Cell-table moment PCA (the fast TPU path) must reproduce the exact
+    neighbor-list PCA — including far-from-origin f32 stability."""
+    from ghicp_tpu.preprocess.neighbors import radius_neighbors
+    from ghicp_tpu.preprocess.pca import pca_features, pca_from_neighbors
+    rng = np.random.default_rng(3)
+    n = 3000
+    xyz = rng.uniform(0, 8, (n, 3)).astype(np.float32) + 500.0
+    mask = np.ones(n, bool)
+    mask[-64:] = False
+    pc = PointCloud(xyz=jnp.asarray(xyz), mask=jnp.asarray(mask))
+    r = 0.8
+    got = pca_features(pc, radius=r, cell_cap=64, chunk=512, max_cells=2048)
+    nb = radius_neighbors(pc, pc, radius=r, k=128, cell_cap=64, chunk=512)
+    want = pca_from_neighbors(pc, nb)
+    v = mask
+    assert np.array_equal(np.asarray(got.n_neighbors)[v],
+                          np.asarray(nb.count)[v])
+    np.testing.assert_allclose(np.asarray(got.eigvals)[v],
+                               np.asarray(want.eigvals)[v], atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got.curvature)[v],
+                               np.asarray(want.curvature)[v], atol=2e-6)
+    assert np.array_equal(np.asarray(got.valid), np.asarray(want.valid))
