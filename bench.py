@@ -98,6 +98,7 @@ def main():
                       non_max_radius=0.5, min_neighbors=15,
                       bsc_neighbor_k=256,
                       pca_cell_cap=40,  # ~25 pts/cell at this density
+                      pca_max_cells=65536,  # >= occupied 0.5m cells at 25m
                       estimated_overlap=0.8, max_iterations=60)
     t0 = time.perf_counter()
     out = register_pair(src, tgt, cfg)

@@ -1,0 +1,79 @@
+"""Secondary benchmark configs for BASELINE.md (the driver's headline bench
+is ``bench.py``; this script measures the remaining BASELINE.json rows).
+
+Usage:  python bench_configs.py 4        # config number
+
+Config 4 (BASELINE.json): 1M+ point TLS pair, 4-DoF leveled (yaw-only
+offset — the classic tripod-TLS case the reference only half supports:
+its dof=4 mode still solves 6-DoF SVD, SURVEY.md §2 quirks; here dof=4
+uses the true closed-form yaw estimator).  Reports per-stage wall clock,
+engine iterations/sec and final accuracy vs ground truth.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def config4():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.ghicp_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from ghicp_tpu.core.config import (CorrespondenceType, FeatureType,
+                                       GHICPConfig)
+    from ghicp_tpu.io.synthetic import structured_scene
+    from ghicp_tpu.registration.pipeline import (register_pair,
+                                                 transform_error)
+
+    log(f"backend: {jax.default_backend()}")
+    rng = np.random.default_rng(13)
+    n_points = 1_200_000
+    pts = structured_scene(rng, n_points, extent=30.0)
+    theta = np.deg2rad(15.0)   # yaw only: leveled scanner
+    R = np.array([[np.cos(theta), -np.sin(theta), 0],
+                  [np.sin(theta), np.cos(theta), 0], [0, 0, 1]], np.float32)
+    t = np.float32([1.5, -2.0, 0.0])
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[:3, :3] = R
+    T_gt[:3, 3] = t
+    src = ((pts - t) @ R + rng.normal(0, 0.006, pts.shape)).astype(np.float32)
+    tgt = (pts + rng.normal(0, 0.006, pts.shape)).astype(np.float32)
+
+    cfg = GHICPConfig(feature=FeatureType.BSC,
+                      correspondence=CorrespondenceType.KM,
+                      reg_dof=4,
+                      voxel_size=0.1, neighborhood_radius=0.5,
+                      non_max_radius=0.5, min_neighbors=15,
+                      bsc_neighbor_k=256, pca_cell_cap=40,
+                      pca_max_cells=131072,
+                      estimated_overlap=0.8, max_iterations=60)
+    for tag in ("cold", "warm"):
+        t0 = time.perf_counter()
+        out = register_pair(src, tgt, cfg)
+        total = time.perf_counter() - t0
+        rot, tr = transform_error(out.transform, T_gt)
+        iters = max(int(out.result.iterations), 1)
+        its = iters / out.timings["register"]
+        log(f"[{tag}] {n_points} pts -> {out.n_source_down} down, "
+            f"kps={out.n_source_keypoints}/{out.n_target_keypoints}, "
+            f"iters={iters} ({its:.1f} it/s), rmse={out.final_rmse:.3f}, "
+            f"rot={rot:.3f}deg t={tr:.3f}m success={out.success}")
+        log(f"[{tag}] timings: "
+            f"{ {k: round(v, 2) for k, v in out.timings.items()} } "
+            f"total={total:.1f}s")
+    print(json.dumps({
+        "metric": "config4_1Mpt_4dof_iterations_per_sec",
+        "value": round(its, 3), "unit": "iterations/s",
+        "total_wall_s": round(total, 1),
+        "rot_err_deg": round(rot, 4), "t_err_m": round(tr, 4),
+        "success": bool(out.success)}))
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "4"
+    {"4": config4}[which]()

@@ -194,6 +194,9 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
         # more, so this is monotone; 4 sweeps cover the cascades seen in
         # practice and correctness never depends on convergence (the next
         # bidding phase re-establishes CS for whatever remains open).
+        # (A data-dependent early-exit while_loop here nests 4 deep inside
+        # the engine loop and stalls the XLA:TPU compiler for minutes —
+        # keep this a bounded fori_loop.)
         def sweep(_, st2):
             owner, acol, p = st2
             ok = cs_ok(p)

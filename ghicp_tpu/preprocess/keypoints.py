@@ -185,8 +185,9 @@ def compact_candidates(cloud: PointCloud, feats: PCAFeatures,
 def adaptive_detect(cloud: PointCloud, config: GHICPConfig) -> KeypointResult:
     """Adaptive threshold re-tuning (keypoint_detect.hpp:53-111, host loop)."""
     feats = pca_features(cloud, radius=config.neighborhood_radius,
-                         k=config.neighbor_k, cell_cap=config.pca_cell_cap,
-                             max_cells=config.pca_max_cells)
+                         k=config.neighbor_k,
+                         cell_cap=config.pca_cell_cap,
+                         max_cells=config.pca_max_cells)
     ratio = config.unstable_ratio_threshold
     result = detect_keypoints(cloud, config, feats)
     count = int(jnp.sum(result.mask))

@@ -25,9 +25,7 @@ import jax.numpy as jnp
 from ghicp_tpu.core.types import PointCloud
 from ghicp_tpu.ops.eigh3 import eigh3
 from ghicp_tpu.preprocess.neighbors import (CellTable, NeighborList,
-                                            _query_block, build_cell_table,
-                                            build_grid, cell_candidates,
-                                            radius_neighbors)
+                                            build_cell_table, cell_candidates)
 
 Array = jax.Array
 
@@ -56,36 +54,6 @@ def neighborhood_covariance(xyz: Array, neighbors: NeighborList):
     cov = jnp.einsum("nki,nkj->nij", d, npts - mean[:, None, :])
     cov = cov / denom[:, None, None]
     return cov, mean, cnt
-
-
-def _pca_of_block(grid, qxyz, qmask, radius, k, cell_cap):
-    """Moment-accumulation PCA over the full in-radius candidate window.
-
-    Unlike feature extraction, PCA needs no neighbor *list* — only the
-    masked moment sums (count, mean, scatter matrix) over all candidates
-    within the radius.  Skipping the K-nearest ``top_k`` (a full sort per
-    point on TPU) makes this both faster and *more* faithful to the
-    reference, which uses every in-radius neighbor (pca.h:151-157).
-    ``k`` caps nothing here; coverage is bounded by 27 * cell_cap.
-    """
-    from ghicp_tpu.preprocess.neighbors import _candidate_window
-    cand, ok = _candidate_window(grid, qxyz, qmask, radius, cell_cap)
-    cxyz = grid.xyz[cand]                                    # [B, C, 3]
-    w = ok.astype(jnp.float32)
-    cnt = jnp.sum(w, axis=1)
-    denom = jnp.maximum(cnt, 1.0)
-    mean = jnp.einsum("bc,bcd->bd", w, cxyz) / denom[:, None]
-    d = cxyz - mean[:, None, :]
-    cov = jnp.einsum("bc,bci,bcj->bij", w, d, d) / denom[:, None, None]
-    vals, vecs = eigh3(cov)
-    vals = jnp.maximum(vals, 0.0)   # covariance is PSD; clamp round-off
-    total = jnp.sum(vals, axis=-1)
-    curvature = jnp.where(total > 0, vals[:, 2] / jnp.maximum(total, 1e-30),
-                          0.0)
-    valid = qmask & (cnt >= 3)
-    return PCAFeatures(eigvals=vals, principal=vecs[:, :, 0],
-                       normal=vecs[:, :, 2], curvature=curvature,
-                       n_neighbors=cnt.astype(jnp.int32), valid=valid)
 
 
 def _pca_cell_block(table: CellTable, qxyz: Array, qmask: Array,

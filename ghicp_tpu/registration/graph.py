@@ -69,7 +69,7 @@ def build_station(pts: np.ndarray, index: int, config: GHICPConfig,
     bbx = float(cloud_bounds(dcloud).magnitude)
     pca = pca_features(dcloud, radius=config.neighborhood_radius,
                        k=config.neighbor_k, cell_cap=config.pca_cell_cap,
-                             max_cells=config.pca_max_cells)
+                       max_cells=config.pca_max_cells)
     res = detect_keypoints(dcloud, config, pca)
     mask_np = np.asarray(res.mask)
     idx = np.nonzero(mask_np)[0].astype(np.int32)

@@ -101,11 +101,11 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
         fs_pca = pca_features(ds, radius=config.neighborhood_radius,
                               k=config.neighbor_k,
                               cell_cap=config.pca_cell_cap,
-                             max_cells=config.pca_max_cells)
+                              max_cells=config.pca_max_cells)
         ft_pca = pca_features(dt, radius=config.neighborhood_radius,
                               k=config.neighbor_k,
                               cell_cap=config.pca_cell_cap,
-                             max_cells=config.pca_max_cells)
+                              max_cells=config.pca_max_cells)
         rs = detect_keypoints(ds, config, fs_pca)
         rt = detect_keypoints(dt, config, ft_pca)
     mask_s_np = np.asarray(rs.mask)
