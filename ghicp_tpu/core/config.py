@@ -93,7 +93,17 @@ class GHICPConfig:
     max_iterations: int = 100
 
     # --- auction solver (eps-scaling forward auction with outside option) ---
-    auction_max_rounds: int = 2000        # per-phase bidding-round cap
+    auction_max_rounds: int = 2000        # TOTAL bidding-round budget per
+                                          # solve (bounds worst-case cost
+                                          # matrices; leftover rows report
+                                          # unmatched at the cap)
+    auction_rel_eps: float = 1.0 / 512.0  # final-eps floor as a fraction of
+                                          # the benefit spread: assignment is
+                                          # within n*rel_eps*spread of
+                                          # optimal. Collapses price wars on
+                                          # tie-heavy (integer Hamming) cost
+                                          # matrices; 0 = absolute km_eps
+                                          # only (exact-parity mode)
 
     # --- numerics ---
     use_mxu_hamming: bool = True          # matmul-based Hamming (vs popcount)

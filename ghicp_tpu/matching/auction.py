@@ -53,6 +53,7 @@ class AuctionResult(NamedTuple):
     prices: Array      # [cols] final dual prices
     energy: Array      # scalar: sum matched CD + penalty * n_unmatched
     rounds: Array      # total bidding rounds executed
+    eps_used: Array    # effective final epsilon (after the rel_eps floor)
 
 
 _SINK = jnp.int32(2**30)  # "unmatched" pseudo-column (infinite capacity)
@@ -118,8 +119,15 @@ def _bidding_round(b: Array, eps: Array, sink_value: Array,
 
 
 def _run_phase(b: Array, eps: Array, sink_value: Array, state,
-               row_gid: Array, max_rounds, comm: Comm):
-    """Bid until every row is assigned (to a column or the sink)."""
+               row_gid: Array, rounds_start, max_rounds, comm: Comm):
+    """Bid until every row is assigned (to a column or the sink).
+
+    ``rounds_start``/``max_rounds`` implement a TOTAL rounds budget across
+    all epsilon phases — one registration iteration is then bounded by
+    ``max_rounds`` full-matrix sweeps no matter how degenerate the cost
+    matrix gets (worst-case price wars otherwise crawl at eps_final; rows
+    still unassigned at the cap are reported unmatched, which downstream
+    treats like KM's dummy matches)."""
     def cond(c):
         (_, acol, _), r = c
         any_unassigned = comm.psum(jnp.sum((acol < 0).astype(jnp.int32)))
@@ -132,13 +140,14 @@ def _run_phase(b: Array, eps: Array, sink_value: Array, state,
         return st, r + 1
 
     (owner, acol, p), r = jax.lax.while_loop(
-        cond, body, (state, jnp.int32(0)))
+        cond, body, (state, rounds_start))
     return owner, acol, p, r
 
 
 def auction_assign(b: Array, sink_value, eps, max_rounds: int,
                    comm: Comm = LOCAL, row_offset=None,
-                   eps_scaling: float = 5.0):
+                   eps_scaling: float = 5.0, rel_eps: float = 0.0,
+                   p0: Optional[Array] = None, price_uncertainty=None):
     """Assignment on a benefit matrix b [R, C] (maximization) with an
     outside option at ``sink_value`` per row, via epsilon scaling with
     *kept assignments*.
@@ -153,6 +162,30 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
     ``eps`` globally, giving the usual n*eps optimality bound (observed
     exact vs Hungarian in the test matrices).
 
+    ``p0``/``price_uncertainty`` warm-start the dual: ``p0`` is a price
+    vector from a *similar* problem (GH-ICP: the previous engine iteration,
+    whose keypoints moved by millimeters late in the run) and
+    ``price_uncertainty`` D bounds the per-entry benefit drift since.  The
+    start prices are ``max(p0 - D, 0)`` — under-pricing only costs extra
+    bidding rounds, while over-priced columns would wrongly push rows to
+    the fixed-price sink, so the deflation must dominate the drift.  The
+    epsilon schedule then starts at ~D instead of spread/8: with
+    near-equilibrium prices the expensive tie-resolving price wars of
+    earlier solves are already encoded in ``p0`` and do not repeat.  Cold
+    start = p0 zeros with infinite uncertainty (the default).
+
+    ``rel_eps`` (when > 0) floors the final epsilon at
+    ``rel_eps * spread``: the assignment is then within ``n * rel_eps *
+    spread`` of optimal — a *relative* tolerance that is what actually
+    matters for cost matrices whose value quantum scales with their spread.
+    The crucial case is GH-ICP's first iterations, where the cost is
+    (almost) pure Hamming feature distance — integer-valued with massive
+    ties, spread O(100).  An absolute eps of 0.01 there buys no matching
+    quality (ties are ties) but makes every tie cluster fight a
+    ~(quantum/eps)-round price war; a spread-relative eps collapses those
+    wars to a handful of rounds.  As ED takes over and the spread shrinks
+    toward convergence, the floor automatically tightens below ``eps``.
+
     Returns (acol [R]: assigned column, _SINK for unmatched, or -1 at round
     cap; prices [C]; rounds).
     """
@@ -160,10 +193,17 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
     if row_offset is None:
         row_offset = comm.axis_index() * R
     row_gid = row_offset + jnp.arange(R, dtype=jnp.int32)
-    eps_final = jnp.float32(eps)
     finite_max = comm.pmax(jnp.max(jnp.where(jnp.isfinite(b), b, _NEG)))
     spread = jnp.maximum(finite_max - jnp.float32(sink_value), 0.0)
-    eps0 = jnp.maximum(spread / 8.0, eps_final)
+    eps_final = jnp.maximum(jnp.float32(eps), jnp.float32(rel_eps) * spread)
+    cold_eps0 = jnp.maximum(spread / 8.0, eps_final)
+    if p0 is None:
+        eps0 = cold_eps0
+        p_init = jnp.zeros((C,), jnp.float32)
+    else:
+        d = jnp.float32(price_uncertainty)
+        eps0 = jnp.clip(d, eps_final, cold_eps0)
+        p_init = jnp.maximum(p0 - d, 0.0)
 
     def reopen_violators(st, eps_prev, eps_now):
         """Deflate the systematic +eps bid overshoot, then unassign rows
@@ -217,29 +257,30 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
     def body(c):
         done, eps_now, st, rounds = c
         owner, acol, p, r = _run_phase(b, eps_now, jnp.float32(sink_value),
-                                       st, row_gid, max_rounds, comm)
-        done = eps_now <= eps_final * 1.0001
+                                       st, row_gid, rounds, max_rounds, comm)
+        done = (eps_now <= eps_final * 1.0001) | (r >= max_rounds)
         eps_next = jnp.maximum(eps_now / eps_scaling, eps_final)
         # Reopen CS violators only when another phase will actually run —
         # the final phase's assignment must be returned intact.
         ro, ra, rp = reopen_violators((owner, acol, p), eps_now, eps_next)
         st = (jnp.where(done, owner, ro), jnp.where(done, acol, ra),
               jnp.where(done, p, rp))
-        return done, eps_next, st, rounds + r
+        return done, eps_next, st, r
 
     st0 = (jnp.full((C,), -1, jnp.int32), jnp.full((R,), -1, jnp.int32),
-           jnp.zeros((C,), jnp.float32))
+           p_init)
     _, _, (owner, acol, p), rounds = jax.lax.while_loop(
         cond, body, (jnp.bool_(False), eps0, st0, jnp.int32(0)))
-    return acol, p, rounds
+    return acol, p, rounds, eps_final
 
 
 @functools.partial(jax.jit, static_argnames=("eps_final", "max_rounds",
-                                             "comm", "total_rows"))
+                                             "comm", "total_rows", "rel_eps"))
 def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
                   eps_final: float = 0.01, max_rounds: int = 8000,
-                  comm: Comm = LOCAL,
-                  total_rows: int = None) -> AuctionResult:
+                  comm: Comm = LOCAL, total_rows: int = None,
+                  rel_eps: float = 0.0, p0: Optional[Array] = None,
+                  price_uncertainty=None) -> AuctionResult:
     """Global-optimal correspondence via auction (KM equivalent).
 
     cd: [S, T] blended cost (+inf at invalid pairs); S may be a local row
@@ -258,8 +299,9 @@ def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
     gate = jnp.isfinite(cd) & (cd < penalty)
     b = jnp.where(gate, -cd, _NEG)
 
-    acol, p, rounds = auction_assign(b, -penalty, eps_final, max_rounds,
-                                     comm)
+    acol, p, rounds, eps_used = auction_assign(
+        b, -penalty, eps_final, max_rounds, comm, rel_eps=rel_eps,
+        p0=p0, price_uncertainty=price_uncertainty)
     matched = (acol >= 0) & (acol < T)
     jc = jnp.where(matched, acol, 0)
     real = mask_s & matched & gate[jnp.arange(S), jc]
@@ -273,4 +315,5 @@ def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
     energy = matched_cd + penalty * (n_sq - cor)
     match = MatchResult(tgt_idx=jc.astype(jnp.int32), w=w,
                         n_matches=cor.astype(jnp.int32))
-    return AuctionResult(match=match, prices=p, energy=energy, rounds=rounds)
+    return AuctionResult(match=match, prices=p, energy=energy, rounds=rounds,
+                        eps_used=eps_used)

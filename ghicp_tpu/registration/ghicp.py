@@ -58,6 +58,7 @@ class IterationMetrics(NamedTuple):
     cor: Array         # [I] int32 number of correspondences
     iou: Array         # [I]
     penalty: Array     # [I]
+    rounds: Array      # [I] int32 auction bidding rounds (0 for NN/NNR)
 
 
 class GHICPResult(NamedTuple):
@@ -83,6 +84,9 @@ class _State(NamedTuple):
     metrics: IterationMetrics
     matches: Array    # [S] int32
     rmse_after: Array
+    prices: Array     # [T] auction dual prices carried across iterations
+    price_unc: Array  # scalar bound on benefit drift since `prices` was set
+    pen_prev: Array   # previous iteration's penalty (drift component)
 
 
 def _matched_stats(src_pts, tgt_pts, fd, tgt_idx, w, comm: Comm):
@@ -100,7 +104,7 @@ def _matched_stats(src_pts, tgt_pts, fd, tgt_idx, w, comm: Comm):
     return rmse, fdm, fdstd
 
 
-def _initial_state(kp_s: Array, config: GHICPConfig,
+def _initial_state(kp_s: Array, n_target: int, config: GHICPConfig,
                    init_transform: Optional[Array] = None) -> _State:
     """Loop state at iteration 0 (optionally warm-started — the reference
     always restarts from identity, ghicp_reg.h:95)."""
@@ -115,7 +119,8 @@ def _initial_state(kp_s: Array, config: GHICPConfig,
     zero_i = jnp.zeros((I,), jnp.float32)
     metrics0 = IterationMetrics(energy=zero_i, rmse=zero_i, rmse_after=zero_i,
                                 cor=jnp.zeros((I,), jnp.int32), iou=zero_i,
-                                penalty=zero_i)
+                                penalty=zero_i,
+                                rounds=jnp.zeros((I,), jnp.int32))
     return _State(
         kps=kps0, rt=rt0, it=jnp.int32(0),
         converged=jnp.bool_(False), rms=jnp.float32(99999.0),
@@ -123,7 +128,9 @@ def _initial_state(kp_s: Array, config: GHICPConfig,
         para1=jnp.float32(config.para1_penalty),
         para2=jnp.float32(config.para2_penalty),
         metrics=metrics0, matches=jnp.full((S,), -1, jnp.int32),
-        rmse_after=jnp.float32(jnp.inf))
+        rmse_after=jnp.float32(jnp.inf),
+        prices=jnp.zeros((n_target,), jnp.float32),
+        price_unc=jnp.float32(3.0e38), pen_prev=jnp.float32(0.0))
 
 
 def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
@@ -149,13 +156,29 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
             cost = blend_none(ed, mask_s, mask_t, comm)
 
         energy = jnp.float32(0.0)
+        rounds = jnp.int32(0)
+        prices = st.prices
+        eps_used = jnp.float32(0.0)
         if config.correspondence == CorrespondenceType.KM:
+            # Price warm start: reuse the previous iteration's dual prices,
+            # deflated by a bound on how much any benefit entry can have
+            # drifted since (keypoint motion + blend-weight decay + penalty
+            # shift + the epsilon overshoot baked into final prices).  Late
+            # iterations move keypoints by millimeters, so the bound is
+            # tiny and the tie-resolving price wars of earlier solves are
+            # not repeated (see auction_assign).
+            drift = st.price_unc + jnp.abs(cost.penalty - st.pen_prev)
             ares = auction_match(cost.cd, cost.penalty, mask_s, mask_t,
                                  eps_final=config.km_eps,
                                  max_rounds=config.auction_max_rounds,
-                                 comm=comm, total_rows=total_rows)
+                                 comm=comm, total_rows=total_rows,
+                                 rel_eps=config.auction_rel_eps,
+                                 p0=st.prices, price_uncertainty=drift)
             match = ares.match
             energy = ares.energy
+            rounds = ares.rounds
+            prices = ares.prices
+            eps_used = ares.eps_used
         elif config.correspondence == CorrespondenceType.NNR:
             match = nnr_match(cost.cd, mask_s, mask_t, comm)
         else:
@@ -200,14 +223,40 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
             rmse_after=m.rmse_after.at[i].set(rmse_after),
             cor=m.cor.at[i].set(cor.astype(jnp.int32)),
             iou=m.iou.at[i].set(iou),
-            penalty=m.penalty.at[i].set(cost.penalty))
+            penalty=m.penalty.at[i].set(cost.penalty),
+            rounds=m.rounds.at[i].set(rounds))
 
         matches = jnp.where(w > 0, match.tgt_idx, -1)
+        # Price-overshoot bound for the next iteration's warm start.  Only
+        # over-priced columns are unsafe (they push rows to the sink), and a
+        # price is over-supported only where the COST ROSE, so the bound
+        # tracks cost increases, not |change|:
+        #   BSC:  dcd = dwfd*(ed - fd) + wed*d(ed) <= dwfd*ed_max + d_ed
+        #         (the decaying wfd only lowers fd-heavy costs — prices
+        #         there rise, and under-priced starts merely rebid);
+        #   none: cd = ed -> d_ed;  FPFH: multiplicative blend, no cheap
+        #         bound -> infinite uncertainty = cold start.
+        max_disp = comm.pmax(jnp.max(jnp.where(
+            mask_s, jnp.linalg.norm(kps_new - st.kps, axis=-1), 0.0)))
+        d_ed = scale * max_disp
+        if config.feature == FeatureType.BSC:
+            r = config.weight_changing_rate
+            dwfd = (jnp.exp(-i.astype(jnp.float32) / r)
+                    - jnp.exp(-(i + 1).astype(jnp.float32) / r))
+            ed_max = comm.pmax(jnp.max(jnp.where(
+                mask_s[:, None] & mask_t[None, :], ed, 0.0)))
+            drift_next = d_ed + dwfd * (ed_max + d_ed)
+        elif config.feature == FeatureType.FPFH:
+            drift_next = jnp.float32(3.0e38)
+        else:
+            drift_next = d_ed
         return _State(
             kps=kps_new, rt=tf.compose(rt_step, st.rt), it=i + 1,
             converged=converged, rms=rmse, fdm=fdm, fdstd=fdstd,
             para1=st.para1 + delta, para2=st.para2 + delta,
-            metrics=metrics, matches=matches, rmse_after=rmse_after)
+            metrics=metrics, matches=matches, rmse_after=rmse_after,
+            prices=prices, price_unc=drift_next + 2.0 * eps_used,
+            pen_prev=cost.penalty)
 
     return body
 
@@ -226,7 +275,7 @@ def ghicp_loop(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
     """
     if total_rows is None:
         total_rows = kp_s.shape[0]
-    state0 = _initial_state(kp_s, config, init_transform)
+    state0 = _initial_state(kp_s, kp_t.shape[0], config, init_transform)
     body = _make_body(kp_t, mask_s, mask_t, fd, bbx_magnitude, config, comm,
                       total_rows)
 
@@ -270,7 +319,7 @@ def ghicp_register_chunked(kp_s: Array, mask_s: Array, kp_t: Array,
     (remote-TPU transports impose execution deadlines), and doubles as the
     observability hook — the host sees state between chunks.
     """
-    state = _initial_state(kp_s, config, init_transform)
+    state = _initial_state(kp_s, kp_t.shape[0], config, init_transform)
     while True:
         state = _ghicp_chunk(state, kp_t, mask_s, mask_t, fd,
                              jnp.asarray(bbx_magnitude, jnp.float32),

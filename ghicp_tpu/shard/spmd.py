@@ -56,7 +56,7 @@ def ghicp_register_sharded(kp_s, mask_s, kp_t, mask_t, fd, bbx_magnitude,
         transform=P(), iterations=P(), converged=P(), success=P(),
         final_rmse=P(),
         metrics=IterationMetrics(energy=P(), rmse=P(), rmse_after=P(),
-                                 cor=P(), iou=P(), penalty=P()),
+                                 cor=P(), iou=P(), penalty=P(), rounds=P()),
         matches=P(AXIS))
 
     @jax.jit

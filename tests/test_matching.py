@@ -140,3 +140,38 @@ def test_blend_bsc_weight_schedule():
     # Late-iteration penalty formula (ghicp_reg.cpp:279-287).
     expect = 1.0 * 1.0 * 1.0 * (1 - wfd) + (50.0 + 1.0 * 10.0) * wfd
     np.testing.assert_allclose(float(r12.penalty), max(expect, 5.0), rtol=1e-5)
+
+
+def test_auction_warm_start_matches_cold():
+    """Warm-starting from a perturbed problem's prices (deflated by the
+    perturbation bound) must reproduce the cold-start optimal real-match
+    set — over-deflation only costs rounds, never correctness."""
+    import jax.numpy as jnp
+    from ghicp_tpu.matching.auction import auction_match
+    rng = np.random.default_rng(17)
+    n = 96
+    cd0 = rng.uniform(0.0, 4.0, (n, n)).astype(np.float32)
+    ii = np.arange(n)
+    cd0[ii, ii] *= 0.1  # clear diagonal structure
+    penalty = 3.0
+    ms = jnp.ones(n, bool)
+    a0 = auction_match(jnp.asarray(cd0), jnp.float32(penalty), ms, ms,
+                       eps_final=0.001)
+    # Perturb and re-solve cold vs warm.
+    delta = 0.05
+    cd1 = (cd0 + rng.uniform(-delta, delta, cd0.shape)).astype(np.float32)
+    cold = auction_match(jnp.asarray(cd1), jnp.float32(penalty), ms, ms,
+                         eps_final=0.001)
+    warm = auction_match(jnp.asarray(cd1), jnp.float32(penalty), ms, ms,
+                         eps_final=0.001, p0=a0.prices,
+                         price_uncertainty=2 * delta + 0.01)
+    # Same energy within the eps-optimality band; both near scipy optimum.
+    from scipy.optimize import linear_sum_assignment
+    b = np.full((n, n), penalty, np.float32)
+    gate = cd1 < penalty
+    b[gate] = cd1[gate]
+    ri, ci = linear_sum_assignment(b)
+    opt = b[ri, ci].sum()
+    for res in (cold, warm):
+        assert float(res.energy) <= opt + n * 0.01 + 1e-3
+    assert abs(float(cold.energy) - float(warm.energy)) <= n * 0.01 + 1e-3
