@@ -62,12 +62,17 @@ def non_max_suppression(cloud: PointCloud, curvature: Array, candidates: Array,
     # Ties in curvature break by lower point index: compare (curv, -idx)
     # pairs lexicographically instead of a mixed scalar to avoid precision loss.
     idxf = jnp.arange(n, dtype=jnp.float32)
+    # Loop-invariant gathers hoisted out of the rounds: only the alive/wins
+    # masks change per round, so the [N, K] curvature/index lookups are paid
+    # once, not once per suppression round.
+    nb_curv_all = jnp.where(nb.valid, curvature[nb.idx], -jnp.inf)
+    nb_idxf_all = jnp.where(nb.valid, idxf[nb.idx], jnp.inf)
 
     def round_body(state):
         alive, selected, rounds = state
         nb_alive = alive[nb.idx] & nb.valid                       # [N, K]
-        nb_curv = jnp.where(nb_alive, curvature[nb.idx], -jnp.inf)
-        nb_idxf = jnp.where(nb_alive, idxf[nb.idx], jnp.inf)
+        nb_curv = jnp.where(nb_alive, nb_curv_all, -jnp.inf)
+        nb_idxf = jnp.where(nb_alive, nb_idxf_all, jnp.inf)
         max_curv = jnp.max(nb_curv, axis=1)
         # Smallest index among neighbors achieving max curvature.
         at_max = nb_alive & (nb_curv == max_curv[:, None])
@@ -125,8 +130,7 @@ def detect_keypoints(cloud: PointCloud, config: GHICPConfig,
     the NMS rounds — suppressing a few thousand candidates must not cost
     full-cloud-capacity work (the padded cloud can be 1M+ rows).
     """
-    import numpy as np
-    from ghicp_tpu.core.types import bucket_size, fetch_xyz
+    from ghicp_tpu.core.types import bucket_size
     if feats is None:
         feats = pca_features(cloud, radius=config.neighborhood_radius,
                              k=config.neighbor_k,
@@ -137,49 +141,40 @@ def detect_keypoints(cloud: PointCloud, config: GHICPConfig,
     if config.min_curvature > 0.0:
         candidates = candidates & (feats.curvature >= config.min_curvature)
 
-    cand_np = np.asarray(candidates)
-    idx = np.nonzero(cand_np)[0]
     n = cloud.capacity
-    if len(idx) == 0:
+    count = int(jnp.sum(candidates))   # the only host round-trip (a scalar)
+    if count == 0:
         z = jnp.zeros((n,), bool)
         return KeypointResult(mask=z, candidates=candidates,
                               rounds=jnp.int32(0))
-    cap = bucket_size(len(idx), min_size=256)
-    xyz_np = fetch_xyz(cloud.xyz)
-    curv_np = np.asarray(feats.curvature)
-    cxyz = np.zeros((cap, 3), np.float32)
-    cxyz[:len(idx)] = xyz_np[idx]
-    ccurv = np.zeros(cap, np.float32)
-    ccurv[:len(idx)] = curv_np[idx]
-    cmask = np.zeros(cap, bool)
-    cmask[:len(idx)] = True
-    compact = PointCloud(xyz=jnp.asarray(cxyz), mask=jnp.asarray(cmask))
+    cap = bucket_size(count, min_size=256)
+    # On-device compaction: stable argsort puts candidate indices first, so
+    # the compact bucket is a device gather — no [N, 3] device->host
+    # transfer (which is the expensive direction on the remote backend).
+    sel = jnp.argsort(~candidates)[:cap]
+    cmask = candidates[sel]
+    compact = PointCloud(xyz=cloud.xyz[sel], mask=cmask)
     sel_c, rounds = non_max_suppression(
-        compact, jnp.asarray(ccurv), compact.mask,
+        compact, feats.curvature[sel], cmask,
         radius=config.non_max_radius, k=config.nms_k,
         cell_cap=config.nms_cell_cap, chunk=min(1024, cap))
-    sel_np = np.zeros(n, bool)
-    sel_np[idx] = np.asarray(sel_c)[:len(idx)]
-    return KeypointResult(mask=jnp.asarray(sel_np), candidates=candidates,
-                          rounds=rounds)
+    mask = jnp.zeros((n,), bool).at[sel].set(sel_c & cmask)
+    return KeypointResult(mask=mask, candidates=candidates, rounds=rounds)
 
 
 def compact_candidates(cloud: PointCloud, feats: PCAFeatures,
                        candidates) -> tuple[PointCloud, Array]:
-    """Host-side compaction of pruning survivors for refine_positions."""
-    import numpy as np
-    from ghicp_tpu.core.types import bucket_size, fetch_xyz
-    idx = np.nonzero(np.asarray(candidates))[0]
-    cap = bucket_size(max(len(idx), 1), min_size=256)
-    cxyz = np.zeros((cap, 3), np.float32)
-    ccurv = np.zeros(cap, np.float32)
-    cmask = np.zeros(cap, bool)
-    if len(idx):
-        cxyz[:len(idx)] = fetch_xyz(cloud.xyz)[idx]
-        ccurv[:len(idx)] = np.asarray(feats.curvature)[idx]
-        cmask[:len(idx)] = True
-    return (PointCloud(xyz=jnp.asarray(cxyz), mask=jnp.asarray(cmask)),
-            jnp.asarray(ccurv))
+    """On-device compaction of pruning survivors for refine_positions.
+
+    Only a scalar count crosses to the host (for the static bucket size);
+    the gather itself stays on device."""
+    from ghicp_tpu.core.types import bucket_size
+    count = int(jnp.sum(candidates))
+    cap = bucket_size(max(count, 1), min_size=256)
+    sel = jnp.argsort(~candidates)[:cap]
+    cmask = candidates[sel]
+    return (PointCloud(xyz=cloud.xyz[sel], mask=cmask),
+            jnp.where(cmask, feats.curvature[sel], 0.0))
 
 
 def adaptive_detect(cloud: PointCloud, config: GHICPConfig) -> KeypointResult:
