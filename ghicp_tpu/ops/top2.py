@@ -106,8 +106,16 @@ def top2_rows_pallas(b: Array, p: Array, ts: int = 256, tc: int = 512):
 
 
 def top2_rows(b: Array, p: Array, use_pallas: bool = False):
-    """Dispatch: Pallas on TPU-compatible shapes, jnp reference otherwise."""
+    """Dispatch: Pallas on TPU-compatible shapes, jnp reference otherwise.
+
+    Prefers the largest column tile that divides C: each grid program costs
+    ~µs of dispatch regardless of size, so at [8k, 8k] a (256, 512) grid's
+    512 programs dominate the 0.33ms theoretical HBM sweep — (256, 2048)
+    cuts the program count 4x while staying ~2MB/block in VMEM.
+    """
     S, C = b.shape
-    if use_pallas and S % 256 == 0 and C % 512 == 0:
-        return top2_rows_pallas(b, p)
+    if use_pallas and S % 256 == 0:
+        for tc in (2048, 1024, 512):
+            if C % tc == 0:
+                return top2_rows_pallas(b, p, ts=256, tc=tc)
     return top2_rows_ref(b, p)
