@@ -52,8 +52,12 @@ class GHICPConfig:
     neighbor_k: int = 128                 # fixed-K cap for radius neighbors
     pca_cell_cap: int = 64                # per-cell candidate cap in PCA
     pca_max_cells: int = 0                # cell-table slots (0 = capacity)
-    nms_k: int = 256                      # fixed-K cap for NMS suppression
-    nms_cell_cap: int = 128               # per-cell candidate cap in NMS
+    nms_k: int = 128                      # fixed-K cap for NMS suppression
+                                          # (candidate density within the
+                                          # NMS radius is ~10-20 at TLS
+                                          # settings; the K cap only
+                                          # truncates pathological clusters)
+    nms_cell_cap: int = 64                # per-cell candidate cap in NMS
     keypoint_capacity: int = 0            # 0 = auto bucket
 
     # --- sub-voxel keypoint refinement (TPU-build improvement; not in the
