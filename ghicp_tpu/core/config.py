@@ -121,6 +121,11 @@ class GHICPConfig:
 
     # --- numerics ---
     use_mxu_hamming: bool = True          # matmul-based Hamming (vs popcount)
+    auction_bf16: bool = True             # store the auction benefit matrix
+                                          # bf16 (halves the per-round HBM
+                                          # sweep; quantization ~2^-8 of
+                                          # spread sits below the rel_eps
+                                          # floor). False = f32 exact
 
     def __post_init__(self):
         if self.reg_dof not in (4, 6):

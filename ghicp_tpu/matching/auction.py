@@ -275,12 +275,14 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
 
 
 @functools.partial(jax.jit, static_argnames=("eps_final", "max_rounds",
-                                             "comm", "total_rows", "rel_eps"))
+                                             "comm", "total_rows", "rel_eps",
+                                             "quantize_bf16"))
 def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
                   eps_final: float = 0.01, max_rounds: int = 8000,
                   comm: Comm = LOCAL, total_rows: int = None,
                   rel_eps: float = 0.0, p0: Optional[Array] = None,
-                  price_uncertainty=None) -> AuctionResult:
+                  price_uncertainty=None,
+                  quantize_bf16: bool = False) -> AuctionResult:
     """Global-optimal correspondence via auction (KM equivalent).
 
     cd: [S, T] blended cost (+inf at invalid pairs); S may be a local row
@@ -298,6 +300,13 @@ def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
     rows_total = total_rows if total_rows is not None else S
     gate = jnp.isfinite(cd) & (cd < penalty)
     b = jnp.where(gate, -cd, _NEG)
+    if quantize_bf16:
+        # Halve the per-round HBM sweep: store benefits bf16, compute f32.
+        # The ~2^-8 relative quantization is far below the rel_eps floor
+        # (spread/64) and the costs' own quantum (integer Hamming early,
+        # keypoint-spacing ED margins late), so it perturbs the epsilon-
+        # optimal matching by less than the epsilon already tolerated.
+        b = b.astype(jnp.bfloat16)
 
     acol, p, rounds, eps_used = auction_assign(
         b, -penalty, eps_final, max_rounds, comm, rel_eps=rel_eps,

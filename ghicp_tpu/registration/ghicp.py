@@ -173,7 +173,8 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
                                  max_rounds=config.auction_max_rounds,
                                  comm=comm, total_rows=total_rows,
                                  rel_eps=config.auction_rel_eps,
-                                 p0=st.prices, price_uncertainty=drift)
+                                 p0=st.prices, price_uncertainty=drift,
+                                 quantize_bf16=config.auction_bf16)
             match = ares.match
             energy = ares.energy
             rounds = ares.rounds
