@@ -126,6 +126,12 @@ class GHICPConfig:
                                           # sweep; quantization ~2^-8 of
                                           # spread sits below the rel_eps
                                           # floor). False = f32 exact
+    auction_round_kernel: bool = False    # run bidding rounds in the
+                                          # whole-phase Pallas kernel
+                                          # (ops/auction_rounds.py): state
+                                          # lives in VMEM across rounds, one
+                                          # launch per epsilon phase.
+                                          # Single-device TPU path only
 
     def __post_init__(self):
         if self.reg_dof not in (4, 6):

@@ -147,7 +147,8 @@ def _run_phase(b: Array, eps: Array, sink_value: Array, state,
 def auction_assign(b: Array, sink_value, eps, max_rounds: int,
                    comm: Comm = LOCAL, row_offset=None,
                    eps_scaling: float = 5.0, rel_eps: float = 0.0,
-                   p0: Optional[Array] = None, price_uncertainty=None):
+                   p0: Optional[Array] = None, price_uncertainty=None,
+                   use_round_kernel: bool = False):
     """Assignment on a benefit matrix b [R, C] (maximization) with an
     outside option at ``sink_value`` per row, via epsilon scaling with
     *kept assignments*.
@@ -251,6 +252,42 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
         owner, acol, p = jax.lax.fori_loop(0, 4, sweep, (owner, acol, p))
         return owner, acol, p
 
+    if (use_round_kernel and not comm.distributed
+            and jax.default_backend() == "tpu"
+            and R % 256 == 0 and C % 128 == 0):
+        # Whole-phase Pallas kernel: every bidding round's state transition
+        # happens in VMEM scratch, one launch per epsilon phase (see
+        # ghicp_tpu/ops/auction_rounds.py).  Static 4-phase schedule with
+        # the rounds budget split evenly; between phases the same CS repair
+        # runs in XLA on the derived (owner, acol, p) state.
+        from ghicp_tpu.ops.auction_rounds import auction_rounds_pallas
+        col_ids = jnp.arange(C, dtype=jnp.int32)
+
+        def derive_acol(owner, sunk):
+            acol = jnp.full((R,), -1, jnp.int32)
+            acol = acol.at[jnp.where(owner >= 0, owner, R)].set(
+                col_ids, mode="drop")
+            return jnp.where((sunk == 1) & (acol < 0), _SINK, acol)
+
+        n_phases = 4
+        r_phase = max(max_rounds // n_phases, 1)
+        owner = jnp.full((C,), -1, jnp.int32)
+        sunk = jnp.zeros((R,), jnp.int32)
+        p = p_init
+        eps_now = eps0
+        for k in range(n_phases):
+            p, owner, sunk = auction_rounds_pallas(
+                b, p, owner, sunk, eps_now, jnp.float32(sink_value), r_phase)
+            eps_next = jnp.maximum(eps_now / eps_scaling, eps_final)
+            if k < n_phases - 1:
+                acol = derive_acol(owner, sunk)
+                owner, acol, p = reopen_violators((owner, acol, p),
+                                                  eps_now, eps_next)
+                sunk = (acol == _SINK).astype(jnp.int32)
+            eps_now = eps_next
+        acol = derive_acol(owner, sunk)
+        return acol, p, jnp.int32(n_phases * r_phase), eps_final
+
     def cond(c):
         return ~c[0]
 
@@ -276,13 +313,15 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
 
 @functools.partial(jax.jit, static_argnames=("eps_final", "max_rounds",
                                              "comm", "total_rows", "rel_eps",
-                                             "quantize_bf16"))
+                                             "quantize_bf16",
+                                             "use_round_kernel"))
 def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
                   eps_final: float = 0.01, max_rounds: int = 8000,
                   comm: Comm = LOCAL, total_rows: int = None,
                   rel_eps: float = 0.0, p0: Optional[Array] = None,
                   price_uncertainty=None,
-                  quantize_bf16: bool = False) -> AuctionResult:
+                  quantize_bf16: bool = False,
+                  use_round_kernel: bool = False) -> AuctionResult:
     """Global-optimal correspondence via auction (KM equivalent).
 
     cd: [S, T] blended cost (+inf at invalid pairs); S may be a local row
@@ -310,7 +349,8 @@ def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
 
     acol, p, rounds, eps_used = auction_assign(
         b, -penalty, eps_final, max_rounds, comm, rel_eps=rel_eps,
-        p0=p0, price_uncertainty=price_uncertainty)
+        p0=p0, price_uncertainty=price_uncertainty,
+        use_round_kernel=use_round_kernel)
     matched = (acol >= 0) & (acol < T)
     jc = jnp.where(matched, acol, 0)
     real = mask_s & matched & gate[jnp.arange(S), jc]

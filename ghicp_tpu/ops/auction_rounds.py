@@ -1,0 +1,197 @@
+"""Whole-phase auction kernel: N bidding rounds in ONE Pallas launch.
+
+The XLA formulation of a bidding round (ghicp_tpu/matching/auction.py)
+chains ~15 small device ops around the top-2 sweep; at TLS scale the sweep
+is ~0.2ms but the op chain costs ~0.6ms of fixed overhead — and a solve
+runs hundreds of rounds.  This kernel keeps the entire auction state
+(prices, column owners, sunk rows — ~100KB) in VMEM scratch across a
+sequential grid of (round, row-tile) programs, so a whole epsilon phase is
+one launch whose only HBM traffic is re-streaming the benefit matrix once
+per round.
+
+State representation: column ``owner`` pointers are authoritative — a row
+is assigned iff some column points at it — which makes eviction *free*
+(the winner overwrite disconnects the previous owner; it simply finds
+itself unassigned on its next tile pass).  ``sunk`` marks rows that took
+the outside option (permanent for the phase, like the XLA path).
+
+Semantics per round (bit-compatible with ``auction._bidding_round`` for a
+LOCAL comm, including the max-row-id tie break):
+  unassigned rows compute (v1, j1, v2) over b - p;
+  rows with v1 <= sink exit to the sink;
+  the rest bid p[j1] + v1 - max(v2, sink) + eps on column j1;
+  each column goes to the highest (bid, row-id) bidder; its price becomes
+  the winning bid.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_NEG = -3.0e38
+
+
+def _kernel(eps_ref, sink_ref, b_ref, p0_ref, owner0_ref, sunk0_ref,
+            p_out, owner_out, sunk_out,
+            s_p, s_owner, s_sunk, s_winbid, s_wingid, *, ts: int):
+    r = pl.program_id(0)
+    i = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    n_rounds = pl.num_programs(0)
+    eps = eps_ref[0]
+    sink = sink_ref[0]
+
+    @pl.when((r == 0) & (i == 0))
+    def _init():
+        s_p[:] = p0_ref[0, :]
+        s_owner[:] = owner0_ref[0, :]
+        s_sunk[:] = sunk0_ref[0, :]
+
+    @pl.when(i == 0)
+    def _round_reset():
+        s_winbid[:] = jnp.full_like(s_winbid[:], _NEG)
+        s_wingid[:] = jnp.full_like(s_wingid[:], -1)
+
+    C = b_ref.shape[1]
+    gid = i * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, 1), 0)[:, 0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ts, C), 1)
+
+    sunk_tile = s_sunk[pl.ds(i * ts, ts)]
+    owner = s_owner[:]
+    owned = jnp.any(owner[None, :] == gid[:, None], axis=1)
+    unassigned = (~owned) & (sunk_tile == 0)
+
+    p = s_p[:]
+    v = b_ref[:, :].astype(jnp.float32) - p[None, :]
+    v1 = jnp.max(v, axis=1)
+    j1 = jnp.argmax(v, axis=1).astype(jnp.int32)
+    onehot = cols == j1[:, None]
+    v2 = jnp.max(jnp.where(onehot, _NEG, v), axis=1)
+
+    to_sink = unassigned & (v1 <= sink)
+    s_sunk[pl.ds(i * ts, ts)] = jnp.where(to_sink, jnp.int32(1), sunk_tile)
+    bidding = unassigned & ~to_sink
+
+    p_j1 = jnp.sum(jnp.where(onehot, p[None, :], 0.0), axis=1)
+    bid = p_j1 + v1 - jnp.maximum(v2, sink) + eps
+    contrib = jnp.where(onehot & bidding[:, None], bid[:, None],
+                        jnp.float32(_NEG))                       # [ts, C]
+    tile_max = jnp.max(contrib, axis=0)                          # [C]
+    at_max = (contrib == tile_max[None, :]) & (contrib > _NEG / 2)
+    tile_gid = jnp.max(jnp.where(at_max, gid[:, None], -1), axis=0)
+
+    wb, wg = s_winbid[:], s_wingid[:]
+    s_wingid[:] = jnp.where(tile_max > wb, tile_gid,
+                            jnp.where(tile_max == wb,
+                                      jnp.maximum(wg, tile_gid), wg))
+    s_winbid[:] = jnp.maximum(wb, tile_max)
+
+    @pl.when(i == n_tiles - 1)
+    def _resolve():
+        has = s_winbid[:] > _NEG / 2
+        s_owner[:] = jnp.where(has, s_wingid[:], s_owner[:])
+        s_p[:] = jnp.where(has, s_winbid[:], s_p[:])
+
+        @pl.when(r == n_rounds - 1)
+        def _emit():
+            p_out[0, :] = s_p[:]
+            owner_out[0, :] = s_owner[:]
+            sunk_out[0, :] = s_sunk[:]
+
+
+@functools.partial(jax.jit, static_argnames=("n_rounds", "ts", "interpret"))
+def auction_rounds_pallas(b: Array, p0: Array, owner0: Array, sunk0: Array,
+                          eps, sink_value, n_rounds: int, ts: int = 256,
+                          interpret: bool = False):
+    """Run ``n_rounds`` synchronous bidding rounds on-device.
+
+    b: [S, C] benefits (f32 or bf16; -inf/very-negative = ungated pair),
+    p0: [C] start prices, owner0: [C] global row id or -1,
+    sunk0: [S] int32 (1 = row took the outside option).
+    Returns (p [C], owner [C], sunk [S]).  S % ts == 0; C % 128 == 0.
+    """
+    S, C = b.shape
+    grid = (n_rounds, S // ts)
+    out = pl.pallas_call(
+        functools.partial(_kernel, ts=ts),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # eps [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # sink [1]
+            pl.BlockSpec((ts, C), lambda r, i: (i, 0),
+                         memory_space=pltpu.VMEM),    # b row stripe
+            pl.BlockSpec((1, C), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),    # p0
+            pl.BlockSpec((1, C), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),    # owner0
+            pl.BlockSpec((1, S), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),    # sunk0
+        ],
+        out_specs=(
+            pl.BlockSpec((1, C), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.int32),
+            jax.ShapeDtypeStruct((1, S), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((C,), jnp.float32),   # prices
+            pltpu.VMEM((C,), jnp.int32),     # owners
+            pltpu.VMEM((S,), jnp.int32),     # sunk
+            pltpu.VMEM((C,), jnp.float32),   # round win bid
+            pltpu.VMEM((C,), jnp.int32),     # round win gid
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(jnp.asarray(eps, jnp.float32).reshape(1),
+      jnp.asarray(sink_value, jnp.float32).reshape(1),
+      b, p0.reshape(1, C), owner0.reshape(1, C), sunk0.reshape(1, S))
+    return out[0][0], out[1][0], out[2][0]
+
+
+def auction_rounds_ref(b: Array, p0: Array, owner0: Array, sunk0: Array,
+                       eps, sink_value, n_rounds: int):
+    """jnp reference of the same fixed-round semantics (for parity tests)."""
+    S, C = b.shape
+    gid = jnp.arange(S, dtype=jnp.int32)
+    cols = jnp.arange(C, dtype=jnp.int32)
+
+    def round_(carry, _):
+        p, owner, sunk = carry
+        # a row is assigned iff some column's owner pointer targets it
+        owned = jnp.any(owner[None, :] == gid[:, None], axis=1)
+        unassigned = ~owned & (sunk == 0)
+        v = b.astype(jnp.float32) - p[None, :]
+        v1 = jnp.max(v, axis=1)
+        j1 = jnp.argmax(v, axis=1).astype(jnp.int32)
+        v2 = jnp.max(jnp.where(cols[None, :] == j1[:, None], _NEG, v), axis=1)
+        to_sink = unassigned & (v1 <= sink_value)
+        sunk = jnp.where(to_sink, 1, sunk)
+        bidding = unassigned & ~to_sink
+        bid = p[j1] + v1 - jnp.maximum(v2, sink_value) + eps
+        bid = jnp.where(bidding, bid, _NEG)
+        win_bid = jnp.full((C,), _NEG, jnp.float32).at[j1].max(bid)
+        is_best = bidding & (bid == win_bid[j1]) & (win_bid[j1] > _NEG / 2)
+        winner = jnp.full((C,), -1, jnp.int32).at[j1].max(
+            jnp.where(is_best, gid, -1))
+        has = winner >= 0
+        owner = jnp.where(has, winner, owner)
+        p = jnp.where(has, win_bid, p)
+        return (p, owner, sunk), None
+
+    (p, owner, sunk), _ = jax.lax.scan(round_, (p0, owner0, sunk0),
+                                       None, length=n_rounds)
+    return p, owner, sunk

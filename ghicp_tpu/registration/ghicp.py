@@ -174,7 +174,8 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
                                  comm=comm, total_rows=total_rows,
                                  rel_eps=config.auction_rel_eps,
                                  p0=st.prices, price_uncertainty=drift,
-                                 quantize_bf16=config.auction_bf16)
+                                 quantize_bf16=config.auction_bf16,
+                                 use_round_kernel=config.auction_round_kernel)
             match = ares.match
             energy = ares.energy
             rounds = ares.rounds
