@@ -126,12 +126,16 @@ class GHICPConfig:
                                           # sweep; quantization ~2^-8 of
                                           # spread sits below the rel_eps
                                           # floor). False = f32 exact
-    auction_round_kernel: bool = False    # run bidding rounds in the
+    auction_round_kernel: bool = True     # run bidding rounds in the
                                           # whole-phase Pallas kernel
                                           # (ops/auction_rounds.py): state
                                           # lives in VMEM across rounds, one
-                                          # launch per epsilon phase.
-                                          # Single-device TPU path only
+                                          # launch per epsilon phase —
+                                          # measured 1.55x engine speed at
+                                          # 6k kps with identical accuracy.
+                                          # Dispatches on single-device TPU
+                                          # only; elsewhere the XLA round
+                                          # loop runs
 
     def __post_init__(self):
         if self.reg_dof not in (4, 6):

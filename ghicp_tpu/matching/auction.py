@@ -254,7 +254,7 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
 
     if (use_round_kernel and not comm.distributed
             and jax.default_backend() == "tpu"
-            and R % 256 == 0 and C % 128 == 0):
+            and R % 128 == 0 and C % 128 == 0):
         # Whole-phase Pallas kernel: every bidding round's state transition
         # happens in VMEM scratch, one launch per epsilon phase (see
         # ghicp_tpu/ops/auction_rounds.py).  Static 4-phase schedule with

@@ -51,7 +51,7 @@ def _kernel(eps_ref, sink_ref, b_ref, p0_ref, owner0_ref, sunk0_ref,
     def _init():
         s_p[:] = p0_ref[0, :]
         s_owner[:] = owner0_ref[0, :]
-        s_sunk[:] = sunk0_ref[0, :]
+        s_sunk[:, :] = sunk0_ref[:, :]
 
     @pl.when(i == 0)
     def _round_reset():
@@ -62,7 +62,7 @@ def _kernel(eps_ref, sink_ref, b_ref, p0_ref, owner0_ref, sunk0_ref,
     gid = i * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, 1), 0)[:, 0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (ts, C), 1)
 
-    sunk_tile = s_sunk[pl.ds(i * ts, ts)]
+    sunk_tile = s_sunk[i, :]
     owner = s_owner[:]
     owned = jnp.any(owner[None, :] == gid[:, None], axis=1)
     unassigned = (~owned) & (sunk_tile == 0)
@@ -75,7 +75,7 @@ def _kernel(eps_ref, sink_ref, b_ref, p0_ref, owner0_ref, sunk0_ref,
     v2 = jnp.max(jnp.where(onehot, _NEG, v), axis=1)
 
     to_sink = unassigned & (v1 <= sink)
-    s_sunk[pl.ds(i * ts, ts)] = jnp.where(to_sink, jnp.int32(1), sunk_tile)
+    s_sunk[i, :] = jnp.where(to_sink, jnp.int32(1), sunk_tile)
     bidding = unassigned & ~to_sink
 
     p_j1 = jnp.sum(jnp.where(onehot, p[None, :], 0.0), axis=1)
@@ -102,12 +102,12 @@ def _kernel(eps_ref, sink_ref, b_ref, p0_ref, owner0_ref, sunk0_ref,
         def _emit():
             p_out[0, :] = s_p[:]
             owner_out[0, :] = s_owner[:]
-            sunk_out[0, :] = s_sunk[:]
+            sunk_out[:, :] = s_sunk[:, :]
 
 
 @functools.partial(jax.jit, static_argnames=("n_rounds", "ts", "interpret"))
 def auction_rounds_pallas(b: Array, p0: Array, owner0: Array, sunk0: Array,
-                          eps, sink_value, n_rounds: int, ts: int = 256,
+                          eps, sink_value, n_rounds: int, ts: int = 128,
                           interpret: bool = False):
     """Run ``n_rounds`` synchronous bidding rounds on-device.
 
@@ -115,6 +115,8 @@ def auction_rounds_pallas(b: Array, p0: Array, owner0: Array, sunk0: Array,
     p0: [C] start prices, owner0: [C] global row id or -1,
     sunk0: [S] int32 (1 = row took the outside option).
     Returns (p [C], owner [C], sunk [S]).  S % ts == 0; C % 128 == 0.
+    ts=128 keeps the [ts, C] f32 intermediates inside the 16MB VMEM stack
+    at C=8192 (ts=256 OOMs).
     """
     S, C = b.shape
     grid = (n_rounds, S // ts)
@@ -130,36 +132,37 @@ def auction_rounds_pallas(b: Array, p0: Array, owner0: Array, sunk0: Array,
                          memory_space=pltpu.VMEM),    # p0
             pl.BlockSpec((1, C), lambda r, i: (0, 0),
                          memory_space=pltpu.VMEM),    # owner0
-            pl.BlockSpec((1, S), lambda r, i: (0, 0),
-                         memory_space=pltpu.VMEM),    # sunk0
+            pl.BlockSpec((S // ts, ts), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM),    # sunk0 [tiles, ts]
         ],
         out_specs=(
             pl.BlockSpec((1, C), lambda r, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda r, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S), lambda r, i: (0, 0),
+            pl.BlockSpec((S // ts, ts), lambda r, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, C), jnp.float32),
             jax.ShapeDtypeStruct((1, C), jnp.int32),
-            jax.ShapeDtypeStruct((1, S), jnp.int32),
+            jax.ShapeDtypeStruct((S // ts, ts), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((C,), jnp.float32),   # prices
-            pltpu.VMEM((C,), jnp.int32),     # owners
-            pltpu.VMEM((S,), jnp.int32),     # sunk
-            pltpu.VMEM((C,), jnp.float32),   # round win bid
-            pltpu.VMEM((C,), jnp.int32),     # round win gid
+            pltpu.VMEM((C,), jnp.float32),         # prices
+            pltpu.VMEM((C,), jnp.int32),           # owners
+            pltpu.VMEM((S // ts, ts), jnp.int32),  # sunk, tile-major
+            pltpu.VMEM((C,), jnp.float32),         # round win bid
+            pltpu.VMEM((C,), jnp.int32),           # round win gid
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(jnp.asarray(eps, jnp.float32).reshape(1),
       jnp.asarray(sink_value, jnp.float32).reshape(1),
-      b, p0.reshape(1, C), owner0.reshape(1, C), sunk0.reshape(1, S))
-    return out[0][0], out[1][0], out[2][0]
+      b, p0.reshape(1, C), owner0.reshape(1, C),
+      sunk0.reshape(S // ts, ts))
+    return out[0][0], out[1][0], out[2].reshape(S)
 
 
 def auction_rounds_ref(b: Array, p0: Array, owner0: Array, sunk0: Array,
