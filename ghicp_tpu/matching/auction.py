@@ -58,6 +58,11 @@ class AuctionResult(NamedTuple):
 
 _SINK = jnp.int32(2**30)  # "unmatched" pseudo-column (infinite capacity)
 
+# Test hook: force the whole-phase Pallas kernel path in interpret mode on
+# non-TPU backends, so the phase scheduling / budget threading / CS-repair
+# glue is exercised by the CPU test mesh.
+_KERNEL_INTERPRET = False
+
 
 def _bidding_round(b: Array, eps: Array, sink_value: Array,
                    sink_slack: Array, row_gid: Array, state, comm: Comm):
@@ -253,14 +258,18 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
         return owner, acol, p
 
     if (use_round_kernel and not comm.distributed
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu" or _KERNEL_INTERPRET)
             and R % 128 == 0 and C % 128 == 0):
         # Whole-phase Pallas kernel: every bidding round's state transition
         # happens in VMEM scratch, one launch per epsilon phase (see
-        # ghicp_tpu/ops/auction_rounds.py).  Static 4-phase schedule with
-        # the rounds budget split evenly; between phases the same CS repair
-        # runs in XLA on the derived (owner, acol, p) state.
-        from ghicp_tpu.ops.auction_rounds import auction_rounds_pallas
+        # ghicp_tpu/ops/auction_rounds.py), with an exact in-kernel
+        # convergence test — a converged phase stops streaming the benefit
+        # matrix immediately.  The TOTAL rounds budget is a runtime scalar
+        # threaded through the phases: each phase may spend whatever the
+        # earlier ones left (matching the XLA while-loop path's semantics,
+        # not the old static even split).  Between phases the same CS
+        # repair runs in XLA on the derived (owner, acol, p) state.
+        from ghicp_tpu.ops.auction_rounds import auction_phase_pallas
         col_ids = jnp.arange(C, dtype=jnp.int32)
 
         def derive_acol(owner, sunk):
@@ -270,14 +279,18 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
             return jnp.where((sunk == 1) & (acol < 0), _SINK, acol)
 
         n_phases = 4
-        r_phase = max(max_rounds // n_phases, 1)
         owner = jnp.full((C,), -1, jnp.int32)
         sunk = jnp.zeros((R,), jnp.int32)
         p = p_init
         eps_now = eps0
+        remaining = jnp.int32(max_rounds)
+        spent = jnp.int32(0)
         for k in range(n_phases):
-            p, owner, sunk = auction_rounds_pallas(
-                b, p, owner, sunk, eps_now, jnp.float32(sink_value), r_phase)
+            p, owner, sunk, r = auction_phase_pallas(
+                b, p, owner, sunk, eps_now, jnp.float32(sink_value),
+                remaining, interpret=_KERNEL_INTERPRET)
+            remaining = remaining - r
+            spent = spent + r
             eps_next = jnp.maximum(eps_now / eps_scaling, eps_final)
             if k < n_phases - 1:
                 acol = derive_acol(owner, sunk)
@@ -286,7 +299,7 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
                 sunk = (acol == _SINK).astype(jnp.int32)
             eps_now = eps_next
         acol = derive_acol(owner, sunk)
-        return acol, p, jnp.int32(n_phases * r_phase), eps_final
+        return acol, p, spent, eps_final
 
     def cond(c):
         return ~c[0]

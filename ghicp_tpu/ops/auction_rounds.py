@@ -165,6 +165,157 @@ def auction_rounds_pallas(b: Array, p0: Array, owner0: Array, sunk0: Array,
     return out[0][0], out[1][0], out[2].reshape(S)
 
 
+def _phase_kernel(eps_ref, sink_ref, maxr_ref, b_ref, p0_ref, owner0_ref,
+                  sunk0_ref, p_out, owner_out, sunk_out, rounds_out,
+                  s_p, s_owner, s_sunk, s_tile, sems, *, ts: int):
+    """Early-exit phase: while-loop over rounds inside ONE kernel program.
+
+    The grid-based kernel above executes its full static round budget —
+    converged rounds still stream the benefit matrix and run the bidding
+    math.  Here the round loop is scalar-core control flow with an *exact*
+    termination test (every row owned or sunk: owner pointers are unique,
+    a row only bids while unassigned, so #assigned == #owned columns), and
+    ``b`` stays in HBM with manual double-buffered stripe DMA — a converged
+    solve costs zero streams.  ``max_rounds`` is a runtime scalar: phase
+    budgets shrink as earlier phases spend rounds, with no recompiles.
+    """
+    n_tiles = s_sunk.shape[0]
+    S = n_tiles * ts
+    C = s_p.shape[0]
+    eps = eps_ref[0]
+    sink = sink_ref[0]
+    max_rounds = maxr_ref[0]
+
+    s_p[:] = p0_ref[0, :]
+    s_owner[:] = owner0_ref[0, :]
+    s_sunk[:, :] = sunk0_ref[:, :]
+
+    def stripe_dma(i, slot):
+        return pltpu.make_async_copy(
+            b_ref.at[pl.ds(i * ts, ts), :], s_tile.at[slot], sems.at[slot])
+
+    def unassigned_count():
+        n_owned = jnp.sum((s_owner[:] >= 0).astype(jnp.int32))
+        n_sunk = jnp.sum(s_sunk[:, :])
+        return S - n_owned - n_sunk
+
+    def tile_body(i, carry):
+        winbid, wingid = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_tiles)
+        def _prefetch():
+            stripe_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+        stripe_dma(i, slot).wait()
+
+        gid = i * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, 1), 0)[:, 0]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ts, C), 1)
+        sunk_tile = s_sunk[i, :]
+        owner = s_owner[:]
+        owned = jnp.any(owner[None, :] == gid[:, None], axis=1)
+        unassigned = (~owned) & (sunk_tile == 0)
+
+        p = s_p[:]
+        v = s_tile[slot].astype(jnp.float32) - p[None, :]
+        v1 = jnp.max(v, axis=1)
+        j1 = jnp.argmax(v, axis=1).astype(jnp.int32)
+        onehot = cols == j1[:, None]
+        v2 = jnp.max(jnp.where(onehot, _NEG, v), axis=1)
+
+        to_sink = unassigned & (v1 <= sink)
+        s_sunk[i, :] = jnp.where(to_sink, jnp.int32(1), sunk_tile)
+        bidding = unassigned & ~to_sink
+
+        p_j1 = jnp.sum(jnp.where(onehot, p[None, :], 0.0), axis=1)
+        bid = p_j1 + v1 - jnp.maximum(v2, sink) + eps
+        contrib = jnp.where(onehot & bidding[:, None], bid[:, None],
+                            jnp.float32(_NEG))
+        tile_max = jnp.max(contrib, axis=0)
+        at_max = (contrib == tile_max[None, :]) & (contrib > _NEG / 2)
+        tile_gid = jnp.max(jnp.where(at_max, gid[:, None], -1), axis=0)
+
+        new_gid = jnp.where(tile_max > winbid, tile_gid,
+                            jnp.where(tile_max == winbid,
+                                      jnp.maximum(wingid, tile_gid), wingid))
+        return jnp.maximum(winbid, tile_max), new_gid
+
+    def round_cond(carry):
+        r, n_open = carry
+        return (n_open > 0) & (r < max_rounds)
+
+    def round_body(carry):
+        r, _ = carry
+        stripe_dma(0, 0).start()
+        winbid0 = jnp.full((C,), _NEG, jnp.float32)
+        wingid0 = jnp.full((C,), -1, jnp.int32)
+        winbid, wingid = jax.lax.fori_loop(0, n_tiles, tile_body,
+                                           (winbid0, wingid0))
+        has = winbid > _NEG / 2
+        s_owner[:] = jnp.where(has, wingid, s_owner[:])
+        s_p[:] = jnp.where(has, winbid, s_p[:])
+        return r + 1, unassigned_count()
+
+    r, _ = jax.lax.while_loop(round_cond, round_body,
+                              (jnp.int32(0), unassigned_count()))
+    p_out[0, :] = s_p[:]
+    owner_out[0, :] = s_owner[:]
+    sunk_out[:, :] = s_sunk[:, :]
+    rounds_out[0] = r
+
+
+@functools.partial(jax.jit, static_argnames=("ts", "interpret"))
+def auction_phase_pallas(b: Array, p0: Array, owner0: Array, sunk0: Array,
+                         eps, sink_value, max_rounds, ts: int = 128,
+                         interpret: bool = False):
+    """Early-exit bidding phase: rounds until all rows assigned/sunk or the
+    (runtime-scalar) ``max_rounds`` budget is spent.
+
+    Same per-round semantics as :func:`auction_rounds_pallas`; returns
+    (p [C], owner [C], sunk [S], rounds_executed []).  S % ts == 0;
+    C % 128 == 0.  b may be bf16 (DMA'd as stored, computed in f32).
+    """
+    S, C = b.shape
+    n_tiles = S // ts
+    out = pl.pallas_call(
+        functools.partial(_phase_kernel, ts=ts),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # eps [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # sink [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # max_rounds [1]
+            pl.BlockSpec(memory_space=pl.ANY),        # b (HBM; manual DMA)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # p0 [1, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # owner0 [1, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # sunk0 [tiles, ts]
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, ts), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((C,), jnp.float32),           # prices
+            pltpu.VMEM((C,), jnp.int32),             # owners
+            pltpu.VMEM((n_tiles, ts), jnp.int32),    # sunk, tile-major
+            pltpu.VMEM((2, ts, C), b.dtype),         # stripe double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(eps, jnp.float32).reshape(1),
+      jnp.asarray(sink_value, jnp.float32).reshape(1),
+      jnp.asarray(max_rounds, jnp.int32).reshape(1),
+      b, p0.reshape(1, C), owner0.reshape(1, C),
+      sunk0.reshape(n_tiles, ts))
+    return out[0][0], out[1][0], out[2].reshape(S), out[3][0]
+
+
 def auction_rounds_ref(b: Array, p0: Array, owner0: Array, sunk0: Array,
                        eps, sink_value, n_rounds: int):
     """jnp reference of the same fixed-round semantics (for parity tests)."""

@@ -4,7 +4,8 @@ round-kernel dispatch path."""
 import numpy as np
 import jax.numpy as jnp
 
-from ghicp_tpu.ops.auction_rounds import (auction_rounds_pallas,
+from ghicp_tpu.ops.auction_rounds import (auction_phase_pallas,
+                                          auction_rounds_pallas,
                                           auction_rounds_ref)
 
 
@@ -23,6 +24,73 @@ def test_rounds_kernel_matches_ref():
                                n_rounds)
         for x, y in zip(a, r):
             assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_phase_kernel_matches_ref_and_exits_early():
+    """The early-exit phase kernel must land on the same fixed point as the
+    budgeted reference (post-convergence reference rounds are no-ops), and
+    report a rounds count at or below the budget."""
+    rng = np.random.default_rng(2)
+    S, C = 512, 640
+    b = rng.uniform(-4, 0, (S, C)).astype(np.float32)
+    b[rng.random((S, C)) < 0.3] = -3e38
+    p0 = jnp.zeros(C, jnp.float32)
+    o0 = jnp.full((C,), -1, jnp.int32)
+    s0 = jnp.zeros(S, jnp.int32)
+    budget = 400
+    p, o, s, r = auction_phase_pallas(jnp.asarray(b), p0, o0, s0, 0.05, -2.0,
+                                      budget, ts=256, interpret=True)
+    rp, ro, rs = auction_rounds_ref(jnp.asarray(b), p0, o0, s0, 0.05, -2.0,
+                                    budget)
+    assert int(r) < budget          # converged before the cap
+    # every row accounted for: owned or sunk
+    owned = np.zeros(S, bool)
+    owned[np.asarray(o)[np.asarray(o) >= 0]] = True
+    assert np.all(owned | (np.asarray(s) == 1))
+    for x, y in zip((p, o, s), (rp, ro, rs)):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_phase_kernel_budget_cap_matches_ref():
+    """With a budget below convergence, the phase kernel must stop at
+    exactly ``max_rounds`` with state identical to that many ref rounds."""
+    rng = np.random.default_rng(3)
+    S, C = 256, 256          # square: every column contested, slow price war
+    b = jnp.asarray(rng.uniform(-4, 0, (S, C)).astype(np.float32))
+    p0 = jnp.zeros(C, jnp.float32)
+    o0 = jnp.full((C,), -1, jnp.int32)
+    s0 = jnp.zeros(S, jnp.int32)
+    # sanity: this fixture must not converge within the largest budget,
+    # otherwise the exact-cap assertion below is vacuous
+    _, o_chk, s_chk, _ = auction_phase_pallas(b, p0, o0, s0, 0.01, -10.0,
+                                              5, ts=128, interpret=True)
+    owned = np.zeros(S, bool)
+    owned[np.asarray(o_chk)[np.asarray(o_chk) >= 0]] = True
+    assert not np.all(owned | (np.asarray(s_chk) == 1))
+    for budget in (1, 5):
+        p, o, s, r = auction_phase_pallas(b, p0, o0, s0, 0.01, -10.0,
+                                          budget, ts=128, interpret=True)
+        rp, ro, rs = auction_rounds_ref(b, p0, o0, s0, 0.01, -10.0, budget)
+        assert int(r) == budget
+        for x, y in zip((p, o, s), (rp, ro, rs)):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_phase_kernel_bf16_benefits():
+    """bf16-stored benefits: kernel parity vs the ref run on the same
+    bf16 matrix (arithmetic in f32 both sides)."""
+    rng = np.random.default_rng(4)
+    S, C = 256, 256
+    b = jnp.asarray(rng.uniform(-4, 0, (S, C)).astype(np.float32))
+    b16 = b.astype(jnp.bfloat16)
+    p0 = jnp.zeros(C, jnp.float32)
+    o0 = jnp.full((C,), -1, jnp.int32)
+    s0 = jnp.zeros(S, jnp.int32)
+    p, o, s, _ = auction_phase_pallas(b16, p0, o0, s0, 0.05, -2.0,
+                                      500, ts=128, interpret=True)
+    rp, ro, rs = auction_rounds_ref(b16, p0, o0, s0, 0.05, -2.0, 500)
+    for x, y in zip((p, o, s), (rp, ro, rs)):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
 
 
 def test_rounds_kernel_warm_state():

@@ -175,3 +175,37 @@ def test_auction_warm_start_matches_cold():
     for res in (cold, warm):
         assert float(res.energy) <= opt + n * 0.01 + 1e-3
     assert abs(float(cold.energy) - float(warm.energy)) <= n * 0.01 + 1e-3
+
+
+def test_auction_round_kernel_path_matches_xla():
+    """The whole-phase Pallas kernel dispatch (interpret mode on CPU) must
+    reach the same epsilon-optimal energy as the XLA while-loop path, with
+    the runtime rounds budget threaded through the phases."""
+    import ghicp_tpu.matching.auction as auc
+    rng = np.random.default_rng(23)
+    n = 128                       # kernel path needs R % 128 == C % 128 == 0
+    cd = rng.uniform(0.0, 4.0, (n, n)).astype(np.float32)
+    penalty = 3.0
+    ms = jnp.ones(n, bool)
+    xla = auction_match(jnp.asarray(cd), jnp.float32(penalty), ms, ms,
+                        eps_final=0.001, max_rounds=2000)
+    auc._KERNEL_INTERPRET = True
+    try:
+        ker = auction_match(jnp.asarray(cd), jnp.float32(penalty), ms, ms,
+                            eps_final=0.001, max_rounds=2000,
+                            use_round_kernel=True)
+    finally:
+        auc._KERNEL_INTERPRET = False
+    from scipy.optimize import linear_sum_assignment
+    b = np.full((n, n), penalty, np.float32)
+    gate = cd < penalty
+    b[gate] = cd[gate]
+    ri, ci = linear_sum_assignment(b)
+    opt = b[ri, ci].sum()
+    for res in (xla, ker):
+        assert float(res.energy) <= opt + n * 0.001 + 1e-3
+    assert int(ker.rounds) <= 2000
+    # Both are eps-optimal; sets may differ among near-degenerate optima,
+    # but the achieved energies must agree within the n*eps band.
+    assert int(xla.match.n_matches) == int(ker.match.n_matches)
+    assert abs(float(xla.energy) - float(ker.energy)) <= n * 0.001 + 1e-3
