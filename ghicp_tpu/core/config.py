@@ -64,6 +64,12 @@ class GHICPConfig:
     #     reference, whose keypoints sit on raw samples) ---
     refine_keypoints: bool = True
     refine_radius: float = 0.0            # 0 = auto (3 * voxel_size)
+    refine_method: str = "centroid"       # "centroid": curvature-weighted
+                                          # mean shift over candidates;
+                                          # "corner": least-squares tangent-
+                                          # plane intersection over surface
+                                          # neighbors (sampling-independent
+                                          # crease/vertex localization)
     min_curvature: float = 0.0            # extra keypoint gate (0 = ref.)
 
     # --- adaptive keypoint target band (keypoint_detect.hpp:79-106) ---
@@ -75,6 +81,11 @@ class GHICPConfig:
     bsc_grid_side: int = 7                # 7x7 cells per projection plane
     bsc_seed: int = 20170417              # PRNG seed replacing sample_pattern.txt
     bsc_neighbor_k: int = 128             # fixed-K cap inside sqrt(3)*r ball
+    bsc_radius: float = 0.0               # descriptor support radius; 0 =
+                                          # non_max_radius (reference tie,
+                                          # ghicp_main.cpp:113).  Keep grid
+                                          # cells 2r/7 above the keypoint
+                                          # localization noise
 
     # --- FPFH feature (fpfh.hpp:36-58) ---
     fpfh_k: int = 20                      # KNN for normals + SPFH
@@ -95,6 +106,22 @@ class GHICPConfig:
     converge_translation: float = 0.02    # m
     converge_rotation: float = 0.02       # degrees
     max_iterations: int = 100
+
+    # --- robust transform estimation (upgrade over the reference's plain
+    # SVD over all matched pairs, ghicp_reg.cpp:857-866).  The late-stage
+    # penalty gate is wide by design (floor 5.0 in scaled cost units,
+    # ghicp_reg.cpp:288 — tens of meters), so the complete global matching
+    # includes many geometrically-wrong pairs whose consistent displacement
+    # can drag the SVD into a wrong basin on scenes with near-symmetric
+    # structure.  Confidence weighting scales each pair's SVD weight by its
+    # gate margin (penalty - CD: early iterations this is feature
+    # agreement, late it is proximity); Tukey IRLS then re-estimates with
+    # biweights on the post-fit residuals, suppressing pairs that disagree
+    # with the consensus transform. ---
+    confidence_weighting: bool = False
+    robust_irls_rounds: int = 0           # extra estimate() passes (0 = ref
+                                          # parity: one plain weighted SVD)
+    robust_trim_c: float = 2.5            # Tukey cutoff = c * mean residual
 
     # --- auction solver (eps-scaling forward auction with outside option) ---
     auction_max_rounds: int = 300         # TOTAL bidding-round budget per

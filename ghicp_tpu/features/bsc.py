@@ -282,8 +282,14 @@ def extract_bsc(cloud: PointCloud, keypoints: Array, kp_mask: Array,
     g = config.bsc_grid_side
     pairs = jnp.asarray(sample_pattern(config.bsc_seed, g))
     perms = jnp.asarray(variant_permutations(g, num_variants))
+    # Descriptor radius: the reference reuses the NMS radius
+    # (ghicp_main.cpp:113), whose TLS settings are 1.0-1.5 m (run.sh:13-14).
+    # When NMS runs tighter than that (we default 0.5), tying the descriptor
+    # to it shrinks the grid cells (2r/7) below the keypoint localization
+    # noise and the bits decorrelate — bsc_radius overrides the tie.
+    radius = config.bsc_radius or float(config.non_max_radius)
     packed = _extract_jit(cloud, kp_xyz, kp_mask, pairs, perms,
-                          radius=float(config.non_max_radius), grid_side=g,
+                          radius=float(radius), grid_side=g,
                           num_variants=num_variants,
                           neighbor_k=config.bsc_neighbor_k)
     return BSCFeatures(packed=packed, mask=kp_mask,

@@ -364,6 +364,22 @@ def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
         b, -penalty, eps_final, max_rounds, comm, rel_eps=rel_eps,
         p0=p0, price_uncertainty=price_uncertainty,
         use_round_kernel=use_round_kernel)
+    # Greedy completion at budget exhaustion: rows still unassigned when the
+    # TOTAL rounds budget binds (acol == -1) take their best column at the
+    # current prices (duplicates allowed), or the sink if the sink rule says
+    # so.  Without this, budget exhaustion silently drops thousands of rows
+    # from the correspondence set, the SVD step is estimated from a sparse
+    # biased subset, the pose jumps, and the next iteration's warm-started
+    # prices are cold again — a feedback loop that makes the whole engine
+    # trajectory chaotic (observed: cor oscillating 5700 <-> 200 at 6k
+    # keypoints with every late iteration hitting the budget).  One extra
+    # top-1 sweep; exact one-to-one still holds for every row the auction
+    # itself assigned.
+    leftover = acol == -1
+    v = jnp.where(gate, b.astype(jnp.float32) - p[None, :], _NEG)
+    v1 = jnp.max(v, axis=1)
+    j1 = jnp.argmax(v, axis=1).astype(jnp.int32)
+    acol = jnp.where(leftover, jnp.where(v1 > -penalty, j1, _SINK), acol)
     matched = (acol >= 0) & (acol < T)
     jc = jnp.where(matched, acol, 0)
     real = mask_s & matched & gate[jnp.arange(S), jc]

@@ -34,6 +34,13 @@ from ghicp_tpu.preprocess.pca import PCAFeatures, pca_features
 
 Array = jax.Array
 
+# Test hook: force the whole-fixed-point NMS Pallas kernel (interpret mode)
+# on non-TPU backends so the dispatch path runs under the CPU test mesh.
+_NMS_KERNEL_INTERPRET = False
+
+# VMEM ceiling for the all-resident NMS kernel (~60 B/candidate of scratch).
+_NMS_KERNEL_MAX_N = 131072
+
 
 class KeypointResult(NamedTuple):
     mask: Array        # [N] bool — selected keypoints
@@ -56,6 +63,14 @@ def non_max_suppression(cloud: PointCloud, curvature: Array, candidates: Array,
                         chunk: int = 4096, max_rounds: int = 128):
     """Parallel greedy-equivalent NMS. Returns (selected mask, rounds)."""
     n = cloud.capacity
+    if ((jax.default_backend() == "tpu" or _NMS_KERNEL_INTERPRET)
+            and n % 256 == 0 and n <= _NMS_KERNEL_MAX_N):
+        # Whole-fixed-point Pallas kernel: exact radius (no K cap), all
+        # rounds in one launch, no neighbor lists (ops/nms_kernel.py).
+        from ghicp_tpu.ops.nms_kernel import nms_pallas
+        return nms_pallas(cloud.xyz, curvature, candidates & cloud.mask,
+                          radius, max_rounds=max_rounds,
+                          interpret=_NMS_KERNEL_INTERPRET)
     cand_cloud = PointCloud(xyz=cloud.xyz, mask=candidates)
     nb = radius_neighbors(cand_cloud, cand_cloud, radius=radius, k=k,
                           cell_cap=cell_cap, chunk=chunk, include_self=False)
@@ -120,6 +135,73 @@ def refine_positions(kp_xyz: Array, kp_mask: Array, cand_cloud: PointCloud,
                           cand_cloud.xyz[nb.idx]) / wsum[:, None]
     ok = kp_mask & (jnp.sum(nb.valid, axis=1) > 0)
     return jnp.where(ok[:, None], centroid, kp_xyz)
+
+
+def refine_positions_corner(kp_xyz: Array, kp_mask: Array,
+                            cloud: PointCloud, feats: PCAFeatures,
+                            radius: float, k: int = 96, cell_cap: int = 32,
+                            chunk: int = 2048, anchor: float = 0.05) -> Array:
+    """Plane-intersection keypoint localization.
+
+    Curvature-argmax keypoints wander along creases by ~the voxel size
+    (whichever sample won the noise lottery), which decorrelates BSC bits
+    (grid cells are 2r/7 ~ 0.14-0.29 m).  The geometrically-defined corner
+    is sampling-independent: solve
+
+        x* = argmin_x  sum_i w_i (n_i^T (x - p_i))^2  + lam |x - kp|^2
+
+    over surface neighbors p_i with PCA normals n_i — the least-squares
+    intersection of the local tangent planes (the ISS/Harris-3D sub-sample
+    refinement idea).  At a 3-plane corner x* is the exact vertex; on a
+    2-plane crease the anchor resolves the along-edge null direction to the
+    nearest point; on flat surface the anchor keeps x* at the keypoint.
+    Neighbor weights w_i = planarity (lam2-lam3)/lam1 trust only neighbors
+    whose own normal is well-defined.  (Not in the reference — its
+    keypoints sit on raw samples, keypoint_detect.hpp:149-191; gated by the
+    same end metric.)
+    """
+    query = PointCloud(xyz=kp_xyz, mask=kp_mask)
+    nb = radius_neighbors(query, cloud, radius=radius, k=k,
+                          cell_cap=cell_cap, chunk=min(chunk, kp_xyz.shape[0]))
+    n = feats.normal[nb.idx]                          # [S, K, 3]
+    p = cloud.xyz[nb.idx]                             # [S, K, 3]
+    ev = feats.eigvals[nb.idx]                        # [S, K, 3]
+    l1 = jnp.maximum(ev[..., 0], 1e-30)
+    planarity = (ev[..., 1] - ev[..., 2]) / l1
+    w = jnp.where(nb.valid & feats.valid[nb.idx],
+                  jnp.clip(planarity, 0.0, 1.0), 0.0)  # [S, K]
+    # Direction-density normalization: divide each neighbor's weight by the
+    # total weight pointing the same way ((n_i.n_j)^8 is ~1 within a plane,
+    # ~0 across orthogonal planes; squared dot = sign-invariant).  Each
+    # distinct tangent-plane DIRECTION then contributes ~unit total weight,
+    # so a corner solve is not dragged toward whichever face happens to
+    # have more samples in the ball (population imbalance also comes from
+    # per-cell caps saturating where several surfaces share a cell).
+    sim = jnp.einsum("ski,sli->skl", n, n) ** 2        # [S, K, K]
+    dens = jnp.einsum("skl,sl->sk", sim ** 4, w)
+    w = w / jnp.maximum(dens, 1e-6)
+    nnT = n[..., :, None] * n[..., None, :]            # [S, K, 3, 3]
+    A = jnp.einsum("sk,skij->sij", w, nnT)
+    ndp = jnp.sum(n * p, axis=-1)                      # [S, K]
+    b = jnp.einsum("sk,sk,ski->si", w, ndp, n)
+    lam = anchor * jnp.maximum(
+        jnp.trace(A, axis1=-2, axis2=-1), 1e-6)[:, None]
+    A = A + lam[..., None] * jnp.eye(3, dtype=A.dtype)
+    # Re-anchored fixed point: x_{k+1} = (A+lam I)^-1 (b + lam x_k).  In
+    # constrained directions the anchor's pull toward the START decays
+    # geometrically (the solution converges to the pure LS intersection);
+    # in null directions x_k is already the fixed point, so the along-edge
+    # position stays pinned at the keypoint.
+    x = kp_xyz
+    for _ in range(3):
+        x = jnp.linalg.solve(A, (b + lam * x)[..., None])[..., 0]
+    # Never move outside the query ball: a bad solve (near-singular A from
+    # a noise-dominated neighborhood) must not teleport the keypoint.
+    d = x - kp_xyz
+    dist = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    x = kp_xyz + d * jnp.minimum(1.0, radius / jnp.maximum(dist, 1e-12))
+    ok = kp_mask & (jnp.sum(w, axis=1) > 1e-6)
+    return jnp.where(ok[:, None], x, kp_xyz)
 
 
 def detect_keypoints(cloud: PointCloud, config: GHICPConfig,

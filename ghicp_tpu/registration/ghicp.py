@@ -195,7 +195,29 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
         iou = cor / jnp.maximum(ns + nt - cor, 1.0)
 
         tgt_pts = kp_t[match.tgt_idx]
-        rt_step = estimate(st.kps, tgt_pts, w, dof=config.reg_dof, comm=comm)
+        # Robust estimation (config-gated upgrade; reference = plain SVD
+        # over all matched pairs).  See GHICPConfig.confidence_weighting.
+        w_est = w
+        if config.confidence_weighting:
+            rows = jnp.arange(w.shape[0])
+            margin = jnp.maximum(cost.penalty - cost.cd[rows, match.tgt_idx],
+                                 0.0)
+            margin = jnp.where(w > 0, margin, 0.0)
+            msum = jnp.maximum(comm.psum(jnp.sum(margin)), 1e-12)
+            nw = jnp.maximum(comm.psum(jnp.sum(w)), 1.0)
+            w_est = margin * (nw / msum)   # mean weight 1 over matched pairs
+        rt_step = estimate(st.kps, tgt_pts, w_est, dof=config.reg_dof,
+                           comm=comm)
+        for _ in range(config.robust_irls_rounds):
+            resid = jnp.linalg.norm(tf.apply(rt_step, st.kps) - tgt_pts,
+                                    axis=-1)
+            rsum = jnp.maximum(comm.psum(jnp.sum(w_est)), 1e-12)
+            rmean = comm.psum(jnp.sum(w_est * resid)) / rsum
+            c = config.robust_trim_c * rmean + 1e-12
+            u = jnp.minimum(resid / c, 1.0)
+            wr = w_est * (1.0 - u * u) ** 2   # Tukey biweight
+            rt_step = estimate(st.kps, tgt_pts, wr, dof=config.reg_dof,
+                               comm=comm)
         R, t = tf.rotation(rt_step), tf.translation(rt_step)
         ang = tf.euler_deg_zyx(R)
         small = (jnp.all(jnp.abs(t) < config.converge_translation)

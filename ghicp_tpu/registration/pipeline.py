@@ -119,13 +119,20 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
     kp_s = ds.xyz[kp_s_idx]
     kp_t = dt.xyz[kp_t_idx]
     if config.refine_keypoints and fs_pca is not None:
-        from ghicp_tpu.preprocess.keypoints import (compact_candidates,
-                                                    refine_positions)
         rr = config.refine_radius or 3.0 * config.voxel_size
-        cc_s, curv_s = compact_candidates(ds, fs_pca, rs.candidates)
-        cc_t, curv_t = compact_candidates(dt, ft_pca, rt.candidates)
-        kp_s = refine_positions(kp_s, kp_s_mask, cc_s, curv_s, radius=rr)
-        kp_t = refine_positions(kp_t, kp_t_mask, cc_t, curv_t, radius=rr)
+        if config.refine_method == "corner":
+            from ghicp_tpu.preprocess.keypoints import refine_positions_corner
+            kp_s = refine_positions_corner(kp_s, kp_s_mask, ds, fs_pca,
+                                           radius=rr)
+            kp_t = refine_positions_corner(kp_t, kp_t_mask, dt, ft_pca,
+                                           radius=rr)
+        else:
+            from ghicp_tpu.preprocess.keypoints import (compact_candidates,
+                                                        refine_positions)
+            cc_s, curv_s = compact_candidates(ds, fs_pca, rs.candidates)
+            cc_t, curv_t = compact_candidates(dt, ft_pca, rt.candidates)
+            kp_s = refine_positions(kp_s, kp_s_mask, cc_s, curv_s, radius=rr)
+            kp_t = refine_positions(kp_t, kp_t_mask, cc_t, curv_t, radius=rr)
     timings["keypoints"] = time.perf_counter() - t0
 
     # --- features (ghicp_main.cpp:107-141) ---

@@ -209,3 +209,26 @@ def test_auction_round_kernel_path_matches_xla():
     # but the achieved energies must agree within the n*eps band.
     assert int(xla.match.n_matches) == int(ker.match.n_matches)
     assert abs(float(xla.energy) - float(ker.energy)) <= n * 0.001 + 1e-3
+
+
+def test_auction_budget_exhaustion_completes_assignment():
+    """When the TOTAL rounds budget binds mid-war, leftover rows must take
+    their best column at current prices (duplicates allowed) instead of
+    being silently dropped — a partial correspondence set destabilizes the
+    engine's SVD step (see auction_match completion comment)."""
+    rng = np.random.default_rng(17)
+    n = 200
+    cd = rng.uniform(0, 1, size=(n, n)).astype(np.float32)
+    m = jnp.ones(n, bool)
+    penalty = 1e6  # gate never binds; every row has a valid column
+    res = auction_match(jnp.asarray(cd), jnp.float32(penalty), m, m,
+                        eps_final=1e-4, max_rounds=2)
+    # Budget of 2 rounds cannot finish a 200-row auction; completion must
+    # still produce a full correspondence set.
+    assert int(res.match.n_matches) == n
+    assert int(res.rounds) == 2
+    # Unconstrained budget on the same problem stays exactly one-to-one.
+    full = auction_match(jnp.asarray(cd), jnp.float32(penalty), m, m,
+                         eps_final=1e-4, max_rounds=8000)
+    tj = np.asarray(full.match.tgt_idx)[np.asarray(full.match.w) > 0]
+    assert len(set(tj.tolist())) == len(tj)

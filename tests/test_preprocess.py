@@ -187,3 +187,45 @@ def test_pca_cell_table_matches_neighbor_list():
     np.testing.assert_allclose(np.asarray(got.curvature)[v],
                                np.asarray(want.curvature)[v], atol=2e-6)
     assert np.array_equal(np.asarray(got.valid), np.asarray(want.valid))
+
+
+def test_refine_positions_corner_snaps_to_vertex():
+    """Plane-intersection refinement must localize a 3-plane corner at the
+    true vertex regardless of where the curvature argmax landed, and must
+    not move a keypoint on flat surface."""
+    import jax.numpy as jnp
+    from ghicp_tpu.core.types import PointCloud
+    from ghicp_tpu.preprocess import pca_features
+    from ghicp_tpu.preprocess.keypoints import refine_positions_corner
+
+    rng = np.random.default_rng(21)
+    # Three orthogonal quarter-planes meeting at the origin (a box corner),
+    # sampled at production-like ~0.04 spacing (voxel-downsampled clouds
+    # have bounded per-cell density; dense multi-surface cells would
+    # saturate the neighbor-table caps instead).
+    g = np.arange(0.0, 1.0, 0.04, dtype=np.float32)
+    uu, vv = np.meshgrid(g, g)
+    u = np.stack([uu.ravel(), vv.ravel()], 1)
+    z = np.zeros(len(u), np.float32)
+    planes = [
+        np.stack([u[:, 0], u[:, 1], z], 1),   # z=0
+        np.stack([u[:, 0], z, u[:, 1]], 1),   # y=0
+        np.stack([z, u[:, 0], u[:, 1]], 1),   # x=0
+    ]
+    pts = np.concatenate(planes).astype(np.float32)
+    pts += rng.normal(0, 0.002, pts.shape).astype(np.float32)
+    cloud = PointCloud.from_points(pts, capacity=4096)
+    feats = pca_features(cloud, radius=0.15, k=48, cell_cap=32)
+
+    kp = jnp.asarray(np.float32([[0.12, 0.09, 0.0],     # off-vertex, on z=0
+                                 [0.6, 0.55, 0.0]]))    # mid-face (flat)
+    mask = jnp.asarray([True, True])
+    out = np.asarray(refine_positions_corner(kp, mask, cloud, feats,
+                                             radius=0.3, k=192,
+                                             cell_cap=128))
+    # Corner keypoint snaps to the vertex (origin).
+    assert np.linalg.norm(out[0]) < 0.03, out[0]
+    # Flat-surface keypoint stays within noise of where it was (the anchor
+    # dominates the null directions; the normal direction projects to the
+    # plane).
+    assert np.linalg.norm(out[1] - np.asarray(kp[1])) < 0.05, out[1]

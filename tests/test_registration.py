@@ -120,3 +120,20 @@ def test_min_cor_early_exit():
     # Degenerate targets give ~no keypoints -> early exit without NaNs.
     assert np.isfinite(out.transform).all()
     assert int(out.result.iterations) <= 10
+
+
+def test_robust_estimation_options():
+    """Confidence weighting + Tukey IRLS (config-gated upgrade over the
+    reference's plain SVD) must still recover a known transform and not
+    degrade the plain path's accuracy."""
+    src, tgt, T_gt = _full_overlap_pair(seed=6, rot_deg=10.0)
+    cfg = GHICPConfig(feature=FeatureType.BSC,
+                      correspondence=CorrespondenceType.KM,
+                      estimated_overlap=0.9, max_iterations=60,
+                      confidence_weighting=True, robust_irls_rounds=2,
+                      **BASE)
+    out = register_pair(src, tgt, cfg)
+    rot, tr = transform_error(out.transform, T_gt)
+    assert out.success
+    assert rot < 1.5, rot
+    assert tr < 0.3, tr
