@@ -118,10 +118,22 @@ class GHICPConfig:
     # agreement, late it is proximity); Tukey IRLS then re-estimates with
     # biweights on the post-fit residuals, suppressing pairs that disagree
     # with the consensus transform. ---
-    confidence_weighting: bool = False
-    robust_irls_rounds: int = 0           # extra estimate() passes (0 = ref
+    confidence_weighting: bool = True
+    robust_irls_rounds: int = 2           # extra estimate() passes (0 = ref
                                           # parity: one plain weighted SVD)
     robust_trim_c: float = 2.5            # Tukey cutoff = c * mean residual
+
+    # --- coarse initialization (matching/ransac.py; the TPU-parallel
+    # equivalent of the reference's SAC-IA coarse registration,
+    # common_reg.cpp:392-423, generalized to any feature) ---
+    coarse_init: str = "ransac"           # "ransac" | "none" (none = the
+                                          # reference's identity start —
+                                          # basin-of-attraction lottery when
+                                          # feature matching is noisy)
+    ransac_tau: float = 0.0               # inlier radius; 0 = 3*voxel_size
+    ransac_hypotheses: int = 1 << 17      # hypothesis sweep width
+    ransac_min_inliers: int = 12          # below this consensus the coarse
+                                          # pose is ignored (identity init)
 
     # --- auction solver (eps-scaling forward auction with outside option) ---
     auction_max_rounds: int = 300         # TOTAL bidding-round budget per

@@ -294,3 +294,21 @@ def extract_bsc(cloud: PointCloud, keypoints: Array, kp_mask: Array,
                           neighbor_k=config.bsc_neighbor_k)
     return BSCFeatures(packed=packed, mask=kp_mask,
                        n_bits=config.bsc_total_bits)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "neighbor_k"))
+def bsc_frames(cloud: PointCloud, kp_xyz: Array, kp_mask: Array,
+               radius: float, neighbor_k: int = 128) -> Array:
+    """Per-keypoint LCS rotation matrices ([S, 3, 3], rows = axes).
+
+    The same weighted-PCA local frames the BSC encoder rotates
+    neighborhoods into (bfe.hpp:121-155, 940-1035), exported for
+    frame-based pose hypotheses: one keypoint correspondence plus its two
+    frames fixes a full 6-DoF rigid transform (matching/ransac.py)."""
+    kp_cloud = PointCloud(xyz=kp_xyz, mask=kp_mask)
+    nb = radius_neighbors(kp_cloud, cloud, radius=float(np.sqrt(3.0) * radius),
+                          k=neighbor_k, cell_cap=max(neighbor_k // 4, 16))
+    return jax.vmap(
+        lambda idx, nv, kp: _local_coordinate_system(cloud.xyz[idx], nv, kp,
+                                                     radius)
+    )(nb.idx, nb.valid, kp_xyz)

@@ -28,11 +28,53 @@ def structured_scene(rng: np.random.Generator, n_points: int,
     parts.append(g)
 
     n_wall = n_points // 6
+    # Walls carry protruding boxes (windows/pilasters): long straight
+    # wall-ground / wall-top creases otherwise yield thousands of identical
+    # edge keypoints (the curvature detector keeps 1D-edge eigenprofiles,
+    # keypoint_detect.hpp:132-147) whose BSC descriptors form one giant
+    # impostor cluster — measured to be the dominant failure mode of
+    # feature matching on this synthetic.  Real TLS facades get their
+    # distinctiveness from exactly this kind of varied relief.
+    n_flat = n_wall // 2
     w1 = rng.uniform([-extent, -extent, 0], [extent, -extent + 0.02, 6.0],
-                     size=(n_wall // 2, 3))
+                     size=(n_flat // 2, 3))
     w2 = rng.uniform([-extent, -extent, 0], [-extent + 0.02, extent, 6.0],
-                     size=(n_wall - n_wall // 2, 3))
+                     size=(n_flat - n_flat // 2, 3))
     parts.extend([w1, w2])
+    n_prot = n_wall - n_flat
+    n_per_prot = max(n_prot // 50, 6)
+    placed_p = 0
+    while placed_p < n_prot:
+        m = min(n_per_prot, n_prot - placed_p)
+        sz = rng.uniform(0.25, 1.2, size=3)
+        u = rng.uniform(0, 1, size=(m, 3))
+        # protrusion = box sticking out of the wall plane by sz (sample the
+        # 5 exposed faces via rejection: drop the wall-side face)
+        face = rng.integers(0, 5, size=m)
+        pts = np.zeros((m, 3))
+        for k in range(m):
+            f = face[k]
+            p = u[k] * sz
+            if f == 0:
+                p[1] = sz[1]        # outer face
+            elif f == 1:
+                p[0] = 0.0
+            elif f == 2:
+                p[0] = sz[0]
+            elif f == 3:
+                p[2] = 0.0
+            else:
+                p[2] = sz[2]
+            pts[k] = p
+        along = rng.uniform(-extent * 0.95, extent * 0.95)
+        height = rng.uniform(0.0, 5.0)
+        if rng.random() < 0.5:
+            base = np.array([along, -extent, height])
+            parts.append(base + pts)
+        else:
+            base = np.array([-extent, along, height])
+            parts.append(base + pts[:, [1, 0, 2]])
+        placed_p += m
 
     n_boxes = n_points - n_ground - n_wall
     n_per_box = max(n_boxes // 40, 8)
@@ -44,16 +86,7 @@ def structured_scene(rng: np.random.Generator, n_points: int,
         m = min(n_per_box, n_boxes - placed)
         kind = obj_id % 4
         obj_id += 1
-        if kind == 3:
-            # octahedron (|x|+|y|+|z| = s) at a random orientation: eight
-            # sharp point-like vertices -> repeatable curvature keypoints
-            s = rng.uniform(0.5, 1.8)
-            v = rng.normal(size=(m, 3))
-            v = v / np.maximum(np.abs(v).sum(1, keepdims=True), 1e-9) * s
-            q = rng.normal(size=(3, 3))
-            Q, _ = np.linalg.qr(q)
-            parts.append(c + np.array([0, 0, s]) + v @ Q.T)
-        elif kind == 2:
+        if kind == 2:
             # vertical cylinder (tree trunk / pillar): distinctive curvature
             radius = rng.uniform(0.2, 1.2)
             height = rng.uniform(1.0, 6.0)
@@ -61,11 +94,12 @@ def structured_scene(rng: np.random.Generator, n_points: int,
             z = rng.uniform(0, height, m)
             pts = np.stack([radius * np.cos(ang), radius * np.sin(ang), z], 1)
             parts.append(c + pts)
-        else:
-            # box with a random yaw and (kind==1) a random slanted top cut,
-            # so corners/edges differ between objects — avoids the
-            # feature-ambiguity of cloned axis-aligned boxes.
-            size = rng.uniform(0.5, 4.0, size=3)
+        elif kind == 3:
+            # random-sheared box: a yawed box pushed through a random shear,
+            # so every corner has its own trihedral angle configuration
+            # (clone corners of axis-aligned primitives are descriptor
+            # impostors — see the bench-scene failure analysis)
+            size = rng.uniform(0.8, 4.0, size=3)
             face = rng.integers(0, 6, size=m)
             uv = rng.uniform(0, 1, size=(m, 2))
             pts = np.zeros((m, 3))
@@ -78,15 +112,43 @@ def structured_scene(rng: np.random.Generator, n_points: int,
                     pts[sel, others[0]] = uv[sel, 0]
                     pts[sel, others[1]] = uv[sel, 1]
             pts = pts * size
-            if kind == 1:
-                # slanted roof: shear the top face
-                slope = rng.uniform(-0.4, 0.4, 2)
-                pts[:, 2] += (pts[:, 0] * slope[0] + pts[:, 1] * slope[1]) \
-                    * (pts[:, 2] / max(size[2], 1e-6))
+            S = np.eye(3) + rng.uniform(-0.35, 0.35, (3, 3)) * (1 - np.eye(3))
             yaw = rng.uniform(0, 2 * np.pi)
             Rz = np.array([[np.cos(yaw), -np.sin(yaw), 0],
                            [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]])
-            parts.append(c + pts @ Rz.T)
+            pts = pts @ S.T @ Rz.T
+            pts[:, 2] -= pts[:, 2].min()
+            parts.append(c + pts)
+        else:
+            # random convex "crystal": the hull of 6-10 random vertices.
+            # Every vertex has a unique solid-angle configuration, so local
+            # descriptors (BSC) can tell objects apart — the property the
+            # registration benchmark actually needs from a TLS-like scene
+            # (real facades get it from varied window/cornice geometry).
+            from scipy.spatial import ConvexHull, QhullError
+            s = rng.uniform(0.6, 2.2)
+            for _ in range(8):
+                v = rng.normal(size=(int(rng.integers(6, 11)), 3))
+                v = v / np.linalg.norm(v, axis=1, keepdims=True)
+                v = v * (s * rng.uniform(0.5, 1.0, (len(v), 1)))
+                try:
+                    hull = ConvexHull(v)
+                    break
+                except QhullError:
+                    continue
+            else:
+                continue
+            tris = v[hull.simplices]                      # [F, 3, 3]
+            ab = tris[:, 1] - tris[:, 0]
+            ac = tris[:, 2] - tris[:, 0]
+            area = 0.5 * np.linalg.norm(np.cross(ab, ac), axis=1)
+            f = rng.choice(len(tris), m, p=area / area.sum())
+            r1 = np.sqrt(rng.uniform(0, 1, m))[:, None]
+            r2 = rng.uniform(0, 1, m)[:, None]
+            pts = ((1 - r1) * tris[f, 0] + r1 * (1 - r2) * tris[f, 1]
+                   + r1 * r2 * tris[f, 2])
+            pts[:, 2] -= v[:, 2].min()
+            parts.append(c + pts)
         placed += m
     scene = np.concatenate(parts, axis=0)[:n_points]
     return scene.astype(np.float32)

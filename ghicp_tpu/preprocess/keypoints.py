@@ -41,6 +41,10 @@ _NMS_KERNEL_INTERPRET = False
 # VMEM ceiling for the all-resident NMS kernel (~60 B/candidate of scratch).
 _NMS_KERNEL_MAX_N = 131072
 
+# Below this candidate count the exact O(N^2) jnp fixed point is used on
+# every backend (cheap, and immune to neighbor-cap overflow).
+_NMS_BRUTE_MAX_N = 8192
+
 
 class KeypointResult(NamedTuple):
     mask: Array        # [N] bool — selected keypoints
@@ -63,6 +67,15 @@ def non_max_suppression(cloud: PointCloud, curvature: Array, candidates: Array,
                         chunk: int = 4096, max_rounds: int = 128):
     """Parallel greedy-equivalent NMS. Returns (selected mask, rounds)."""
     n = cloud.capacity
+    if n <= _NMS_BRUTE_MAX_N:
+        # Exact O(N^2) fixed point: at small candidate counts the dense
+        # distance matrix is cheap on every backend and has no K/cell caps
+        # to overflow (dense raw-cloud scenes can exceed any fixed cap and
+        # silently violate the suppression radius).
+        from ghicp_tpu.ops.nms_kernel import nms_bruteforce_ref
+        return nms_bruteforce_ref(cloud.xyz, curvature,
+                                  candidates & cloud.mask, radius,
+                                  max_rounds=max_rounds)
     if ((jax.default_backend() == "tpu" or _NMS_KERNEL_INTERPRET)
             and n % 256 == 0 and n <= _NMS_KERNEL_MAX_N):
         # Whole-fixed-point Pallas kernel: exact radius (no K cap), all

@@ -45,9 +45,18 @@ def voxel_keys(xyz: Array, min_xyz: Array, voxel_size) -> Array:
     return hx + hy + hz
 
 
-@functools.partial(jax.jit, static_argnames=("voxel_size",))
-def voxel_downsample(cloud: PointCloud, voxel_size: float) -> PointCloud:
-    """One point per voxel; jitted, shape-preserving (mask shrinks)."""
+@functools.partial(jax.jit, static_argnames=("voxel_size", "mode"))
+def voxel_downsample(cloud: PointCloud, voxel_size: float,
+                     mode: str = "first") -> PointCloud:
+    """One point per voxel; jitted, shape-preserving (mask shrinks).
+
+    mode="first" keeps the lowest-original-index raw point per voxel (the
+    reference's semantics, filter.hpp:71-83).  mode="centroid" emits the
+    mean of the voxel's points instead: the representative is then stable
+    across re-scans of the same surface (keep-first wobbles by up to the
+    voxel diagonal depending on which raw point lands first), which feeds
+    descriptors a far less noisy support cloud.
+    """
     bounds = cloud_bounds(cloud)
     keys = voxel_keys(cloud.xyz, bounds.min_xyz, voxel_size)
     # Invalid points sort last (max key) and stay masked out.
@@ -60,4 +69,12 @@ def voxel_downsample(cloud: PointCloud, voxel_size: float) -> PointCloud:
     head = jnp.concatenate([
         jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]])
     mask = head & cloud.mask[order]
-    return PointCloud(xyz=cloud.xyz[order], mask=mask)
+    xyz_sorted = cloud.xyz[order]
+    if mode == "centroid":
+        run_id = jnp.cumsum(head) - 1                     # [N] int32
+        mf = cloud.mask[order].astype(jnp.float32)[:, None]
+        sums = jax.ops.segment_sum(xyz_sorted * mf, run_id, num_segments=n)
+        cnts = jax.ops.segment_sum(mf, run_id, num_segments=n)
+        centroid = sums / jnp.maximum(cnts, 1.0)
+        xyz_sorted = jnp.where(mask[:, None], centroid[run_id], xyz_sorted)
+    return PointCloud(xyz=xyz_sorted, mask=mask)

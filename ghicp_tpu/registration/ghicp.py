@@ -87,6 +87,11 @@ class _State(NamedTuple):
     prices: Array     # [T] auction dual prices carried across iterations
     price_unc: Array  # scalar bound on benefit drift since `prices` was set
     pen_prev: Array   # previous iteration's penalty (drift component)
+    it_shift: Array   # f32 schedule offset: W_FD decays from
+                      # exp(-it_shift/rate).  Nonzero when a trusted coarse
+                      # init (RANSAC) replaces the feature-driven early
+                      # phase — iteration 0's pure-FD matching would throw
+                      # a verified pose away (W_ED = 0 at it 0)
 
 
 def _matched_stats(src_pts, tgt_pts, fd, tgt_idx, w, comm: Comm):
@@ -105,7 +110,8 @@ def _matched_stats(src_pts, tgt_pts, fd, tgt_idx, w, comm: Comm):
 
 
 def _initial_state(kp_s: Array, n_target: int, config: GHICPConfig,
-                   init_transform: Optional[Array] = None) -> _State:
+                   init_transform: Optional[Array] = None,
+                   it_shift: float = 0.0) -> _State:
     """Loop state at iteration 0 (optionally warm-started — the reference
     always restarts from identity, ghicp_reg.h:95)."""
     S = kp_s.shape[0]
@@ -130,7 +136,8 @@ def _initial_state(kp_s: Array, n_target: int, config: GHICPConfig,
         metrics=metrics0, matches=jnp.full((S,), -1, jnp.int32),
         rmse_after=jnp.float32(jnp.inf),
         prices=jnp.zeros((n_target,), jnp.float32),
-        price_unc=jnp.float32(3.0e38), pen_prev=jnp.float32(0.0))
+        price_unc=jnp.float32(3.0e38), pen_prev=jnp.float32(0.0),
+        it_shift=jnp.float32(it_shift))
 
 
 def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
@@ -144,12 +151,14 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
     def body(st: _State) -> _State:
         ed = euclidean_matrix(st.kps, kp_t, scale)
         if config.feature == FeatureType.BSC:
-            cost = blend_bsc(ed, fd, mask_s, mask_t, st.it, st.rms, st.fdm,
+            it_eff = st.it.astype(jnp.float32) + st.it_shift
+            cost = blend_bsc(ed, fd, mask_s, mask_t, it_eff, st.rms, st.fdm,
                              st.fdstd, st.para1, st.para2, scale,
                              config.weight_changing_rate,
                              config.penalty_initial, comm)
         elif config.feature == FeatureType.FPFH:
-            cost = blend_fpfh(ed, fd, mask_s, mask_t, st.it, st.rms,
+            it_eff = st.it.astype(jnp.float32) + st.it_shift
+            cost = blend_fpfh(ed, fd, mask_s, mask_t, it_eff, st.rms,
                               st.para1, st.para2, scale,
                               config.penalty_initial, comm)
         else:
@@ -197,8 +206,13 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
         tgt_pts = kp_t[match.tgt_idx]
         # Robust estimation (config-gated upgrade; reference = plain SVD
         # over all matched pairs).  See GHICPConfig.confidence_weighting.
+        # Margin weights need the KM gate semantics (penalty = the
+        # rejection threshold the solver actually applied); the NN/NNR
+        # matchers don't gate on penalty, so cd > penalty pairs are
+        # legitimate there and must not be zeroed.
         w_est = w
-        if config.confidence_weighting:
+        if (config.confidence_weighting
+                and config.correspondence == CorrespondenceType.KM):
             rows = jnp.arange(w.shape[0])
             margin = jnp.maximum(cost.penalty - cost.cd[rows, match.tgt_idx],
                                  0.0)
@@ -208,7 +222,15 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
             w_est = margin * (nw / msum)   # mean weight 1 over matched pairs
         rt_step = estimate(st.kps, tgt_pts, w_est, dof=config.reg_dof,
                            comm=comm)
-        for _ in range(config.robust_irls_rounds):
+        # IRLS trimming likewise targets the KM path's wide-gate dilution
+        # (thousands of matches, many wrong-but-consistent).  On the sparse
+        # NN/NNR baselines the high-residual pairs ARE the rotation signal;
+        # trimming them stalls convergence (measured: station-graph NNR at
+        # 512 keypoints, 0.25deg -> 7.9deg).
+        irls_rounds = (config.robust_irls_rounds
+                       if config.correspondence == CorrespondenceType.KM
+                       else 0)
+        for _ in range(irls_rounds):
             resid = jnp.linalg.norm(tf.apply(rt_step, st.kps) - tgt_pts,
                                     axis=-1)
             rsum = jnp.maximum(comm.psum(jnp.sum(w_est)), 1e-12)
@@ -265,8 +287,8 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
         d_ed = scale * max_disp
         if config.feature == FeatureType.BSC:
             r = config.weight_changing_rate
-            dwfd = (jnp.exp(-i.astype(jnp.float32) / r)
-                    - jnp.exp(-(i + 1).astype(jnp.float32) / r))
+            i_eff = i.astype(jnp.float32) + st.it_shift
+            dwfd = jnp.exp(-i_eff / r) - jnp.exp(-(i_eff + 1.0) / r)
             ed_max = comm.pmax(jnp.max(jnp.where(
                 mask_s[:, None] & mask_t[None, :], ed, 0.0)))
             drift_next = d_ed + dwfd * (ed_max + d_ed)
@@ -280,7 +302,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
             para1=st.para1 + delta, para2=st.para2 + delta,
             metrics=metrics, matches=matches, rmse_after=rmse_after,
             prices=prices, price_unc=drift_next + 2.0 * eps_used,
-            pen_prev=cost.penalty)
+            pen_prev=cost.penalty, it_shift=st.it_shift)
 
     return body
 
@@ -288,7 +310,8 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
 def ghicp_loop(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
                fd: Array, bbx_magnitude: Array, config: GHICPConfig,
                comm: Comm = LOCAL, total_rows: Optional[int] = None,
-               init_transform: Optional[Array] = None) -> GHICPResult:
+               init_transform: Optional[Array] = None,
+               it_shift: float = 0.0) -> GHICPResult:
     """The GH-ICP fixed-point loop (unjitted body — see ``ghicp_register``
     for the single-device entry and ``ghicp_tpu.shard`` for the SPMD one).
 
@@ -299,7 +322,8 @@ def ghicp_loop(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
     """
     if total_rows is None:
         total_rows = kp_s.shape[0]
-    state0 = _initial_state(kp_s, kp_t.shape[0], config, init_transform)
+    state0 = _initial_state(kp_s, kp_t.shape[0], config, init_transform,
+                            it_shift)
     body = _make_body(kp_t, mask_s, mask_t, fd, bbx_magnitude, config, comm,
                       total_rows)
 
@@ -333,8 +357,8 @@ def _ghicp_chunk(state: _State, kp_t: Array, mask_s: Array, mask_t: Array,
 def ghicp_register_chunked(kp_s: Array, mask_s: Array, kp_t: Array,
                            mask_t: Array, fd: Array, bbx_magnitude: Array,
                            config: GHICPConfig, chunk: int = 8,
-                           init_transform: Optional[Array] = None
-                           ) -> GHICPResult:
+                           init_transform: Optional[Array] = None,
+                           it_shift: float = 0.0) -> GHICPResult:
     """Host-stepped GH-ICP: the same loop dispatched ``chunk`` iterations at
     a time.
 
@@ -343,7 +367,8 @@ def ghicp_register_chunked(kp_s: Array, mask_s: Array, kp_t: Array,
     (remote-TPU transports impose execution deadlines), and doubles as the
     observability hook — the host sees state between chunks.
     """
-    state = _initial_state(kp_s, kp_t.shape[0], config, init_transform)
+    state = _initial_state(kp_s, kp_t.shape[0], config, init_transform,
+                           it_shift)
     while True:
         state = _ghicp_chunk(state, kp_t, mask_s, mask_t, fd,
                              jnp.asarray(bbx_magnitude, jnp.float32),

@@ -160,11 +160,38 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
     t0 = time.perf_counter()
     T0 = None if initial_transform is None else jnp.asarray(
         initial_transform, jnp.float32)
+    it_shift = 0.0
+    if (T0 is None and config.coarse_init == "ransac"
+            and config.feature != FeatureType.NONE):
+        from ghicp_tpu.matching.ransac import ransac_coarse_align
+        # fd is a distance for BSC (Hamming) and a similarity in [0,1] for
+        # FPFH — flip the latter so smaller = more similar.
+        fd_dist = (1.0 - fd) if config.feature == FeatureType.FPFH else fd
+        tau = config.ransac_tau or 3.0 * config.voxel_size
+        frames_s = frames_t = None
+        if config.feature == FeatureType.BSC:
+            from ghicp_tpu.features.bsc import bsc_frames
+            br = config.bsc_radius or float(config.non_max_radius)
+            frames_s = bsc_frames(ds, kp_s, kp_s_mask, radius=br,
+                                  neighbor_k=config.bsc_neighbor_k)
+            frames_t = bsc_frames(dt, kp_t, kp_t_mask, radius=br,
+                                  neighbor_k=config.bsc_neighbor_k)
+        rr = ransac_coarse_align(kp_s, kp_s_mask, kp_t, kp_t_mask, fd_dist,
+                                 tau=tau, n_hyp=config.ransac_hypotheses,
+                                 frames_s=frames_s, frames_t=frames_t)
+        if int(rr.inliers) >= config.ransac_min_inliers:
+            T0 = rr.transform
+            # Skip the feature-dominant schedule phase: W_FD starts at
+            # exp(-3) — iteration 0's pure-FD global matching would discard
+            # the verified pose (W_ED = 0 at iteration 0).
+            it_shift = 3.0 * config.weight_changing_rate
+        timings["coarse_init"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
     # Host-stepped dispatch: one device call per few iterations (remote-TPU
     # transports impose single-execution deadlines at large keypoint counts).
     result = ghicp_register_chunked(kp_s, kp_s_mask, kp_t, kp_t_mask, fd,
                                     jnp.float32(bbx), config, chunk=8,
-                                    init_transform=T0)
+                                    init_transform=T0, it_shift=it_shift)
     jax.block_until_ready(result.transform)
     timings["register"] = time.perf_counter() - t0
 

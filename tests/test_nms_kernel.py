@@ -95,8 +95,8 @@ def test_kernel_far_from_origin():
 
 
 def test_dispatch_path_matches_gather_nms():
-    """non_max_suppression's kernel dispatch (interpret mode) must agree
-    with the gather-based path when the K cap does not bind."""
+    """All three NMS dispatch paths (exact brute, gather, Pallas kernel in
+    interpret mode) must agree when the gather K cap does not bind."""
     import ghicp_tpu.preprocess.keypoints as kp
     from ghicp_tpu.core.types import PointCloud
     rng = np.random.default_rng(15)
@@ -108,13 +108,22 @@ def test_dispatch_path_matches_gather_nms():
     curv_p[:n] = curv
     cand = np.zeros(512, bool)
     cand[:n] = True
-    gather_sel, _ = kp.non_max_suppression(
-        cloud, jnp.asarray(curv_p), jnp.asarray(cand), radius=0.8,
-        k=96, cell_cap=64, chunk=128)
+    brute_sel, _ = kp.non_max_suppression(
+        cloud, jnp.asarray(curv_p), jnp.asarray(cand), radius=0.8)
+    kp._NMS_BRUTE_MAX_N = 0      # force the gather path
+    try:
+        gather_sel, _ = kp.non_max_suppression(
+            cloud, jnp.asarray(curv_p), jnp.asarray(cand), radius=0.8,
+            k=96, cell_cap=64, chunk=128)
+    finally:
+        kp._NMS_BRUTE_MAX_N = 8192
+    assert np.array_equal(np.asarray(gather_sel), np.asarray(brute_sel))
     kp._NMS_KERNEL_INTERPRET = True
+    kp._NMS_BRUTE_MAX_N = 0      # force the Pallas kernel (interpret)
     try:
         kern_sel, _ = kp.non_max_suppression(
             cloud, jnp.asarray(curv_p), jnp.asarray(cand), radius=0.8)
     finally:
         kp._NMS_KERNEL_INTERPRET = False
-    assert np.array_equal(np.asarray(gather_sel), np.asarray(kern_sel))
+        kp._NMS_BRUTE_MAX_N = 8192
+    assert np.array_equal(np.asarray(brute_sel), np.asarray(kern_sel))
