@@ -232,3 +232,72 @@ def test_auction_budget_exhaustion_completes_assignment():
                          eps_final=1e-4, max_rounds=8000)
     tj = np.asarray(full.match.tgt_idx)[np.asarray(full.match.w) > 0]
     assert len(set(tj.tolist())) == len(tj)
+
+
+def test_ransac_coarse_align_recovers_pose():
+    """Frame-based + triple hypotheses recover a rigid transform from a
+    feature-distance matrix with heavy impostor noise."""
+    from ghicp_tpu.matching.ransac import ransac_coarse_align
+    rng = np.random.default_rng(9)
+    S = 256
+    kp_t = rng.uniform(0, 20, (S, 3)).astype(np.float32)
+    th = np.deg2rad(25.0)
+    axis = np.float32([0.2, -0.5, 0.84])
+    axis /= np.linalg.norm(axis)
+    K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]], np.float32)
+    R = np.eye(3, dtype=np.float32) + np.sin(th) * K \
+        + (1 - np.cos(th)) * (K @ K)
+    t = np.float32([1.0, -2.0, 0.5])
+    kp_s = ((kp_t - t) @ R).astype(np.float32)  # T maps s -> t
+    # fd: only 8% of rows carry a discriminative true match; the rest get
+    # a random impostor as their best candidate.
+    fd = rng.uniform(50, 200, (S, S)).astype(np.float32)
+    true_rows = rng.choice(S, 20, replace=False)
+    fd[true_rows, true_rows] = rng.uniform(0, 10, 20)
+    imp = np.setdiff1d(np.arange(S), true_rows)
+    fd[imp, rng.permutation(imp)] = rng.uniform(0, 10, len(imp))
+    m = jnp.ones(S, bool)
+    res = ransac_coarse_align(jnp.asarray(kp_s), m, jnp.asarray(kp_t), m,
+                              jnp.asarray(fd), tau=0.3, n_hyp=1 << 14)
+    T = np.asarray(res.transform)
+    assert int(res.inliers) >= 15
+    np.testing.assert_allclose(T[:3, :3], R, atol=5e-3)
+    np.testing.assert_allclose(T[:3, 3], t, atol=5e-2)
+
+
+def test_ransac_frame_hypotheses_low_inlier():
+    """With local frames, a handful of true pairs suffices even when random
+    triples would need a lucky draw (frame hypotheses are exhaustive)."""
+    from ghicp_tpu.matching.ransac import ransac_coarse_align
+    from ghicp_tpu.core import transform as tfm
+    rng = np.random.default_rng(10)
+    S = 200
+    kp_t = rng.uniform(0, 15, (S, 3)).astype(np.float32)
+    th = np.deg2rad(40.0)
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    t = np.float32([2.0, 1.0, -0.3])
+    kp_s = ((kp_t - t) @ R).astype(np.float32)
+    # random orthonormal target frames; source frames = Rt @ R (covariant)
+    frames_t = np.zeros((S, 3, 3), np.float32)
+    for i in range(S):
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        frames_t[i] = q.T
+    frames_s = np.einsum("sij,jk->sik", frames_t, R)
+    # only 5 true pairs; everything else random impostors
+    fd = rng.uniform(50, 200, (S, S)).astype(np.float32)
+    true_rows = rng.choice(S, 5, replace=False)
+    fd[true_rows, true_rows] = 1.0
+    imp = np.setdiff1d(np.arange(S), true_rows)
+    fd[imp, rng.permutation(imp)] = rng.uniform(0, 10, len(imp))
+    m = jnp.ones(S, bool)
+    res = ransac_coarse_align(jnp.asarray(kp_s), m, jnp.asarray(kp_t), m,
+                              jnp.asarray(fd), tau=0.2, n_hyp=1 << 13,
+                              frames_s=jnp.asarray(frames_s),
+                              frames_t=jnp.asarray(frames_t))
+    T = np.asarray(res.transform)
+    np.testing.assert_allclose(T[:3, :3], R, atol=1e-2)
+    np.testing.assert_allclose(T[:3, 3], t, atol=1e-1)
