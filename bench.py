@@ -112,17 +112,31 @@ def main():
     log(f"timings: { {k: round(v, 2) for k, v in out.timings.items()} }, "
         f"total={total:.1f}s")
 
-    # Warm per-iteration rate: rerun the (now compiled) registration phase.
-    from ghicp_tpu.registration.pipeline import register_pair as rp  # noqa
+    # Warm pipeline: rerun the (now compiled) full pipeline.
     t0 = time.perf_counter()
     out2 = register_pair(src, tgt, cfg)
     warm_total = time.perf_counter() - t0
-    reg_time = out2.timings["register"]
-    iters2 = max(int(out2.result.iterations), 1)
-    its_per_sec = iters2 / reg_time
     log(f"warm rerun: total={warm_total:.1f}s "
         f"timings={ {k: round(v, 2) for k, v in out2.timings.items()} } "
-        f"({iters2} iters -> {its_per_sec:.2f} it/s)")
+        f"({max(int(out2.result.iterations), 1)} iters)")
+
+    # Engine throughput (the headline metric): the RANSAC-initialized
+    # pipeline converges in ~3 iterations, too few to time stably — measure
+    # iterations/sec over a fixed 30-iteration identity-start engine run
+    # (convergence thresholds zeroed), the same per-iteration workload the
+    # serial baseline executes.
+    import dataclasses
+    cfg_tp = dataclasses.replace(cfg, coarse_init="none",
+                                 converge_translation=0.0,
+                                 converge_rotation=0.0, max_iterations=30)
+    register_pair(src, tgt, cfg_tp)          # compile
+    t0 = time.perf_counter()
+    out3 = register_pair(src, tgt, cfg_tp)
+    reg_time = out3.timings["register"]
+    iters3 = max(int(out3.result.iterations), 1)
+    its_per_sec = iters3 / reg_time
+    log(f"engine throughput: {iters3} iters in {reg_time:.2f}s -> "
+        f"{its_per_sec:.2f} it/s")
 
     bt = baseline_iteration_time(out.n_source_keypoints,
                                  out.n_target_keypoints)

@@ -257,9 +257,17 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
         owner, acol, p = jax.lax.fori_loop(0, 4, sweep, (owner, acol, p))
         return owner, acol, p
 
+    # Row-tile height: the kernel's VMEM footprint is ~5 x ts x C x 4B
+    # (double-buffered benefit stripe + the [ts, C] f32 round intermediates)
+    # against the 16MB scoped budget — shrink ts as columns grow.  ts=128
+    # fits C=8192; each doubling of C halves ts.
+    ts = 128
+    while ts > 16 and ts * C > 128 * 8192:
+        ts //= 2
     if (use_round_kernel and not comm.distributed
             and (jax.default_backend() == "tpu" or _KERNEL_INTERPRET)
-            and R % 128 == 0 and C % 128 == 0):
+            and R % ts == 0 and R % 128 == 0 and C % 128 == 0
+            and ts * C <= 128 * 8192):
         # Whole-phase Pallas kernel: every bidding round's state transition
         # happens in VMEM scratch, one launch per epsilon phase (see
         # ghicp_tpu/ops/auction_rounds.py), with an exact in-kernel
@@ -288,7 +296,7 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
         for k in range(n_phases):
             p, owner, sunk, r = auction_phase_pallas(
                 b, p, owner, sunk, eps_now, jnp.float32(sink_value),
-                remaining, interpret=_KERNEL_INTERPRET)
+                remaining, ts=ts, interpret=_KERNEL_INTERPRET)
             remaining = remaining - r
             spent = spent + r
             eps_next = jnp.maximum(eps_now / eps_scaling, eps_final)

@@ -107,3 +107,21 @@ def test_rounds_kernel_warm_state():
     m = auction_rounds_ref(b, *m, 0.1, -2.0, 5)
     for x, y in zip(a, m):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_phase_kernel_small_tile():
+    """ts=64 (the auto-shrunk tile used at wide matrices, C > 8192 —
+    VMEM footprint ~ ts*C) must match the reference fixed point."""
+    rng = np.random.default_rng(6)
+    S, C = 256, 384
+    b = rng.uniform(-4, 0, (S, C)).astype(np.float32)
+    b[rng.random((S, C)) < 0.25] = -3e38
+    p0 = jnp.zeros(C, jnp.float32)
+    o0 = jnp.full((C,), -1, jnp.int32)
+    s0 = jnp.zeros(S, jnp.int32)
+    p, o, s, r = auction_phase_pallas(jnp.asarray(b), p0, o0, s0, 0.05, -2.0,
+                                      300, ts=64, interpret=True)
+    rp, ro, rs = auction_rounds_ref(jnp.asarray(b), p0, o0, s0, 0.05, -2.0,
+                                    300)
+    for x, y in zip((p, o, s), (rp, ro, rs)):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
