@@ -49,8 +49,12 @@ def init_distributed(coordinator: Optional[str] = None,
             jax.distributed.initialize(coordinator_address=coordinator,
                                        num_processes=num_processes,
                                        process_id=process_id)
-        except RuntimeError:
-            pass  # already initialized
+        except RuntimeError as e:
+            # Tolerate only re-initialization; anything else (bind failure,
+            # rendezvous timeout) must surface, not silently degrade to a
+            # single-process run.
+            if "already initialized" not in str(e).lower():
+                raise
     return jax.process_count()
 
 
