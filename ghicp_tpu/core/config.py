@@ -151,6 +151,12 @@ class GHICPConfig:
                                           # 6.3 it/s); budget 50 costs
                                           # ~0.1 deg.  Raise toward 2000+
                                           # for exact-KM-parity studies
+    auction_phases: int = 4               # epsilon-scaling phases in the
+                                          # whole-phase kernel path (python-
+                                          # unrolled launches).  1 = bid at
+                                          # the final epsilon directly —
+                                          # fewer launches + no inter-phase
+                                          # CS-repair sweeps
     auction_rel_eps: float = 1.0 / 64.0   # final-eps floor as a fraction of
                                           # the benefit spread: assignment is
                                           # within n*rel_eps*spread of

@@ -153,7 +153,7 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
                    comm: Comm = LOCAL, row_offset=None,
                    eps_scaling: float = 5.0, rel_eps: float = 0.0,
                    p0: Optional[Array] = None, price_uncertainty=None,
-                   use_round_kernel: bool = False):
+                   use_round_kernel: bool = False, n_phases: int = 4):
     """Assignment on a benefit matrix b [R, C] (maximization) with an
     outside option at ``sink_value`` per row, via epsilon scaling with
     *kept assignments*.
@@ -202,7 +202,11 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
     finite_max = comm.pmax(jnp.max(jnp.where(jnp.isfinite(b), b, _NEG)))
     spread = jnp.maximum(finite_max - jnp.float32(sink_value), 0.0)
     eps_final = jnp.maximum(jnp.float32(eps), jnp.float32(rel_eps) * spread)
-    cold_eps0 = jnp.maximum(spread / 8.0, eps_final)
+    if n_phases <= 1:
+        # single-phase: bid at the final epsilon directly
+        cold_eps0 = eps_final
+    else:
+        cold_eps0 = jnp.maximum(spread / 8.0, eps_final)
     if p0 is None:
         eps0 = cold_eps0
         p_init = jnp.zeros((C,), jnp.float32)
@@ -286,7 +290,6 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
                 col_ids, mode="drop")
             return jnp.where((sunk == 1) & (acol < 0), _SINK, acol)
 
-        n_phases = 4
         owner = jnp.full((C,), -1, jnp.int32)
         sunk = jnp.zeros((R,), jnp.int32)
         p = p_init
@@ -335,14 +338,15 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
 @functools.partial(jax.jit, static_argnames=("eps_final", "max_rounds",
                                              "comm", "total_rows", "rel_eps",
                                              "quantize_bf16",
-                                             "use_round_kernel"))
+                                             "use_round_kernel", "n_phases"))
 def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
                   eps_final: float = 0.01, max_rounds: int = 8000,
                   comm: Comm = LOCAL, total_rows: int = None,
                   rel_eps: float = 0.0, p0: Optional[Array] = None,
                   price_uncertainty=None,
                   quantize_bf16: bool = False,
-                  use_round_kernel: bool = False) -> AuctionResult:
+                  use_round_kernel: bool = False,
+                  n_phases: int = 4) -> AuctionResult:
     """Global-optimal correspondence via auction (KM equivalent).
 
     cd: [S, T] blended cost (+inf at invalid pairs); S may be a local row
@@ -371,7 +375,7 @@ def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
     acol, p, rounds, eps_used = auction_assign(
         b, -penalty, eps_final, max_rounds, comm, rel_eps=rel_eps,
         p0=p0, price_uncertainty=price_uncertainty,
-        use_round_kernel=use_round_kernel)
+        use_round_kernel=use_round_kernel, n_phases=n_phases)
     # Greedy completion at budget exhaustion: rows still unassigned when the
     # TOTAL rounds budget binds (acol == -1) take their best column at the
     # current prices (duplicates allowed), or the sink if the sink rule says

@@ -184,7 +184,8 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
                                  rel_eps=config.auction_rel_eps,
                                  p0=st.prices, price_uncertainty=drift,
                                  quantize_bf16=config.auction_bf16,
-                                 use_round_kernel=config.auction_round_kernel)
+                                 use_round_kernel=config.auction_round_kernel,
+                                 n_phases=config.auction_phases)
             match = ares.match
             energy = ares.energy
             rounds = ares.rounds
