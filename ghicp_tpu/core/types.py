@@ -83,6 +83,37 @@ class PointCloud:
         return xyz[mask]
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _compact_gather(cloud: "PointCloud", capacity: int) -> "PointCloud":
+    # Stable argsort on ~mask keeps live points first, in original order.
+    sel = jnp.argsort(~cloud.mask)[:capacity]
+    cmask = cloud.mask[sel]
+    centroid = masked_mean(cloud.xyz, cloud.mask[:, None], axis=0)
+    xyz = jnp.where(cmask[:, None], cloud.xyz[sel], centroid)
+    return PointCloud(xyz=xyz, mask=cmask)
+
+
+def compact_device(cloud: PointCloud,
+                   capacity: Optional[int] = None) -> PointCloud:
+    """Compact live points into a smaller bucket WITHOUT leaving the device.
+
+    The host sees only a scalar count (for the static bucket size); the
+    gather itself is an on-device stable argsort + take.  Replaces the
+    [N,3] device->host->device bounce of ``to_numpy``/``from_points``
+    between pipeline stages (~0.3 s per 1M-capacity cloud through the
+    remote-TPU tunnel; the device-side sort is ~5 ms).  Padding rows are
+    filled with the live centroid, matching ``from_points``.
+    """
+    count = int(jnp.sum(cloud.mask))
+    cap = capacity or bucket_size(count)
+    if cap > cloud.capacity:
+        cap = cloud.capacity
+    return _compact_gather(cloud, cap)
+
+
 def fetch_xyz(x) -> np.ndarray:
     """Device -> host transfer of an [N, 3] array via its transpose.
 

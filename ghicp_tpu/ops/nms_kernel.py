@@ -4,20 +4,28 @@ The XLA NMS path (ghicp_tpu/preprocess/keypoints.py) precomputes K-capped
 radius neighbor lists and then, per round, gathers the alive/wins masks over
 the [N, K] lists — ~50M gather rows per round at TLS candidate counts
 (~0.2s/round on the 60M rows/s gather ceiling, 7+ rounds).  This kernel
-replaces the gathers with tiled brute-force distance tests: candidate
-coordinates, curvatures and the alive/wins/selected masks (~2MB at 64k
-candidates) live in VMEM scratch for the whole fixed point, each round is
-two tiled sweeps over the [N, N] pair space with the MXU carrying the
-distance cross terms, and the round loop early-exits the moment no
-candidate is undecided.  No neighbor lists, no K cap — the suppression
-radius is *exact*, which is more faithful to the reference's KD-tree
-``nonMaximaSuppression`` (keypoint_detect.hpp:149-191) than the capped
-gather path.
+replaces the gathers with tiled distance tests: candidate coordinates,
+curvatures and the alive/wins/selected masks (~2MB at 64k candidates) live in
+VMEM scratch for the whole fixed point, each round is two tiled sweeps over
+the pair space with the MXU carrying the distance cross terms, and the round
+loop early-exits the moment no candidate is undecided.  No neighbor lists,
+no K cap — the suppression radius is *exact*, which is more faithful to the
+reference's KD-tree ``nonMaximaSuppression`` (keypoint_detect.hpp:149-191)
+than the capped gather path.
+
+Spatial tile pruning: candidates are Morton-sorted before the launch, each
+tile's bounding box is computed, and a per-row-tile list of column tiles
+whose bbox is within ``radius`` is handed to the kernel (SMEM).  Tiles
+farther apart than the radius provably cannot interact, so each row sweeps
+only its O(1) spatial neighbors instead of all N/ts tiles — at TLS candidate
+counts (~48k in a 64k bucket, 256 tiles) this removes ~95% of the tile-pair
+work.  Tie-breaking stays on the ORIGINAL candidate index (carried through
+the sort), so the result is bit-identical to the unsorted fixed point.
 
 Per-round semantics (identical to ``non_max_suppression``'s fixed point):
   a candidate wins iff it is alive and lexicographically (curvature desc,
-  index asc) beats every alive candidate within ``radius`` (exact, not
-  K-capped); winners are selected, and every alive candidate within
+  original index asc) beats every alive candidate within ``radius`` (exact,
+  not K-capped); winners are selected, and every alive candidate within
   ``radius`` of a winner is suppressed.  Iterating reproduces the serial
   greedy-by-curvature result exactly.
 
@@ -42,17 +50,15 @@ _NEG = -3.0e38
 _BIG = 2**30
 
 
-def _nms_kernel(r2_ref, maxr_ref, xyz_ref, norm_ref, curv_ref, cand_ref,
-                sel_out, rounds_out, s_alive, s_wins, s_sel, *, ts: int):
+def _nms_kernel(r2_ref, maxr_ref, nbr_cnt_ref, nbr_idx_ref, xyz_ref, norm_ref,
+                curv_ref, oid_ref, cand_ref, sel_out, rounds_out,
+                s_alive, s_wins, s_sel, *, ts: int):
     n_tiles = curv_ref.shape[0]
     r2 = r2_ref[0]
     max_rounds = maxr_ref[0]
 
     s_alive[:, :] = cand_ref[:, :]
     s_sel[:, :] = jnp.zeros_like(s_sel)
-
-    def gid(t):
-        return t * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, 1), 0)[:, 0]
 
     def dist2_tile(r, c):
         # [ts, ts] squared distances between row tile r and column tile c.
@@ -72,19 +78,20 @@ def _nms_kernel(r2_ref, maxr_ref, xyz_ref, norm_ref, curv_ref, cand_ref,
 
         @pl.when(jnp.sum(alive_i) > 0)
         def _():
-            gidi = gid(r)
+            oidi = oid_ref[r]
             curvi = curv_ref[r]
 
-            def col(c, carry):
+            def col(j, carry):
+                c = nbr_idx_ref[r, j]
                 maxc, idmin = carry
-                gidj = gid(c)
+                oidj = oid_ref[c]
                 m = ((dist2_tile(r, c) <= r2)
-                     & (gidi[:, None] != gidj[None, :])
+                     & (oidi[:, None] != oidj[None, :])
                      & (s_alive[c, :][None, :] > 0))
                 cj = jnp.where(m, curv_ref[c][None, :], _NEG)
                 tmax = jnp.max(cj, axis=1)
                 tid = jnp.min(jnp.where(m & (cj == tmax[:, None]),
-                                        gidj[None, :], _BIG), axis=1)
+                                        oidj[None, :], _BIG), axis=1)
                 better = tmax > maxc
                 equal = tmax == maxc
                 idmin = jnp.where(better, tid,
@@ -93,10 +100,10 @@ def _nms_kernel(r2_ref, maxr_ref, xyz_ref, norm_ref, curv_ref, cand_ref,
                 return jnp.maximum(maxc, tmax), idmin
 
             maxc0 = jnp.full((ts,), _NEG, jnp.float32)
-            maxc, idmin = jax.lax.fori_loop(0, n_tiles, col,
+            maxc, idmin = jax.lax.fori_loop(0, nbr_cnt_ref[r], col,
                                             (maxc0, jnp.full((ts,), _BIG)))
             wins = (alive_i > 0) & ((curvi > maxc)
-                                    | ((curvi == maxc) & (gidi < idmin)))
+                                    | ((curvi == maxc) & (oidi < idmin)))
             s_wins[r, :] = wins.astype(jnp.int32)
         return 0
 
@@ -107,16 +114,17 @@ def _nms_kernel(r2_ref, maxr_ref, xyz_ref, norm_ref, curv_ref, cand_ref,
 
         @pl.when(jnp.sum(alive_i) > 0)
         def _():
-            gidi = gid(r)
+            oidi = oid_ref[r]
 
-            def col(c, supp):
+            def col(j, supp):
+                c = nbr_idx_ref[r, j]
                 m = ((dist2_tile(r, c) <= r2)
-                     & (gidi[:, None] != gid(c)[None, :])
+                     & (oidi[:, None] != oid_ref[c][None, :])
                      & (s_wins[c, :][None, :] > 0))
                 # int32 carry: Mosaic mislays an i1 vector loop carry.
                 return jnp.maximum(supp, jnp.any(m, axis=1).astype(jnp.int32))
 
-            supp = jax.lax.fori_loop(0, n_tiles, col,
+            supp = jax.lax.fori_loop(0, nbr_cnt_ref[r], col,
                                      jnp.zeros((ts,), jnp.int32))
             s_alive[r, :] = ((alive_i > 0) & (s_wins[r, :] == 0)
                              & (supp == 0)).astype(jnp.int32)
@@ -138,30 +146,82 @@ def _nms_kernel(r2_ref, maxr_ref, xyz_ref, norm_ref, curv_ref, cand_ref,
     rounds_out[0] = rounds
 
 
-@functools.partial(jax.jit, static_argnames=("ts", "max_rounds", "interpret"))
-def nms_pallas(xyz: Array, curv: Array, cand: Array, radius,
-               max_rounds: int = 128, ts: int = 256,
-               interpret: bool = False):
-    """Exact-radius greedy-equivalent NMS, whole fixed point in one launch.
+def _spread3(v: Array) -> Array:
+    """Spread the low 10 bits of ``v`` so consecutive bits are 3 apart."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
 
-    xyz [N, 3] f32, curv [N] f32, cand [N] bool (invalid/padding rows
-    False); N % ts == 0.  Returns (selected [N] bool, rounds int32).
+
+@functools.partial(jax.jit, static_argnames=("ts",))
+def _nms_prep(xyz: Array, curv: Array, cand: Array, radius, ts: int):
+    """Center, Morton-sort, tile, and compute the near-tile lists.
+
+    Returns sorted per-tile inputs plus the full [T, T] near-tile index
+    table and per-row counts; the wrapper slices the table to the measured
+    max count (static shape) before the kernel launch.
     """
     N = curv.shape[0]
     n_tiles = N // ts
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
     nc = jnp.maximum(jnp.sum(cand.astype(jnp.float32)), 1.0)
     center = jnp.sum(jnp.where(cand[:, None], xyz, 0.0), axis=0) / nc
     x = jnp.where(cand[:, None], xyz - center[None, :], 0.0)
-    x8 = jnp.pad(x, ((0, 0), (0, 5))).reshape(n_tiles, ts, 8)
-    norm = jnp.sum(x * x, axis=1).reshape(n_tiles, ts)
+
+    # Morton order at ~extent/1024 resolution (valid candidates only;
+    # invalid rows sort last).
+    mn = jnp.min(jnp.where(cand[:, None], x, 3e38), axis=0)
+    mx = jnp.max(jnp.where(cand[:, None], x, -3e38), axis=0)
+    q = jnp.maximum(jnp.max(mx - mn), 1e-6) / 1023.0
+    ig = jnp.clip(((x - mn[None, :]) / q), 0.0, 1023.0).astype(jnp.int32)
+    code = (_spread3(ig[:, 0]) | (_spread3(ig[:, 1]) << 1)
+            | (_spread3(ig[:, 2]) << 2))
+    code = jnp.where(cand, code, jnp.int32(2**31 - 1))
+    order = jnp.argsort(code).astype(jnp.int32)          # stable
+
+    xs = x[order]
+    cs = curv[order].reshape(n_tiles, ts)
+    cd = cand[order].reshape(n_tiles, ts)
+    oid = order.reshape(n_tiles, ts)
+    norm = jnp.sum(xs * xs, axis=1).reshape(n_tiles, ts)
+    x8 = jnp.pad(xs, ((0, 0), (0, 5))).reshape(n_tiles, ts, 8)
+
+    # Tile bounding boxes over valid candidates; tiles whose boxes are
+    # farther than radius apart cannot interact in any round.
+    xt = xs.reshape(n_tiles, ts, 3)
+    vt = cd[:, :, None]
+    tmn = jnp.min(jnp.where(vt, xt, 3e38), axis=1)        # [T, 3]
+    tmx = jnp.max(jnp.where(vt, xt, -3e38), axis=1)
+    gap = jnp.maximum(tmn[:, None, :] - tmx[None, :, :],
+                      tmn[None, :, :] - tmx[:, None, :])
+    gap = jnp.maximum(gap, 0.0)
+    gap = jnp.minimum(gap, 1e19)                          # avoid inf*inf
+    d2t = jnp.sum(gap * gap, axis=-1)
+    near = d2t <= r2                                      # [T, T]
+    nbr_cnt = jnp.sum(near.astype(jnp.int32), axis=1)
+    nbr_idx = jnp.argsort(~near, axis=1).astype(jnp.int32)
+    return x8, norm, cs, oid, cd, nbr_cnt, nbr_idx, order
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ts", "maxn", "max_rounds", "interpret"))
+def _nms_launch(x8, norm, cs, oid, cd, nbr_cnt, nbr_idx_full, radius,
+                ts: int, maxn: int, max_rounds: int, interpret: bool):
+    n_tiles = cs.shape[0]
+    nbr_idx = nbr_idx_full[:, :maxn]
     sel, rounds = pl.pallas_call(
         functools.partial(_nms_kernel, ts=ts),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # radius^2 [1]
             pl.BlockSpec(memory_space=pltpu.SMEM),   # max_rounds [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # nbr_cnt [T]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # nbr_idx [T, maxn]
             pl.BlockSpec(memory_space=pltpu.VMEM),   # xyz8 [T, ts, 8]
             pl.BlockSpec(memory_space=pltpu.VMEM),   # |x|^2 [T, ts]
             pl.BlockSpec(memory_space=pltpu.VMEM),   # curv [T, ts]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # original ids [T, ts]
             pl.BlockSpec(memory_space=pltpu.VMEM),   # cand [T, ts]
         ],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -176,9 +236,36 @@ def nms_pallas(xyz: Array, curv: Array, cand: Array, radius,
         interpret=interpret,
     )(jnp.asarray(radius, jnp.float32).reshape(1) ** 2,
       jnp.asarray(max_rounds, jnp.int32).reshape(1),
-      x8, norm, curv.reshape(n_tiles, ts),
-      cand.astype(jnp.int32).reshape(n_tiles, ts))
-    return sel.reshape(N).astype(jnp.bool_), rounds[0]
+      nbr_cnt, nbr_idx, x8, norm, cs, oid,
+      cd.astype(jnp.int32))
+    return sel, rounds[0]
+
+
+def nms_pallas(xyz: Array, curv: Array, cand: Array, radius,
+               max_rounds: int = 128, ts: int = 256,
+               interpret: bool = False):
+    """Exact-radius greedy-equivalent NMS, whole fixed point in one launch.
+
+    xyz [N, 3] f32, curv [N] f32, cand [N] bool (invalid/padding rows
+    False); N % ts == 0.  Returns (selected [N] bool, rounds int32).
+    Host-orchestrated: one scalar sync picks the static width of the
+    near-tile table (bucketed so recompiles stay rare).
+    """
+    N = curv.shape[0]
+    n_tiles = N // ts
+    x8, norm, cs, oid, cd, nbr_cnt, nbr_idx, order = _nms_prep(
+        xyz, curv, cand, radius, ts)
+    maxn = int(jnp.max(nbr_cnt))
+    # Bucket the static slice width: powers of two, capped at T.
+    m = 8
+    while m < maxn:
+        m *= 2
+    maxn = min(m, n_tiles)
+    sel_sorted, rounds = _nms_launch(x8, norm, cs, oid, cd, nbr_cnt, nbr_idx,
+                                     radius, ts, maxn, max_rounds, interpret)
+    sel = jnp.zeros((N,), jnp.bool_).at[order].set(
+        sel_sorted.reshape(N).astype(jnp.bool_))
+    return sel, rounds
 
 
 def nms_bruteforce_ref(xyz, curv, cand, radius, max_rounds: int = 128):

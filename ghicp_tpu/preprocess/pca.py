@@ -24,10 +24,13 @@ import jax.numpy as jnp
 
 from ghicp_tpu.core.types import PointCloud
 from ghicp_tpu.ops.eigh3 import eigh3
-from ghicp_tpu.preprocess.neighbors import (CellTable, NeighborList,
+from ghicp_tpu.preprocess.neighbors import (_OFFSET_HASHES, CellTable,
+                                            NeighborList, _lookup_cells,
                                             build_cell_table, cell_candidates)
 
 Array = jax.Array
+
+_HI = jax.lax.Precision.HIGHEST
 
 
 class PCAFeatures(NamedTuple):
@@ -88,11 +91,192 @@ def _pca_cell_block(table: CellTable, qxyz: Array, qmask: Array,
                        n_neighbors=cnt.astype(jnp.int32), valid=valid)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "k", "cell_cap",
-                                             "chunk", "max_cells"))
+def _outer6(d: Array) -> Array:
+    """Unique second-moment products (xx, yy, zz, xy, xz, yz) of [..., 3]."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    return jnp.stack([x * x, y * y, z * z, x * y, x * z, y * z], axis=-1)
+
+
+def _cov_from6(s2: Array) -> Array:
+    """[..., 6] unique moments -> [..., 3, 3] symmetric matrix."""
+    xx, yy, zz, xy, xz, yz = (s2[..., i] for i in range(6))
+    row0 = jnp.stack([xx, xy, xz], axis=-1)
+    row1 = jnp.stack([xy, yy, yz], axis=-1)
+    row2 = jnp.stack([xz, yz, zz], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "n_chunks", "chunk",
+                                             "capacity"))
+def _pca_cell_pair(table: CellTable, radius: float, chunk: int,
+                   n_chunks: int, capacity: int):
+    """Cell-pair PCA: one pass over occupied cells, queries = cell residents.
+
+    Gather economy beats even the per-query cell-table path: the 27
+    neighbor-block rows are fetched once per CELL, not once per QUERY
+    (~``cap``x fewer gather rows), and the moment accumulation is one masked
+    [cap, 27*cap] @ [27*cap, 10] matmul per cell (MXU).  Numerics: all
+    coordinates are centered at the cell's resident mean before any product,
+    so the E[ddT] - mu muT subtraction happens on O(radius) magnitudes.
+
+    The occupied cells form a prefix of the (hash-sorted) table; callers pass
+    ``n_chunks`` covering that prefix.  Returns per-slot features plus the
+    original point index per slot for scattering, shapes [P, cap, ...] with
+    P = n_chunks * chunk.
+    """
+    cap = table.xyz.shape[1]
+    P = n_chunks * chunk
+    M = table.hashes.shape[0]
+    if P > M:
+        # Pad the cell axis so dynamic_slice never clamps (clamped slices
+        # would re-read earlier cells and double-scatter their points).
+        ext = P - M
+        table = CellTable(
+            hashes=jnp.pad(table.hashes, (0, ext),
+                           constant_values=jnp.int32(2**31 - 1)),
+            xyz=jnp.pad(table.xyz, ((0, ext), (0, 0), (0, 0))),
+            idx=jnp.pad(table.idx, ((0, ext), (0, 0))),
+            cnt=jnp.pad(table.cnt, (0, ext)),
+            min_xyz=table.min_xyz, cell=table.cell)
+    r2 = jnp.float32(radius * radius)
+    offs = jnp.asarray(_OFFSET_HASHES)
+
+    def body(i):
+        sl = i * chunk
+        hashes = jax.lax.dynamic_slice_in_dim(table.hashes, sl, chunk)
+        qxyz = jax.lax.dynamic_slice_in_dim(table.xyz, sl, chunk)   # [B,cap,3]
+        qcnt = jax.lax.dynamic_slice_in_dim(table.cnt, sl, chunk)   # [B]
+        lane = jnp.arange(cap, dtype=jnp.int32)
+        qok = lane[None, :] < qcnt[:, None]                         # [B,cap]
+        nh = hashes[:, None] + offs[None, :]                        # [B,27]
+        cid = jnp.minimum(_lookup_cells(table, nh),
+                          table.hashes.shape[0] - 1).astype(jnp.int32)
+        exists = table.hashes[cid] == nh                            # [B,27]
+        cand = table.xyz[cid]                                       # [B,27,cap,3]
+        ccnt = table.cnt[cid]                                       # [B,27]
+        cok = exists[:, :, None] & (lane[None, None, :] < ccnt[:, :, None])
+        b = chunk
+        cand = cand.reshape(b, 27 * cap, 3)
+        cok = cok.reshape(b, 27 * cap)
+        qokf = qok.astype(jnp.float32)
+        center = (jnp.sum(qxyz * qokf[..., None], axis=1)
+                  / jnp.maximum(jnp.sum(qokf, axis=1), 1.0)[:, None])
+        q = (qxyz - center[:, None, :]) * qokf[..., None]
+        c = jnp.where(cok[..., None], cand - center[:, None, :], 0.0)
+        q2 = jnp.sum(q * q, axis=-1)                                # [B,cap]
+        c2 = jnp.sum(c * c, axis=-1)                                # [B,27cap]
+        qc = jnp.einsum("bqi,bci->bqc", q, c, precision=_HI)
+        d2 = q2[:, :, None] + c2[:, None, :] - 2.0 * qc
+        w = (cok[:, None, :] & (d2 <= r2)).astype(jnp.float32)      # [B,cap,27cap]
+        feats = jnp.concatenate(
+            [c, _outer6(c), jnp.where(cok, 1.0, 0.0)[..., None]], axis=-1)
+        m = jnp.einsum("bqc,bcf->bqf", w, feats, precision=_HI)     # [B,cap,10]
+        cnt = jnp.maximum(m[..., 9], 1.0)
+        s1 = m[..., 0:3] / cnt[..., None]
+        s2 = m[..., 3:9] / cnt[..., None]
+        cov = _cov_from6(s2) - s1[..., :, None] * s1[..., None, :]
+        idx = jax.lax.dynamic_slice_in_dim(table.idx, sl, chunk)    # [B,cap]
+        return cov, m[..., 9], idx, qok
+
+    cov, cnt, idx, resident = jax.lax.map(body, jnp.arange(n_chunks))
+    cov = cov.reshape(P * cap, 3, 3)
+    cnt = cnt.reshape(P * cap)
+    idx = idx.reshape(P * cap)
+    resident = resident.reshape(P * cap)
+    vals, vecs = eigh3(cov)
+    vals = jnp.maximum(vals, 0.0)
+    total = jnp.sum(vals, axis=-1)
+    curvature = jnp.where(total > 0, vals[:, 2] / jnp.maximum(total, 1e-30),
+                          0.0)
+    # Scatter per-slot features back to original point order.
+    n = capacity
+    tgt = jnp.where(resident, idx, n)
+    def scat(x, fill=0.0):
+        base = jnp.full((n + 1,) + x.shape[1:], fill, x.dtype)
+        return base.at[tgt].set(x, mode="drop")[:n]
+    return PCAFeatures(
+        eigvals=scat(vals), principal=scat(vecs[:, :, 0]),
+        normal=scat(vecs[:, :, 2]), curvature=scat(curvature),
+        n_neighbors=scat(cnt.astype(jnp.int32)),
+        valid=scat(resident & (cnt >= 3)))
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "chunk"))
+def _pca_query_subset(table: CellTable, qxyz: Array, qmask: Array,
+                      radius: float, chunk: int) -> PCAFeatures:
+    """Per-query cell-table PCA over an explicit (small) query set."""
+    nq = qxyz.shape[0]
+    pad = (-nq) % chunk
+    qx = jnp.pad(qxyz, ((0, pad), (0, 0)))
+    qm = jnp.pad(qmask, (0, pad))
+
+    def body(args):
+        x, m = args
+        return _pca_cell_block(table, x, m, radius)
+
+    out = jax.lax.map(body, (qx.reshape(-1, chunk, 3),
+                             qm.reshape(-1, chunk)))
+    return PCAFeatures(*(v.reshape((-1,) + v.shape[2:])[:nq] for v in out))
+
+
 def pca_features(cloud: PointCloud, radius: float, k: int = 128,
                  cell_cap: int = 64, chunk: int = 4096,
-                 max_cells: int = 0) -> PCAFeatures:
+                 max_cells: int = 0, cell_pair: bool = True) -> PCAFeatures:
+    """Per-point PCA features over a fixed-radius (cap-truncated) neighborhood.
+
+    Default path: cell-pair sweep over occupied cells (see
+    :func:`_pca_cell_pair`), with residents that overflowed ``cell_cap`` (or
+    ``max_cells``) — i.e. points absent from the table — handled by the
+    per-query fallback so every valid point still gets features, exactly as
+    the reference computes PCA for every point (pca.h:133-165).  Neighbor
+    truncation semantics (``cell_cap``/``max_cells``) are identical in both
+    paths.
+    """
+    if not cell_pair:
+        return _pca_features_query(cloud, radius=radius, k=k,
+                                   cell_cap=cell_cap, chunk=chunk,
+                                   max_cells=max_cells)
+    if max_cells <= 0:
+        max_cells = cloud.capacity
+    table = build_cell_table(cloud, cell=radius, max_cells=max_cells,
+                             cap=cell_cap)
+    n = cloud.capacity
+    n_cells = int(jnp.sum(table.hashes != jnp.int32(2**31 - 1)))
+    cell_chunk = 256
+    n_chunks = max((min(n_cells, max_cells) + cell_chunk - 1) // cell_chunk, 1)
+    feats = _pca_cell_pair(table, radius, cell_chunk, n_chunks, n)
+    # Spill: valid points not resident in the table (rank >= cap or cell
+    # beyond max_cells).  Rare at sane caps; a scalar count is the only
+    # host sync.
+    in_table = feats.n_neighbors > 0  # residents always count themselves
+    spill = cloud.mask & ~in_table
+    n_spill = int(jnp.sum(spill))
+    if n_spill == 0:
+        return feats
+    from ghicp_tpu.core.types import bucket_size
+    cap_s = bucket_size(n_spill, min_size=256)
+    sel = jnp.argsort(~spill)[:cap_s]
+    smask = spill[sel]
+    sp = _pca_query_subset(table, cloud.xyz[sel], smask, radius,
+                           chunk=min(1024, cap_s))
+    def merge(base, upd):
+        u = jnp.where(smask.reshape(smask.shape + (1,) * (upd.ndim - 1)),
+                      upd, base[sel])
+        return base.at[sel].set(u)
+    return PCAFeatures(
+        eigvals=merge(feats.eigvals, sp.eigvals),
+        principal=merge(feats.principal, sp.principal),
+        normal=merge(feats.normal, sp.normal),
+        curvature=merge(feats.curvature, sp.curvature),
+        n_neighbors=merge(feats.n_neighbors, sp.n_neighbors),
+        valid=merge(feats.valid, sp.valid))
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "k", "cell_cap",
+                                             "chunk", "max_cells"))
+def _pca_features_query(cloud: PointCloud, radius: float, k: int = 128,
+                        cell_cap: int = 64, chunk: int = 4096,
+                        max_cells: int = 0) -> PCAFeatures:
     """Per-point PCA features over a fixed-radius (cap-truncated) neighborhood.
 
     Fused + chunked: peak extra memory is O(chunk * 27 * cell_cap) plus the

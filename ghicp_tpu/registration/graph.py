@@ -62,10 +62,9 @@ def build_station(pts: np.ndarray, index: int, config: GHICPConfig,
     from ghicp_tpu.preprocess import pca_features
     from ghicp_tpu.preprocess.keypoints import (compact_candidates,
                                                 refine_positions)
+    from ghicp_tpu.core.types import compact_device
     cloud = PointCloud.from_points(pts)
-    down = voxel_downsample(cloud, config.voxel_size)
-    dpts = down.to_numpy()
-    dcloud = PointCloud.from_points(dpts)
+    dcloud = compact_device(voxel_downsample(cloud, config.voxel_size))
     bbx = float(cloud_bounds(dcloud).magnitude)
     pca = pca_features(dcloud, radius=config.neighborhood_radius,
                        k=config.neighbor_k, cell_cap=config.pca_cell_cap,

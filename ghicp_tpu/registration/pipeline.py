@@ -45,8 +45,8 @@ class RegistrationOutput:
 
 
 def _compact(cloud: PointCloud, capacity: Optional[int] = None) -> PointCloud:
-    pts = cloud.to_numpy()
-    return PointCloud.from_points(pts, capacity=capacity or bucket_size(len(pts)))
+    from ghicp_tpu.core.types import compact_device
+    return compact_device(cloud, capacity)
 
 
 def _keypoint_arrays(mask: np.ndarray, capacity: int):

@@ -229,3 +229,29 @@ def test_refine_positions_corner_snaps_to_vertex():
     # dominates the null directions; the normal direction projects to the
     # plane).
     assert np.linalg.norm(out[1] - np.asarray(kp[1])) < 0.05, out[1]
+
+
+def test_pca_cell_pair_spill_matches_query_path():
+    """Cell-pair PCA with a tiny cell cap (forcing resident overflow) must
+    still produce features for EVERY valid point, identical to the per-query
+    path — the spill fallback covers points absent from the cell table."""
+    from ghicp_tpu.preprocess.pca import _pca_features_query, pca_features
+    rng = np.random.default_rng(11)
+    n = 2000
+    xyz = rng.uniform(0, 4, (n, 3)).astype(np.float32)
+    mask = np.ones(n, bool)
+    mask[-37:] = False
+    pc = PointCloud(xyz=jnp.asarray(xyz), mask=jnp.asarray(mask))
+    r = 0.9
+    # cell_cap=8 at ~45 pts/cell: most points spill.
+    got = pca_features(pc, radius=r, cell_cap=8, chunk=512, max_cells=512)
+    want = _pca_features_query(pc, radius=r, cell_cap=8, chunk=512,
+                               max_cells=512)
+    v = mask
+    assert np.array_equal(np.asarray(got.n_neighbors)[v],
+                          np.asarray(want.n_neighbors)[v])
+    np.testing.assert_allclose(np.asarray(got.eigvals)[v],
+                               np.asarray(want.eigvals)[v], atol=3e-6)
+    np.testing.assert_allclose(np.asarray(got.curvature)[v],
+                               np.asarray(want.curvature)[v], atol=3e-6)
+    assert np.array_equal(np.asarray(got.valid)[v], np.asarray(want.valid)[v])
