@@ -136,7 +136,7 @@ class GHICPConfig:
                                           # pose is ignored (identity init)
 
     # --- auction solver (eps-scaling forward auction with outside option) ---
-    auction_max_rounds: int = 100         # TOTAL bidding-round budget per
+    auction_max_rounds: int = 48          # TOTAL bidding-round budget per
                                           # solve.  Rows still mid-war at
                                           # the cap take their best column
                                           # at current prices (greedy
@@ -144,13 +144,15 @@ class GHICPConfig:
                                           # margin-weighted robust
                                           # estimation the truncated solve
                                           # loses nothing measurable:
-                                          # at 6.6k keypoints budget 100
-                                          # registers 0.00 deg / 0.01 m
-                                          # identical to budget 300 at 2.3x
-                                          # the iteration rate (14.6 vs
-                                          # 6.3 it/s); budget 50 costs
-                                          # ~0.1 deg.  Raise toward 2000+
-                                          # for exact-KM-parity studies
+                                          # at 6.6k keypoints budgets
+                                          # 16/32/48/100 all register
+                                          # 0.00-0.11 deg / 0.01 m (within
+                                          # run variance) at 32.6/27.5/
+                                          # 22.7/14.6 it/s — 48 keeps a 3x
+                                          # margin above the measured
+                                          # accuracy floor.  Raise toward
+                                          # 2000+ for exact-KM-parity
+                                          # studies
     auction_phases: int = 4               # epsilon-scaling phases in the
                                           # whole-phase kernel path (python-
                                           # unrolled launches).  1 = bid at

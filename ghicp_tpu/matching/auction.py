@@ -281,7 +281,7 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
         # earlier ones left (matching the XLA while-loop path's semantics,
         # not the old static even split).  Between phases the same CS
         # repair runs in XLA on the derived (owner, acol, p) state.
-        from ghicp_tpu.ops.auction_rounds import auction_phase_pallas
+        from ghicp_tpu.ops.auction_rounds import auction_phase_gs_pallas
         col_ids = jnp.arange(C, dtype=jnp.int32)
 
         def derive_acol(owner, sunk):
@@ -292,14 +292,31 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
 
         owner = jnp.full((C,), -1, jnp.int32)
         sunk = jnp.zeros((R,), jnp.int32)
+        open_ = jnp.ones((R,), jnp.int32)
         p = p_init
         eps_now = eps0
         remaining = jnp.int32(max_rounds)
         spent = jnp.int32(0)
+        esc_after = esc_period = jnp.int32(1)
+        r = jnp.int32(0)
         for k in range(n_phases):
-            p, owner, sunk, r = auction_phase_pallas(
-                b, p, owner, sunk, eps_now, jnp.float32(sink_value),
-                remaining, ts=ts, interpret=_KERNEL_INTERPRET)
+            # Epsilon escalation from half this phase's budget: cross-tile
+            # price wars otherwise burn the whole budget at eps_final (the
+            # tail rows then fall to greedy completion).  Escalated-late
+            # assignments degrade gracefully instead — the auction keeps
+            # resolving structure at geometrically coarser margins.
+            esc_after = jnp.maximum(remaining // 2, 1)
+            esc_period = jnp.maximum(remaining // 8, 1)
+            # inner_cap=1: tile-local quiescence OFF.  Measured on the bench
+            # matrices: tie-heavy FD wars need ~1e5 bid exchanges (~10us
+            # each) to true eps-CS convergence; grinding them in-VMEM is
+            # 100x slower than the budget truncation + greedy completion,
+            # which costs nothing measurable in pose accuracy (NOTES.md).
+            p, owner, sunk, r = auction_phase_gs_pallas(
+                b, p, owner, sunk, open_, eps_now, jnp.float32(sink_value),
+                remaining, ts=ts, inner_cap=1,
+                esc_after=esc_after, esc_period=esc_period,
+                interpret=_KERNEL_INTERPRET)
             remaining = remaining - r
             spent = spent + r
             eps_next = jnp.maximum(eps_now / eps_scaling, eps_final)
@@ -308,9 +325,15 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
                 owner, acol, p = reopen_violators((owner, acol, p),
                                                   eps_now, eps_next)
                 sunk = (acol == _SINK).astype(jnp.int32)
+                open_ = (acol == -1).astype(jnp.int32)
             eps_now = eps_next
         acol = derive_acol(owner, sunk)
-        return acol, p, spent, eps_final
+        # Price-overshoot bound for warm starts: a column won at sweep r of
+        # the final phase carries up to the escalated epsilon of that sweep.
+        eps_bound = eps_final * jnp.exp2(
+            jnp.maximum(r - esc_after, 0).astype(jnp.float32)
+            / esc_period.astype(jnp.float32))
+        return acol, p, spent, eps_bound
 
     def cond(c):
         return ~c[0]

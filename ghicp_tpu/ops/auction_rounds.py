@@ -316,6 +316,343 @@ def auction_phase_pallas(b: Array, p0: Array, owner0: Array, sunk0: Array,
     return out[0][0], out[1][0], out[2].reshape(S), out[3][0]
 
 
+def _gs_kernel(eps_ref, sink_ref, maxr_ref, esc_ref, b_ref, p0_ref,
+               owner0_ref, sunk0_ref, open0_ref,
+               p_out, owner_out, sunk_out, rounds_out,
+               s_p, s_owner, s_sunk, s_open, s_tile, s_list, sems,
+               *, ts: int, inner_cap: int):
+    """Gauss-Seidel phase with tile-local quiescence.
+
+    Differences from ``_phase_kernel`` (Jacobi):
+
+    * prices/owners resolve after EVERY bid batch, so later bidders in the
+      same sweep see fresh prices — asynchronous Gauss-Seidel auction; the
+      eps-CS invariant per winning bid is order-independent (Bertsekas),
+      only the trajectory changes, not the terminal guarantee;
+    * **tile-local quiescence**: once a benefit stripe is DMA'd into VMEM,
+      the tile's open rows bid/resolve REPEATEDLY (up to ``inner_cap``) until
+      none remain open — intra-tile price wars run entirely in VMEM at
+      microseconds per round instead of costing one full HBM sweep each.
+      Cross-tile eviction chains advance every sweep;
+    * an exact per-row ``open`` bitmap (unassigned & not sunk) is maintained
+      by vector ops — winners/sunk close their own tile's lanes, eviction
+      victims re-open via one small one-hot MXU matmul — so each sweep
+      DMA-streams ONLY tiles that still have open rows (compacted into an
+      SMEM list at sweep start).  Late sweeps (a handful of contested rows)
+      cost a couple of stripe streams instead of S/ts.
+
+    ``max_rounds`` caps and counts SWEEPS (same budget unit as the Jacobi
+    kernel's full-matrix rounds; one sweep streams at most the whole
+    matrix).  State invariant: open[i] == (no column's owner pointer
+    targets i) and not sunk[i].  A row bids only while open; a winning bid
+    closes the winner and re-opens the evicted previous owner (never itself
+    a winner of the same resolve, since owners don't bid).
+    """
+    n_tiles = s_list.shape[0]
+    C = s_p.shape[0]
+    eps0 = eps_ref[0]
+    sink = sink_ref[0]
+    max_rounds = maxr_ref[0]
+    esc_after = esc_ref[0]
+    esc_period = esc_ref[1]
+
+    s_p[:] = p0_ref[0, :]
+    s_owner[:] = owner0_ref[0, :]
+    s_sunk[:, :] = sunk0_ref[:, :]
+    s_open[:, :] = open0_ref[:, :]
+
+    def stripe_dma(t, slot):
+        return pltpu.make_async_copy(
+            b_ref.at[pl.ds(t * ts, ts), :], s_tile.at[slot], sems.at[slot])
+
+    def sweep_eps(r):
+        """Escalating epsilon: eps * 2^((r - esc_after)/esc_period) once the
+        sweep index passes ``esc_after``.  Contested tail rows (the only
+        ones still bidding late) then resolve with geometrically coarser
+        margins — a graceful degradation toward greedy that terminates the
+        cross-tile price wars, strictly better than hitting the budget cap
+        and greedy-completing (the auction keeps resolving structure).
+        esc_after = 0 disables (eps stays put)."""
+        boost = jnp.where(
+            esc_after > 0,
+            jnp.exp2(jnp.maximum(r - esc_after, 0).astype(jnp.float32)
+                     / jnp.maximum(esc_period, 1).astype(jnp.float32)),
+            1.0)
+        return eps0 * boost
+
+    def build_active_list():
+        def body(t, cnt):
+            open_t = jnp.sum(s_open[t, :])
+
+            @pl.when(open_t > 0)
+            def _():
+                s_list[cnt] = t
+            return cnt + (open_t > 0).astype(jnp.int32)
+
+        return jax.lax.fori_loop(0, n_tiles, body, jnp.int32(0))
+
+    def bid_resolve(t, slot, eps):
+        """One bid/resolve batch for tile t's open rows (stripe in VMEM)."""
+        gid = t * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, 1), 0)[:, 0]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ts, C), 1)
+        unassigned = s_open[t, :] > 0
+
+        p = s_p[:]
+        owner_prev = s_owner[:]
+        v = s_tile[slot].astype(jnp.float32) - p[None, :]
+        v1 = jnp.max(v, axis=1)
+        j1 = jnp.argmax(v, axis=1).astype(jnp.int32)
+        onehot = cols == j1[:, None]
+        v2 = jnp.max(jnp.where(onehot, _NEG, v), axis=1)
+
+        to_sink = unassigned & (v1 <= sink)
+        bidding = unassigned & ~to_sink
+
+        # bid = p[j1] + delta; within a column all bidders share p[c], so
+        # bids compare as deltas and the winning price is p[c] + max delta.
+        delta = v1 - jnp.maximum(v2, sink) + eps
+        # (i1 vectors can't grow a minor dim in Mosaic — widen via int32.)
+        bidding2d = bidding.astype(jnp.int32)[:, None] > 0
+        contrib = jnp.where(onehot & bidding2d, delta[:, None],
+                            jnp.float32(_NEG))                    # [ts, C]
+        dmax = jnp.max(contrib, axis=0)                           # [C]
+        has = dmax > _NEG / 2
+        at_max = (contrib == dmax[None, :]) & has[None, :]
+        wingid = jnp.max(jnp.where(at_max, gid[:, None], -1), axis=0)
+
+        won = bidding & (jnp.max(jnp.where(onehot, wingid[None, :], -1),
+                                 axis=1) == gid)
+        vic = jnp.where(won, jnp.max(jnp.where(onehot, owner_prev[None, :],
+                                               -1), axis=1), -1)  # [ts]
+
+        s_owner[:] = jnp.where(has, wingid, owner_prev)
+        s_p[:] = p + jnp.where(has, dmax, 0.0)
+        s_sunk[t, :] = jnp.where(to_sink, jnp.int32(1), s_sunk[t, :])
+
+        # Re-open eviction victims.  hit[u, l] = any_k(vic_k == u*ts + l),
+        # computed as ONE small MXU matmul of the victim tile/lane one-hots
+        # (a per-tile scan would be n_tiles sequential vector ops).  Victims
+        # are never winners of this resolve, so update order is free.
+        @pl.when(jnp.max(vic) >= 0)
+        def _reopen():
+            u_iota = jax.lax.broadcasted_iota(jnp.int32, (ts, n_tiles), 1)
+            l_iota = jax.lax.broadcasted_iota(jnp.int32, (ts, ts), 1)
+            valid = (vic >= 0).astype(jnp.int32)[:, None]
+            vt = jnp.where(vic >= 0, vic // ts, n_tiles)
+            tiles_oh = ((u_iota == vt[:, None]) & (valid > 0))
+            lanes_oh = (l_iota == (vic - vt * ts)[:, None])
+            cnt = jax.lax.dot_general(
+                tiles_oh.astype(jnp.float32), lanes_oh.astype(jnp.float32),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [n_tiles, ts]
+            s_open[:, :] = jnp.where(cnt > 0.5, jnp.int32(1), s_open[:, :])
+        # Close winners and sunk rows of this tile.
+        closed = won | to_sink
+        s_open[t, :] = jnp.where(closed, jnp.int32(0), s_open[t, :])
+
+    def round_cond(carry):
+        r, n_open = carry
+        return (n_open > 0) & (r < max_rounds)
+
+    def round_body(carry):
+        r, _ = carry
+        eps = sweep_eps(r)
+
+        def tile_body(j, n_active):
+            t = s_list[j]
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < n_active)
+            def _prefetch():
+                stripe_dma(s_list[j + 1], jax.lax.rem(j + 1, 2)).start()
+
+            stripe_dma(t, slot).wait()
+
+            def icond(k):
+                return (jnp.sum(s_open[t, :]) > 0) & (k < inner_cap)
+
+            def ibody(k):
+                bid_resolve(t, slot, eps)
+                return k + 1
+
+            jax.lax.while_loop(icond, ibody, jnp.int32(0))
+            return n_active
+
+        n_active = build_active_list()
+
+        @pl.when(n_active > 0)
+        def _seed():
+            stripe_dma(s_list[0], 0).start()
+
+        jax.lax.fori_loop(0, n_active, tile_body, n_active)
+        return r + 1, jnp.sum(s_open[:, :])
+
+    r, _ = jax.lax.while_loop(round_cond, round_body,
+                              (jnp.int32(0), jnp.sum(s_open[:, :])))
+    p_out[0, :] = s_p[:]
+    owner_out[0, :] = s_owner[:]
+    sunk_out[:, :] = s_sunk[:, :]
+    rounds_out[0] = r
+
+
+@functools.partial(jax.jit, static_argnames=("ts", "inner_cap", "interpret"))
+def auction_phase_gs_pallas(b: Array, p0: Array, owner0: Array, sunk0: Array,
+                            open0: Array, eps, sink_value, max_rounds,
+                            ts: int = 128, inner_cap: int = 128,
+                            esc_after=0, esc_period=1,
+                            interpret: bool = False):
+    """Gauss-Seidel bidding phase with active-tile skipping and tile-local
+    quiescence (up to ``inner_cap`` in-VMEM bid rounds per tile visit).
+
+    Same phase contract as :func:`auction_phase_pallas` (returns
+    (p [C], owner [C], sunk [S], rounds)) plus an explicit ``open0`` [S]
+    int32 mask of rows that may still bid (unassigned, not sunk).  Rounds
+    count full sweeps over the active tiles.  ``esc_after``/``esc_period``
+    (runtime scalars) switch on epsilon escalation: from sweep
+    ``esc_after`` the working epsilon doubles every ``esc_period`` sweeps,
+    terminating cross-tile price wars gracefully (0 = fixed epsilon).
+    S % ts == 0; C % 128 == 0.
+    """
+    S, C = b.shape
+    n_tiles = S // ts
+    esc = jnp.stack([jnp.asarray(esc_after, jnp.int32),
+                     jnp.asarray(esc_period, jnp.int32)])
+    out = pl.pallas_call(
+        functools.partial(_gs_kernel, ts=ts, inner_cap=inner_cap),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # eps [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # sink [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # max_rounds [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # esc [2]
+            pl.BlockSpec(memory_space=pl.ANY),        # b (HBM; manual DMA)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # p0 [1, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # owner0 [1, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # sunk0 [tiles, ts]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # open0 [tiles, ts]
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, ts), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((C,), jnp.float32),           # prices
+            pltpu.VMEM((C,), jnp.int32),             # owners
+            pltpu.VMEM((n_tiles, ts), jnp.int32),    # sunk, tile-major
+            pltpu.VMEM((n_tiles, ts), jnp.int32),    # open, tile-major
+            pltpu.VMEM((2, ts, C), b.dtype),         # stripe double buffer
+            pltpu.SMEM((n_tiles,), jnp.int32),       # active-tile list
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(eps, jnp.float32).reshape(1),
+      jnp.asarray(sink_value, jnp.float32).reshape(1),
+      jnp.asarray(max_rounds, jnp.int32).reshape(1),
+      esc,
+      b, p0.reshape(1, C), owner0.reshape(1, C),
+      sunk0.reshape(n_tiles, ts), open0.reshape(n_tiles, ts))
+    return out[0][0], out[1][0], out[2].reshape(S), out[3][0]
+
+
+def auction_rounds_gs_ref(b: Array, p0: Array, owner0: Array, sunk0: Array,
+                          open0: Array, eps, sink_value, n_rounds: int,
+                          ts: int = 128, inner_cap: int = 128,
+                          esc_after: int = 0, esc_period: int = 1):
+    """jnp reference of the Gauss-Seidel sweep semantics (parity tests).
+
+    Processes row tiles of height ``ts`` sequentially with immediate price/
+    owner resolution and per-tile quiescence (up to ``inner_cap`` bid rounds
+    while the tile has open rows), mirroring ``_gs_kernel`` exactly
+    (including the max-gid tie break and the epsilon-escalation schedule)."""
+    S, C = b.shape
+    n_tiles = S // ts
+    cols = jnp.arange(C, dtype=jnp.int32)
+
+    def sweep_eps(r):
+        boost = jnp.where(
+            esc_after > 0,
+            jnp.exp2(jnp.maximum(r - esc_after, 0).astype(jnp.float32)
+                     / jnp.maximum(esc_period, 1)),
+            1.0)
+        return jnp.float32(eps) * boost
+
+    def bid_resolve(carry, t, eps):
+        p, owner, sunk, open_ = carry
+        sl = t * ts
+        gid = sl + jnp.arange(ts, dtype=jnp.int32)
+        open_t = jax.lax.dynamic_slice_in_dim(open_, sl, ts)
+        bt = jax.lax.dynamic_slice_in_dim(b, sl, ts).astype(jnp.float32)
+        v = bt - p[None, :]
+        v1 = jnp.max(v, axis=1)
+        j1 = jnp.argmax(v, axis=1).astype(jnp.int32)
+        onehot = cols[None, :] == j1[:, None]
+        v2 = jnp.max(jnp.where(onehot, _NEG, v), axis=1)
+        unassigned = open_t > 0
+        to_sink = unassigned & (v1 <= sink_value)
+        bidding = unassigned & ~to_sink
+        delta = v1 - jnp.maximum(v2, sink_value) + eps
+        contrib = jnp.where(onehot & bidding[:, None], delta[:, None], _NEG)
+        dmax = jnp.max(contrib, axis=0)
+        has = dmax > _NEG / 2
+        at_max = (contrib == dmax[None, :]) & has[None, :]
+        wingid = jnp.max(jnp.where(at_max, gid[:, None], -1), axis=0)
+        won = bidding & (jnp.max(jnp.where(onehot, wingid[None, :], -1),
+                                 axis=1) == gid)
+        vic = jnp.where(won, jnp.max(jnp.where(onehot, owner[None, :], -1),
+                                     axis=1), -1)
+        owner = jnp.where(has, wingid, owner)
+        p = p + jnp.where(has, dmax, 0.0)
+        sunk = jax.lax.dynamic_update_slice_in_dim(
+            sunk, jnp.where(to_sink, 1, jax.lax.dynamic_slice_in_dim(
+                sunk, sl, ts)), sl, axis=0)
+        hit = jnp.any(vic[:, None] == jnp.arange(S)[None, :], axis=0)
+        open_ = jnp.where(hit, 1, open_)
+        open_t2 = jax.lax.dynamic_slice_in_dim(open_, sl, ts)
+        open_ = jax.lax.dynamic_update_slice_in_dim(
+            open_, jnp.where(won | to_sink, 0, open_t2), sl, axis=0)
+        return p, owner, sunk, open_
+
+    def round_(carry, r):
+        # The kernel freezes its active-tile list at sweep start: a tile
+        # re-activated mid-sweep (evictions from a later tile) waits for the
+        # next sweep.  Mirror that by gating on the sweep-start open mask.
+        open_start = carry[3]
+        eps_r = sweep_eps(r)
+
+        def tile(carry, t):
+            active0 = jnp.sum(jax.lax.dynamic_slice_in_dim(
+                open_start, t * ts, ts)) > 0
+
+            def icond(c):
+                k, (p, owner, sunk, open_) = c
+                open_t = jax.lax.dynamic_slice_in_dim(open_, t * ts, ts)
+                return active0 & (jnp.sum(open_t) > 0) & (k < inner_cap)
+
+            def ibody(c):
+                k, st = c
+                return k + 1, bid_resolve(st, t, eps_r)
+
+            _, carry = jax.lax.while_loop(icond, ibody,
+                                          (jnp.int32(0), carry))
+            return carry, None
+
+        (carry), _ = jax.lax.scan(tile, carry,
+                                  jnp.arange(n_tiles, dtype=jnp.int32))
+        return carry, None
+
+    (p, owner, sunk, open_), _ = jax.lax.scan(
+        round_, (p0, owner0, sunk0, open0),
+        jnp.arange(n_rounds, dtype=jnp.int32))
+    return p, owner, sunk, open_
+
+
 def auction_rounds_ref(b: Array, p0: Array, owner0: Array, sunk0: Array,
                        eps, sink_value, n_rounds: int):
     """jnp reference of the same fixed-round semantics (for parity tests)."""

@@ -59,6 +59,25 @@ def _keypoint_arrays(mask: np.ndarray, capacity: int):
     return jnp.asarray(out), jnp.asarray(m), n
 
 
+def _morton_order_rows(xyz, mask):
+    """Spatial (Morton) ordering of keypoint rows.
+
+    The auction kernel tiles SOURCE rows; rows contesting the same targets
+    are spatial neighbors (the cost is ED-dominated late), so a spatial row
+    order turns cross-tile eviction chains into intra-tile ones that the
+    kernel's tile-local quiescence resolves in VMEM.  Matching semantics are
+    order-invariant; only the tiling locality changes."""
+    from ghicp_tpu.ops.nms_kernel import _spread3
+    mn = jnp.min(jnp.where(mask[:, None], xyz, 3e38), axis=0)
+    mx = jnp.max(jnp.where(mask[:, None], xyz, -3e38), axis=0)
+    q = jnp.maximum(jnp.max(mx - mn), 1e-6) / 1023.0
+    ig = jnp.clip((xyz - mn[None, :]) / q, 0.0, 1023.0).astype(jnp.int32)
+    code = (_spread3(ig[:, 0]) | (_spread3(ig[:, 1]) << 1)
+            | (_spread3(ig[:, 2]) << 2))
+    code = jnp.where(mask, code, jnp.int32(2**31 - 1))
+    return jnp.argsort(code).astype(jnp.int32)
+
+
 def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
                   config: GHICPConfig,
                   keypoint_capacity: Optional[int] = None,
@@ -115,6 +134,9 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
         max(nks, nkt, 1))
     kp_s_idx, kp_s_mask, _ = _keypoint_arrays(mask_s_np, cap)
     kp_t_idx, kp_t_mask, _ = _keypoint_arrays(mask_t_np, cap)
+    # Spatial row order for the auction kernel's tile locality.
+    so = _morton_order_rows(ds.xyz[kp_s_idx], kp_s_mask)
+    kp_s_idx, kp_s_mask = kp_s_idx[so], kp_s_mask[so]
 
     kp_s = ds.xyz[kp_s_idx]
     kp_t = dt.xyz[kp_t_idx]

@@ -125,3 +125,109 @@ def test_phase_kernel_small_tile():
                                     300)
     for x, y in zip((p, o, s), (rp, ro, rs)):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_gs_phase_matches_gs_ref_and_exits_early():
+    """Gauss-Seidel phase kernel: same fixed point as the tile-sequential
+    jnp reference, early exit below the budget, every row owned or sunk."""
+    from ghicp_tpu.ops.auction_rounds import (auction_phase_gs_pallas,
+                                              auction_rounds_gs_ref)
+    rng = np.random.default_rng(7)
+    S, C = 512, 640
+    b = rng.uniform(-4, 0, (S, C)).astype(np.float32)
+    b[rng.random((S, C)) < 0.3] = -3e38
+    p0 = jnp.zeros(C, jnp.float32)
+    o0 = jnp.full((C,), -1, jnp.int32)
+    s0 = jnp.zeros(S, jnp.int32)
+    op0 = jnp.ones(S, jnp.int32)
+    budget = 400
+    p, o, s, r = auction_phase_gs_pallas(jnp.asarray(b), p0, o0, s0, op0,
+                                         0.05, -2.0, budget, ts=128,
+                                         interpret=True)
+    rp, ro, rs, _ = auction_rounds_gs_ref(jnp.asarray(b), p0, o0, s0, op0,
+                                          0.05, -2.0, int(r), ts=128)
+    assert int(r) < budget
+    owned = np.zeros(S, bool)
+    owned[np.asarray(o)[np.asarray(o) >= 0]] = True
+    assert np.all(owned | (np.asarray(s) == 1))
+    for x, y in zip((p, o, s), (rp, ro, rs)):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_gs_phase_budget_cap_matches_gs_ref():
+    from ghicp_tpu.ops.auction_rounds import (auction_phase_gs_pallas,
+                                              auction_rounds_gs_ref)
+    rng = np.random.default_rng(8)
+    S, C = 256, 256
+    b = jnp.asarray(rng.uniform(-4, 0, (S, C)).astype(np.float32))
+    p0 = jnp.zeros(C, jnp.float32)
+    o0 = jnp.full((C,), -1, jnp.int32)
+    s0 = jnp.zeros(S, jnp.int32)
+    op0 = jnp.ones(S, jnp.int32)
+    for budget in (1, 4):
+        p, o, s, r = auction_phase_gs_pallas(b, p0, o0, s0, op0, 0.01, -10.0,
+                                             budget, ts=128, interpret=True)
+        rp, ro, rs, _ = auction_rounds_gs_ref(b, p0, o0, s0, op0, 0.01,
+                                              -10.0, budget, ts=128)
+        assert int(r) <= budget
+        for x, y in zip((p, o, s), (rp, ro, rs)):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_gs_converges_faster_with_same_quality():
+    """Gauss-Seidel sweeps reach the all-assigned fixed point in no more
+    sweeps than Jacobi, and the assignment value matches within the n*eps
+    epsilon-CS bound (both are eps-CS at termination)."""
+    from ghicp_tpu.ops.auction_rounds import (auction_phase_gs_pallas,
+                                              auction_phase_pallas)
+    rng = np.random.default_rng(9)
+    S, C = 512, 640
+    b = rng.uniform(-4, 0, (S, C)).astype(np.float32)
+    b[rng.random((S, C)) < 0.3] = -3e38
+    bj = jnp.asarray(b)
+    p0 = jnp.zeros(C, jnp.float32)
+    o0 = jnp.full((C,), -1, jnp.int32)
+    s0 = jnp.zeros(S, jnp.int32)
+    op0 = jnp.ones(S, jnp.int32)
+    eps, sink = 0.02, -2.0
+    pj, oj, sj, rj = auction_phase_pallas(bj, p0, o0, s0, eps, sink,
+                                          2000, ts=128, interpret=True)
+    pg, og, sg, rg = auction_phase_gs_pallas(bj, p0, o0, s0, op0, eps, sink,
+                                             2000, ts=128, interpret=True)
+    def value(o, s):
+        o = np.asarray(o)
+        tot = 0.0
+        for c, i in enumerate(o):
+            if i >= 0:
+                tot += b[i, c]
+        tot += sink * np.asarray(s).sum()
+        return tot
+    assert int(rg) <= int(rj)
+    assert abs(value(og, sg) - value(oj, sj)) <= S * eps + 1e-3
+
+
+def test_gs_eps_escalation_parity_and_convergence():
+    """With escalation on, kernel and ref stay bit-identical, and a
+    war-heavy square problem converges well below the sweep cap."""
+    from ghicp_tpu.ops.auction_rounds import (auction_phase_gs_pallas,
+                                              auction_rounds_gs_ref)
+    rng = np.random.default_rng(10)
+    S, C = 256, 256              # square: every column contested
+    b = jnp.asarray(rng.uniform(-4, 0, (S, C)).astype(np.float32))
+    p0 = jnp.zeros(C, jnp.float32)
+    o0 = jnp.full((C,), -1, jnp.int32)
+    s0 = jnp.zeros(S, jnp.int32)
+    op0 = jnp.ones(S, jnp.int32)
+    eps, sink, budget = 1e-4, -10.0, 64    # tiny eps: war would crawl
+    p, o, s, r = auction_phase_gs_pallas(b, p0, o0, s0, op0, eps, sink,
+                                         budget, ts=128, esc_after=8,
+                                         esc_period=4, interpret=True)
+    assert int(r) < budget       # escalation terminated the war
+    owned = np.zeros(S, bool)
+    owned[np.asarray(o)[np.asarray(o) >= 0]] = True
+    assert np.all(owned | (np.asarray(s) == 1))
+    rp, ro, rs, _ = auction_rounds_gs_ref(b, p0, o0, s0, op0, eps, sink,
+                                          int(r), ts=128, esc_after=8,
+                                          esc_period=4)
+    for x, y in zip((p, o, s), (rp, ro, rs)):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
