@@ -82,6 +82,74 @@ def config4():
         "success": bool(out.success)}))
 
 
+def config5():
+    """Station graph (BASELINE.json config 5): N TLS stations of one scene,
+    chain + loop-closure pairs, global poses via max-quality MST chaining.
+    Reports warm pairs/hour on one chip and worst-station pose error vs GT.
+    (The >=2-host wiring is validated separately by
+    tools/run_multihost_smoke.sh — pair partitioning across processes with
+    one process_allgather of transforms.)"""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.ghicp_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from ghicp_tpu.core.config import (CorrespondenceType, FeatureType,
+                                       GHICPConfig)
+    from ghicp_tpu.io.synthetic import structured_scene
+    from ghicp_tpu.registration.graph import register_graph
+    from ghicp_tpu.registration.pipeline import transform_error
+
+    log(f"backend: {jax.default_backend()}")
+    rng = np.random.default_rng(21)
+    n_stations = 6
+    pts = structured_scene(rng, 250_000, extent=18.0)
+
+    def rigid(theta_deg, t):
+        th = np.deg2rad(theta_deg)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = [[np.cos(th), -np.sin(th), 0],
+                     [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+        T[:3, 3] = t
+        return T.astype(np.float32)
+
+    poses_gt = [rigid(8.0 * i, [0.9 * i, -0.6 * i, 0.05 * i])
+                for i in range(n_stations)]
+    clouds = []
+    for P in poses_gt:
+        R, t = P[:3, :3], P[:3, 3]
+        local = (pts - t) @ R   # world -> station frame (P maps local->world)
+        clouds.append((local + rng.normal(0, 0.006, pts.shape)
+                       ).astype(np.float32))
+    pairs = [(i + 1, i) for i in range(n_stations - 1)]
+    pairs.append((n_stations - 1, 0))   # loop closure
+
+    cfg = GHICPConfig(feature=FeatureType.BSC,
+                      correspondence=CorrespondenceType.KM,
+                      voxel_size=0.1, neighborhood_radius=0.5,
+                      non_max_radius=0.5, min_neighbors=15,
+                      bsc_neighbor_k=256, pca_cell_cap=40,
+                      pca_max_cells=65536, keypoint_capacity=8192,
+                      estimated_overlap=0.9, max_iterations=40)
+
+    for tag in ("cold", "warm"):
+        t0 = time.perf_counter()
+        results, poses = register_graph(clouds, pairs, cfg)
+        total = time.perf_counter() - t0
+        errs = [transform_error(poses[i], poses_gt[i])
+                for i in range(n_stations)]
+        worst_rot = max(e[0] for e in errs)
+        worst_t = max(e[1] for e in errs)
+        log(f"[{tag}] {n_stations} stations x {len(pts)} pts, "
+            f"{len(pairs)} pairs in {total:.1f}s "
+            f"({3600.0 * len(pairs) / total:.0f} pairs/h), "
+            f"worst station pose err {worst_rot:.3f}deg / {worst_t:.3f}m")
+    print(json.dumps({
+        "metric": "config5_station_graph_pairs_per_hour",
+        "value": round(3600.0 * len(pairs) / total, 1),
+        "unit": "pairs/h", "stations": n_stations,
+        "worst_rot_err_deg": round(worst_rot, 4),
+        "worst_t_err_m": round(worst_t, 4)}))
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "4"
-    {"4": config4}[which]()
+    {"4": config4, "5": config5}[which]()
