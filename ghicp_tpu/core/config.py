@@ -153,12 +153,19 @@ class GHICPConfig:
                                           # accuracy floor.  Raise toward
                                           # 2000+ for exact-KM-parity
                                           # studies
-    auction_phases: int = 4               # epsilon-scaling phases in the
+    auction_phases: int = 2               # epsilon-scaling phases in the
                                           # whole-phase kernel path (python-
-                                          # unrolled launches).  1 = bid at
-                                          # the final epsilon directly —
-                                          # fewer launches + no inter-phase
-                                          # CS-repair sweeps
+                                          # unrolled launches).  Each phase
+                                          # boundary runs a CS repair that
+                                          # reopens rows (re-wars burn the
+                                          # rounds budget): measured at 6.6k
+                                          # kps / budget 48, phases 4/2/1
+                                          # give 29.3/35.9/34.6 it/s with
+                                          # phases=2 matching phases=4
+                                          # accuracy; 1 = bid at the final
+                                          # epsilon directly (degrades
+                                          # accuracy at small budgets —
+                                          # 8.7 deg at budget 16)
     auction_rel_eps: float = 1.0 / 64.0   # final-eps floor as a fraction of
                                           # the benefit spread: assignment is
                                           # within n*rel_eps*spread of

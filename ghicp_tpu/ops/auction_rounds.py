@@ -402,53 +402,66 @@ def _gs_kernel(eps_ref, sink_ref, maxr_ref, esc_ref, b_ref, p0_ref,
         v = s_tile[slot].astype(jnp.float32) - p[None, :]
         v1 = jnp.max(v, axis=1)
         j1 = jnp.argmax(v, axis=1).astype(jnp.int32)
-        onehot = cols == j1[:, None]
-        v2 = jnp.max(jnp.where(onehot, _NEG, v), axis=1)
+        v2 = jnp.max(jnp.where(cols == j1[:, None], _NEG, v), axis=1)
 
         to_sink = unassigned & (v1 <= sink)
         bidding = unassigned & ~to_sink
-
-        # bid = p[j1] + delta; within a column all bidders share p[c], so
-        # bids compare as deltas and the winning price is p[c] + max delta.
-        delta = v1 - jnp.maximum(v2, sink) + eps
-        # (i1 vectors can't grow a minor dim in Mosaic — widen via int32.)
-        bidding2d = bidding.astype(jnp.int32)[:, None] > 0
-        contrib = jnp.where(onehot & bidding2d, delta[:, None],
-                            jnp.float32(_NEG))                    # [ts, C]
-        dmax = jnp.max(contrib, axis=0)                           # [C]
-        has = dmax > _NEG / 2
-        at_max = (contrib == dmax[None, :]) & has[None, :]
-        wingid = jnp.max(jnp.where(at_max, gid[:, None], -1), axis=0)
-
-        won = bidding & (jnp.max(jnp.where(onehot, wingid[None, :], -1),
-                                 axis=1) == gid)
-        vic = jnp.where(won, jnp.max(jnp.where(onehot, owner_prev[None, :],
-                                               -1), axis=1), -1)  # [ts]
-
-        s_owner[:] = jnp.where(has, wingid, owner_prev)
-        s_p[:] = p + jnp.where(has, dmax, 0.0)
         s_sunk[t, :] = jnp.where(to_sink, jnp.int32(1), s_sunk[t, :])
+        s_open[t, :] = jnp.where(to_sink, jnp.int32(0), s_open[t, :])
 
-        # Re-open eviction victims.  hit[u, l] = any_k(vic_k == u*ts + l),
-        # computed as ONE small MXU matmul of the victim tile/lane one-hots
-        # (a per-tile scan would be n_tiles sequential vector ops).  Victims
-        # are never winners of this resolve, so update order is free.
-        @pl.when(jnp.max(vic) >= 0)
-        def _reopen():
-            u_iota = jax.lax.broadcasted_iota(jnp.int32, (ts, n_tiles), 1)
-            l_iota = jax.lax.broadcasted_iota(jnp.int32, (ts, ts), 1)
-            valid = (vic >= 0).astype(jnp.int32)[:, None]
-            vt = jnp.where(vic >= 0, vic // ts, n_tiles)
-            tiles_oh = ((u_iota == vt[:, None]) & (valid > 0))
-            lanes_oh = (l_iota == (vic - vt * ts)[:, None])
-            cnt = jax.lax.dot_general(
-                tiles_oh.astype(jnp.float32), lanes_oh.astype(jnp.float32),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # [n_tiles, ts]
-            s_open[:, :] = jnp.where(cnt > 0.5, jnp.int32(1), s_open[:, :])
-        # Close winners and sunk rows of this tile.
-        closed = won | to_sink
-        s_open[t, :] = jnp.where(closed, jnp.int32(0), s_open[t, :])
+        @pl.when(jnp.sum(bidding) > 0)
+        def _resolve():
+            # (onehot rebuilt here so no [ts, C] mask stays live across the
+            # conditional — the 16MB scoped-VMEM stack is tight at C=8192.)
+            onehot = cols == j1[:, None]
+            # bid = p[j1] + delta; within a column all bidders share p[c],
+            # so bids compare as deltas and the winning price is
+            # p[c] + max delta.
+            delta = v1 - jnp.maximum(v2, sink) + eps
+            # (i1 vectors can't grow a minor dim in Mosaic — via int32.)
+            bidding2d = bidding.astype(jnp.int32)[:, None] > 0
+            contrib = jnp.where(onehot & bidding2d, delta[:, None],
+                                jnp.float32(_NEG))                # [ts, C]
+            dmax = jnp.max(contrib, axis=0)                       # [C]
+            has = dmax > _NEG / 2
+            # Winner per column: argmax over the tile axis (first max ==
+            # LOWEST lane == lowest gid tie-break; the GS jnp reference
+            # mirrors this).
+            wlane = jnp.argmax(contrib, axis=0).astype(jnp.int32)  # [C]
+            wingid = jnp.where(has, t * ts + wlane, -1)
+            # One gather pass serves both the won test and the victim id:
+            # pack (wingid+1, owner_prev+1) into one int32 per column.
+            pw = (wingid + 1) * jnp.int32(1 << 14) + (owner_prev + 1)
+            g = jnp.max(jnp.where(onehot, pw[None, :],
+                                  jnp.int32(-1)), axis=1)         # [ts]
+            won = bidding & ((g >> 14) - 1 == gid)
+            vic = jnp.where(won, jax.lax.rem(g, jnp.int32(1 << 14)) - 1, -1)
+
+            s_owner[:] = jnp.where(has, wingid, owner_prev)
+            s_p[:] = p + jnp.where(has, dmax, 0.0)
+
+            # Re-open eviction victims.  hit[u, l] = any_k(vic_k == u*ts+l),
+            # computed as ONE small MXU matmul of the victim tile/lane
+            # one-hots (a per-tile scan would be n_tiles sequential vector
+            # ops).  Victims are never winners of this resolve (owners
+            # don't bid), so update order is free.
+            @pl.when(jnp.max(vic) >= 0)
+            def _reopen():
+                u_iota = jax.lax.broadcasted_iota(jnp.int32, (ts, n_tiles), 1)
+                l_iota = jax.lax.broadcasted_iota(jnp.int32, (ts, ts), 1)
+                valid = (vic >= 0).astype(jnp.int32)[:, None]
+                vt = jnp.where(vic >= 0, vic // ts, n_tiles)
+                tiles_oh = ((u_iota == vt[:, None]) & (valid > 0))
+                lanes_oh = (l_iota == (vic - vt * ts)[:, None])
+                cnt = jax.lax.dot_general(
+                    tiles_oh.astype(jnp.float32),
+                    lanes_oh.astype(jnp.float32),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [n_tiles, ts]
+                s_open[:, :] = jnp.where(cnt > 0.5, jnp.int32(1),
+                                         s_open[:, :])
+            # Close winners (sunk rows were closed above).
+            s_open[t, :] = jnp.where(won, jnp.int32(0), s_open[t, :])
 
     def round_cond(carry):
         r, n_open = carry
@@ -551,6 +564,13 @@ def auction_phase_gs_pallas(b: Array, p0: Array, owner0: Array, sunk0: Array,
             pltpu.SMEM((n_tiles,), jnp.int32),       # active-tile list
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # The resolve's live set (stripe double buffer + two [ts, C]
+            # f32 temporaries + masks) peaks ~16.4MB at C=8192 — just past
+            # the 16MB default scoped-VMEM soft limit.  Physical VMEM is
+            # far larger; raise the cap instead of dropping the prefetch
+            # double buffer.
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(eps, jnp.float32).reshape(1),
       jnp.asarray(sink_value, jnp.float32).reshape(1),
@@ -601,8 +621,9 @@ def auction_rounds_gs_ref(b: Array, p0: Array, owner0: Array, sunk0: Array,
         contrib = jnp.where(onehot & bidding[:, None], delta[:, None], _NEG)
         dmax = jnp.max(contrib, axis=0)
         has = dmax > _NEG / 2
-        at_max = (contrib == dmax[None, :]) & has[None, :]
-        wingid = jnp.max(jnp.where(at_max, gid[:, None], -1), axis=0)
+        # First max == lowest lane == lowest gid tie-break (kernel parity).
+        wlane = jnp.argmax(contrib, axis=0).astype(jnp.int32)
+        wingid = jnp.where(has, sl + wlane, -1)
         won = bidding & (jnp.max(jnp.where(onehot, wingid[None, :], -1),
                                  axis=1) == gid)
         vic = jnp.where(won, jnp.max(jnp.where(onehot, owner[None, :], -1),

@@ -23,8 +23,9 @@ base = GHICPConfig(feature=FeatureType.BSC,
                    pca_max_cells=65536, estimated_overlap=0.8,
                    max_iterations=60)
 
-for budget in (100, 48, 32, 16):
-    cfg = dataclasses.replace(base, auction_max_rounds=budget)
+for budget, phases in ((48, 4), (48, 2), (48, 1), (32, 1), (16, 1)):
+    cfg = dataclasses.replace(base, auction_max_rounds=budget,
+                              auction_phases=phases)
     out = register_pair(src, tgt, cfg)   # accuracy run (ransac init)
     rot, tr = transform_error(out.transform, T_gt)
     # identity-start fixed-30-iteration throughput run
@@ -38,7 +39,7 @@ for budget in (100, 48, 32, 16):
     its = max(int(out3.result.iterations), 1)
     rot3, tr3 = transform_error(out3.transform, T_gt)
     rounds = np.asarray(out3.result.metrics.rounds)[:its]
-    print(f"budget={budget}: ransac-run rot={rot:.3f} t={tr:.3f} "
+    print(f"budget={budget} phases={phases}: ransac-run rot={rot:.3f} t={tr:.3f} "
           f"| identity-30it rot={rot3:.3f} t={tr3:.3f} "
           f"{its/reg:.2f} it/s rounds(mean)={rounds.mean():.0f}",
           flush=True)
