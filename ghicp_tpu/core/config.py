@@ -136,23 +136,24 @@ class GHICPConfig:
                                           # pose is ignored (identity init)
 
     # --- auction solver (eps-scaling forward auction with outside option) ---
-    auction_max_rounds: int = 48          # TOTAL bidding-round budget per
-                                          # solve.  Rows still mid-war at
-                                          # the cap take their best column
-                                          # at current prices (greedy
-                                          # completion, auction.py) — with
+    auction_max_rounds: int = 32          # TOTAL sweep budget per solve.
+                                          # With the in-kernel epsilon
+                                          # escalation the final phase
+                                          # CONVERGES within its budget
+                                          # (late assignments carry
+                                          # geometrically coarser margins
+                                          # instead of falling to flat
+                                          # greedy completion); with
                                           # margin-weighted robust
-                                          # estimation the truncated solve
-                                          # loses nothing measurable:
-                                          # at 6.6k keypoints budgets
-                                          # 16/32/48/100 all register
-                                          # 0.00-0.11 deg / 0.01 m (within
-                                          # run variance) at 32.6/27.5/
-                                          # 22.7/14.6 it/s — 48 keeps a 3x
+                                          # estimation the coarse tail
+                                          # loses nothing measurable: at
+                                          # 6.6k keypoints budgets 16/32/48
+                                          # register 0.00 deg / 0.010-0.012
+                                          # m identity-start at 48.6/37.9/
+                                          # 36.8 it/s — 32 keeps a 2x
                                           # margin above the measured
-                                          # accuracy floor.  Raise toward
-                                          # 2000+ for exact-KM-parity
-                                          # studies
+                                          # floor.  Raise toward 2000+ for
+                                          # exact-KM-parity studies
     auction_phases: int = 2               # epsilon-scaling phases in the
                                           # whole-phase kernel path (python-
                                           # unrolled launches).  Each phase

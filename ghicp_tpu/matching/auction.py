@@ -299,14 +299,27 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
         spent = jnp.int32(0)
         esc_after = esc_period = jnp.int32(1)
         r = jnp.int32(0)
+        # Geometric epsilon ladder from eps0 down to EXACTLY eps_final in
+        # n_phases rungs.  (The XLA path's fixed /eps_scaling ladder
+        # iterates until it reaches eps_final; a python-unrolled loop must
+        # land there by construction, or the final assignment carries a
+        # much looser epsilon bound than requested.)
+        if n_phases > 1:
+            ratio = jnp.minimum(
+                (eps_final / jnp.maximum(eps0, 1e-30))
+                ** (1.0 / (n_phases - 1)), 1.0)
         for k in range(n_phases):
-            # Epsilon escalation from half this phase's budget: cross-tile
-            # price wars otherwise burn the whole budget at eps_final (the
-            # tail rows then fall to greedy completion).  Escalated-late
-            # assignments degrade gracefully instead — the auction keeps
-            # resolving structure at geometrically coarser margins.
-            esc_after = jnp.maximum(remaining // 2, 1)
-            esc_period = jnp.maximum(remaining // 8, 1)
+            eps_now = (eps_final if k == n_phases - 1
+                       else jnp.maximum(eps0 * ratio**k, eps_final))
+            # Epsilon escalation from a quarter of this phase's budget:
+            # cross-tile price wars otherwise burn the whole budget at
+            # eps_final and the tail rows fall to flat greedy completion at
+            # half-baked prices (measured: identity-start trajectories then
+            # flip basins on a knife edge).  Escalating early/fast enough
+            # that the phase CONVERGES within its budget keeps the price
+            # structure — late assignments degrade geometrically instead.
+            esc_after = jnp.maximum(remaining // 4, 1)
+            esc_period = jnp.maximum(remaining // 16, 1)
             # inner_cap=1: tile-local quiescence OFF.  Measured on the bench
             # matrices: tie-heavy FD wars need ~1e5 bid exchanges (~10us
             # each) to true eps-CS convergence; grinding them in-VMEM is
@@ -319,14 +332,13 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
                 interpret=_KERNEL_INTERPRET)
             remaining = remaining - r
             spent = spent + r
-            eps_next = jnp.maximum(eps_now / eps_scaling, eps_final)
             if k < n_phases - 1:
+                eps_next = jnp.maximum(eps0 * ratio**(k + 1), eps_final)
                 acol = derive_acol(owner, sunk)
                 owner, acol, p = reopen_violators((owner, acol, p),
                                                   eps_now, eps_next)
                 sunk = (acol == _SINK).astype(jnp.int32)
                 open_ = (acol == -1).astype(jnp.int32)
-            eps_now = eps_next
         acol = derive_acol(owner, sunk)
         # Price-overshoot bound for warm starts: a column won at sweep r of
         # the final phase carries up to the escalated epsilon of that sweep.

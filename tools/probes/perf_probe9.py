@@ -23,7 +23,7 @@ base = GHICPConfig(feature=FeatureType.BSC,
                    pca_max_cells=65536, estimated_overlap=0.8,
                    max_iterations=60)
 
-for budget, phases in ((48, 4), (48, 2), (48, 1), (32, 1), (16, 1)):
+for budget, phases in ((48, 2), (48, 4), (32, 2), (16, 2)):
     cfg = dataclasses.replace(base, auction_max_rounds=budget,
                               auction_phases=phases)
     out = register_pair(src, tgt, cfg)   # accuracy run (ransac init)
