@@ -142,3 +142,21 @@ def test_robust_estimation_options():
     # boundary for this sparse config — assert the pose itself.
     assert rot < 1.5, rot
     assert tr < 0.3, tr
+
+
+def test_ghicp_identity_start_multi_seed():
+    """Identity-start GH-ICP (no RANSAC init) at PRODUCTION auction
+    defaults must converge across seeds — guards the truncated-auction
+    dynamics (the sweep budget binds every iteration; a half-converged
+    price state once flipped whole trajectories, NOTES.md 'escalate to
+    convergence')."""
+    for seed in (3, 7, 11):
+        src, tgt, T_gt = _full_overlap_pair(seed=seed, n=8000, rot_deg=12.0)
+        cfg = GHICPConfig(feature=FeatureType.BSC,
+                          correspondence=CorrespondenceType.KM,
+                          coarse_init="none",
+                          estimated_overlap=0.9, max_iterations=30, **BASE)
+        out = register_pair(src, tgt, cfg)
+        rot, tr = transform_error(out.transform, T_gt)
+        assert rot < 2.0, (seed, rot)
+        assert tr < 0.3, (seed, tr)
