@@ -136,7 +136,9 @@ class GHICPConfig:
                                           # pose is ignored (identity init)
 
     # --- auction solver (eps-scaling forward auction with outside option) ---
-    auction_max_rounds: int = 32          # TOTAL sweep budget per solve.
+    auction_max_rounds: int = 32          # TOTAL sweep budget per solve
+                                          # (traced: may vary per engine
+                                          # iteration without recompiles).
                                           # With the in-kernel epsilon
                                           # escalation the final phase
                                           # CONVERGES within its budget
@@ -167,6 +169,23 @@ class GHICPConfig:
                                           # epsilon directly (degrades
                                           # accuracy at small budgets —
                                           # 8.7 deg at budget 16)
+    fused_cost_kernel: bool = False       # fuse ED + CD blend + stats +
+                                          # benefit emission into one Pallas
+                                          # sweep (ops/cost_kernel.py) on the
+                                          # single-device KM path (the gate
+                                          # is implied by benefit > -penalty,
+                                          # so the per-iteration ed/cd/gate
+                                          # HBM tensors never materialize).
+                                          # Default OFF: measured ~equal
+                                          # speed to the XLA blend (which
+                                          # fuses well), and quantizing FD
+                                          # to bf16 BEFORE the blend (on
+                                          # top of the bf16 benefit store)
+                                          # measurably worsens the already-
+                                          # fragile identity-start basin
+                                          # lottery at TLS scale.  The
+                                          # production RANSAC-init path is
+                                          # clean either way
     auction_rel_eps: float = 1.0 / 64.0   # final-eps floor as a fraction of
                                           # the benefit spread: assignment is
                                           # within n*rel_eps*spread of

@@ -149,7 +149,7 @@ def _run_phase(b: Array, eps: Array, sink_value: Array, state,
     return owner, acol, p, r
 
 
-def auction_assign(b: Array, sink_value, eps, max_rounds: int,
+def auction_assign(b: Array, sink_value, eps, max_rounds,
                    comm: Comm = LOCAL, row_offset=None,
                    eps_scaling: float = 5.0, rel_eps: float = 0.0,
                    p0: Optional[Array] = None, price_uncertainty=None,
@@ -370,12 +370,62 @@ def auction_assign(b: Array, sink_value, eps, max_rounds: int,
     return acol, p, rounds, eps_final
 
 
-@functools.partial(jax.jit, static_argnames=("eps_final", "max_rounds",
+@functools.partial(jax.jit, static_argnames=("eps_final",
+                                             "comm", "total_rows", "rel_eps",
+                                             "use_round_kernel", "n_phases"))
+def auction_match_benefits(b: Array, penalty: Array, mask_s: Array,
+                           mask_t: Array, eps_final: float = 0.01,
+                           max_rounds=8000, comm: Comm = LOCAL,
+                           total_rows: int = None, rel_eps: float = 0.0,
+                           p0: Optional[Array] = None,
+                           price_uncertainty=None,
+                           use_round_kernel: bool = False,
+                           n_phases: int = 2) -> AuctionResult:
+    """Auction on a PREBUILT benefit matrix (e.g. from the fused cost
+    kernel, ops/cost_kernel.py).
+
+    ``b`` [S, T] (bf16 or f32): -CD at candidate pairs, very negative at
+    masked pairs.  The penalty gate needs no mask tensor — KM's "pair is
+    real iff CD < penalty" is exactly ``b > -penalty``, which the sink rule
+    applies to every bid (a row bids j1 only while v1 > sink, and prices
+    are nonnegative, so any bid target is gated) and the greedy completion
+    to every leftover row.  Semantics otherwise identical to
+    :func:`auction_match`.
+    """
+    S, T = b.shape
+    rows_total = total_rows if total_rows is not None else S
+    acol, p, rounds, eps_used = auction_assign(
+        b, -penalty, eps_final, max_rounds, comm, rel_eps=rel_eps,
+        p0=p0, price_uncertainty=price_uncertainty,
+        use_round_kernel=use_round_kernel, n_phases=n_phases)
+    # Greedy completion at budget exhaustion (see auction_match).
+    leftover = acol == -1
+    bf = b.astype(jnp.float32)
+    v = bf - p[None, :]
+    v1 = jnp.max(v, axis=1)
+    j1 = jnp.argmax(v, axis=1).astype(jnp.int32)
+    acol = jnp.where(leftover, jnp.where(v1 > -penalty, j1, _SINK), acol)
+    matched = (acol >= 0) & (acol < T)
+    jc = jnp.where(matched, acol, 0)
+    rows = jnp.arange(S)
+    real = mask_s & matched & (bf[rows, jc] > -penalty)
+    w = real.astype(jnp.float32)
+    cor = comm.psum(jnp.sum(w))
+    matched_cd = comm.psum(jnp.sum(jnp.where(real, -bf[rows, jc], 0.0)))
+    n_sq = jnp.float32(max(rows_total, T))
+    energy = matched_cd + penalty * (n_sq - cor)
+    match = MatchResult(tgt_idx=jc.astype(jnp.int32), w=w,
+                        n_matches=cor.astype(jnp.int32))
+    return AuctionResult(match=match, prices=p, energy=energy, rounds=rounds,
+                         eps_used=eps_used)
+
+
+@functools.partial(jax.jit, static_argnames=("eps_final",
                                              "comm", "total_rows", "rel_eps",
                                              "quantize_bf16",
                                              "use_round_kernel", "n_phases"))
 def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
-                  eps_final: float = 0.01, max_rounds: int = 8000,
+                  eps_final: float = 0.01, max_rounds=8000,
                   comm: Comm = LOCAL, total_rows: int = None,
                   rel_eps: float = 0.0, p0: Optional[Array] = None,
                   price_uncertainty=None,

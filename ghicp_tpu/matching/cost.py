@@ -74,6 +74,18 @@ def blend_none(ed: Array, mask_s: Array, mask_t: Array,
     return CostResult(cd=cd, penalty=penalty, cd_mean=mean, cd_std=std)
 
 
+def bsc_penalty(mean: Array, std: Array, iteration: Array, rms: Array,
+                fdm: Array, fdstd: Array, para1: Array, para2: Array,
+                scale: Array, wed: Array, wfd: Array,
+                penalty_initial: float) -> Array:
+    """BSC penalty schedule from CD statistics (ghicp_reg.cpp:279-293);
+    shared by the XLA blend and the fused cost kernel path."""
+    pen_late = rms * para1 * scale * wed + (fdm + para2 * fdstd) * wfd
+    pen_early = mean - penalty_initial * std
+    penalty = jnp.where(iteration > 1, pen_late, pen_early)
+    return jnp.maximum(penalty, 5.0)
+
+
 def blend_bsc(ed: Array, fd: Array, mask_s: Array, mask_t: Array,
               iteration: Array, rms: Array, fdm: Array, fdstd: Array,
               para1: Array, para2: Array, scale: Array,
@@ -85,10 +97,8 @@ def blend_bsc(ed: Array, fd: Array, mask_s: Array, mask_t: Array,
     wed = 1.0 - wfd
     cd = wed * ed + wfd * fd
     mean, std = _masked_stats(cd, m, comm)
-    pen_late = rms * para1 * scale * wed + (fdm + para2 * fdstd) * wfd
-    pen_early = mean - penalty_initial * std
-    penalty = jnp.where(iteration > 1, pen_late, pen_early)
-    penalty = jnp.maximum(penalty, 5.0)
+    penalty = bsc_penalty(mean, std, iteration, rms, fdm, fdstd,
+                          para1, para2, scale, wed, wfd, penalty_initial)
     return CostResult(cd=jnp.where(m, cd, jnp.inf), penalty=penalty,
                       cd_mean=mean, cd_std=std)
 

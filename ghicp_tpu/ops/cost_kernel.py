@@ -1,0 +1,148 @@
+"""Fused cost->benefit kernel: ED + blend + stats in ONE sweep.
+
+Per GH-ICP iteration the XLA path materializes the full [S, C] Euclidean
+matrix, the blended CD, the penalty gate and the bf16 benefit matrix as
+separate HBM tensors (~1.9GB of traffic at 8192^2, reference passes
+ghicp_reg.cpp:114-341).  This kernel fuses them: per row tile it computes
+ED on the MXU from the keypoint coordinates ([ts,3] @ [3,C] cross term),
+blends with the streamed bf16 FD stripe, and emits
+
+  b = -(W_ED * ED + W_FD * FD)        (bf16; -inf at masked pairs)
+
+plus per-tile partial sums (count, sum, sum^2, max of CD over valid pairs)
+for the penalty schedule and the epsilon spread.  HBM traffic drops to one
+FD read + one b write (~268MB).
+
+The penalty gate needs NO mask tensor: KM's "pair is real iff CD < penalty"
+(ghicp_reg.cpp:348-365) is exactly "benefit > sink" with sink = -penalty,
+which the auction's outside-option test already applies to every bid and
+the greedy completion to every leftover row — so the benefit matrix alone
+carries the gate.
+
+Numerics: callers should center both keypoint sets by a common offset
+(distances are translation-invariant) so the |x|^2 norms stay O(extent^2/4)
+and the norm-expansion cancellation keeps ED accurate in f32.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_NEG = -3.0e38
+
+
+def _kernel(scal_ref, kps_ref, kpt_ref, fd_ref, ms_ref, mt_ref,
+            b_out, part_out, *, ts: int):
+    i = pl.program_id(0)
+    wed = scal_ref[0]
+    wfd = scal_ref[1]
+    scale = scal_ref[2]
+
+    @pl.when(i == 0)
+    def _init():
+        # Stats accumulate directly into the (whole-array, sequential-grid)
+        # output block; cd/ed are nonnegative so 0 is a valid max identity.
+        part_out[:, :] = jnp.zeros_like(part_out)
+    s = kps_ref[:, :]                                    # [ts, 8]
+    t = kpt_ref[:, :]                                    # [C, 8]
+    d = jax.lax.dot_general(s, t, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    s2 = jnp.sum(s * s, axis=1)
+    t2 = jnp.sum(t * t, axis=1)
+    d2 = jnp.maximum(s2[:, None] + t2[None, :] - 2.0 * d, 0.0)
+    ed = scale * jnp.sqrt(d2)
+    cd = wed * ed + wfd * fd_ref[:, :].astype(jnp.float32)
+    # (i1 cannot grow a minor dim in Mosaic — grow the int32 mask instead.)
+    m = (ms_ref[i, :][:, None] > 0) & (mt_ref[0, :][None, :] > 0)
+    b_out[:, :] = jnp.where(m, -cd, _NEG).astype(b_out.dtype)
+    # (Scalar VMEM stores are unsupported — each stat occupies a full
+    # broadcast row of the [8, 128] accumulator; callers read lane 0.)
+    cnt = jnp.sum(m.astype(jnp.float32))
+    cdm = jnp.where(m, cd, 0.0)
+    part_out[0, :] = part_out[0, :] + cnt
+    part_out[1, :] = part_out[1, :] + jnp.sum(cdm)
+    part_out[2, :] = part_out[2, :] + jnp.sum(cdm * cd)
+    part_out[3, :] = jnp.maximum(part_out[3, :], jnp.max(cdm))
+    part_out[4, :] = jnp.maximum(part_out[4, :],
+                                 jnp.max(jnp.where(m, ed, 0.0)))
+
+
+@functools.partial(jax.jit, static_argnames=("ts", "interpret"))
+def fused_benefit(kp_s: Array, kp_t: Array, fd: Array, mask_s: Array,
+                  mask_t: Array, wed, wfd, scale, ts: int = 256,
+                  interpret: bool = False):
+    """One-sweep benefit matrix + CD statistics.
+
+    kp_s [S,3], kp_t [C,3] f32 (center them by a common offset first);
+    fd [S,C] (bf16 or f32); masks bool.  Returns (b bf16 [S,C],
+    cd_count, cd_sum, cd_sumsq, cd_max, ed_max) with stats over valid
+    pairs.  S % ts == 0; C % 128 == 0.
+    """
+    S, C = fd.shape
+    n_tiles = S // ts
+    kps8 = jnp.pad(kp_s, ((0, 0), (0, 5)))
+    kpt8 = jnp.pad(kp_t, ((0, 0), (0, 5)))
+    scal = jnp.stack([jnp.asarray(wed, jnp.float32),
+                      jnp.asarray(wfd, jnp.float32),
+                      jnp.asarray(scale, jnp.float32)])
+    b, parts = pl.pallas_call(
+        functools.partial(_kernel, ts=ts),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # scalars [3]
+            pl.BlockSpec((ts, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),              # kp_s tile
+            pl.BlockSpec((C, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),              # kp_t full
+            pl.BlockSpec((ts, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),              # fd stripe
+            pl.BlockSpec((n_tiles, ts), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),              # mask_s i32
+            pl.BlockSpec((1, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),              # mask_t i32
+        ],
+        out_specs=(
+            pl.BlockSpec((ts, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, C), jnp.bfloat16),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # Pipelined fd/b stripes + the f32 ed/cd intermediates peak
+            # ~27MB at ts=128, C=8192; physical VMEM is far larger than
+            # the default scoped soft cap.
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(scal, kps8, kpt8, fd,
+      mask_s.astype(jnp.int32).reshape(n_tiles, ts),
+      mask_t.astype(jnp.int32).reshape(1, C))
+    return (b, parts[0, 0], parts[1, 0], parts[2, 0],
+            parts[3, 0], parts[4, 0])
+
+
+def fused_benefit_ref(kp_s, kp_t, fd, mask_s, mask_t, wed, wfd, scale):
+    """jnp reference (parity tests; same norm-expansion ED path)."""
+    d = jnp.matmul(kp_s, kp_t.T, precision=jax.lax.Precision.HIGHEST)
+    s2 = jnp.sum(kp_s * kp_s, axis=1)
+    t2 = jnp.sum(kp_t * kp_t, axis=1)
+    d2 = jnp.maximum(s2[:, None] + t2[None, :] - 2.0 * d, 0.0)
+    ed = jnp.asarray(scale, jnp.float32) * jnp.sqrt(d2)
+    cd = wed * ed + wfd * fd.astype(jnp.float32)
+    m = mask_s[:, None] & mask_t[None, :]
+    b = jnp.where(m, -cd, _NEG).astype(jnp.bfloat16)
+    mf = m.astype(jnp.float32)
+    return (b, jnp.sum(mf), jnp.sum(jnp.where(m, cd, 0.0)),
+            jnp.sum(jnp.where(m, cd * cd, 0.0)),
+            jnp.max(jnp.where(m, cd, 0.0)),
+            jnp.max(jnp.where(m, ed, 0.0)))

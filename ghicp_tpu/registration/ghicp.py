@@ -43,9 +43,14 @@ from ghicp_tpu.core.config import CorrespondenceType, FeatureType, GHICPConfig
 from ghicp_tpu.matching import (auction_match, blend_bsc, blend_fpfh,
                                 blend_none, euclidean_matrix, nn_match,
                                 nnr_match)
+from ghicp_tpu.matching.auction import auction_match_benefits
 from ghicp_tpu.registration.estimator import estimate
 
 Array = jax.Array
+
+# Test hook: run the fused cost kernel in interpret mode on non-TPU
+# backends so the fused-path plumbing is exercised by the CPU test mesh.
+_FUSED_INTERPRET = False
 
 
 class IterationMetrics(NamedTuple):
@@ -144,57 +149,119 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
                bbx_magnitude: Array, config: GHICPConfig, comm: Comm,
                total_rows: int):
     """One GH-ICP iteration as a while_loop body closure."""
+    import jax as _jax
     scale = config.scale_factor * bbx_magnitude
     ns = comm.psum(jnp.sum(mask_s.astype(jnp.float32)))
     nt = jnp.sum(mask_t.astype(jnp.float32))
+    S, T = fd.shape
+    use_fused = (config.fused_cost_kernel
+                 and config.correspondence == CorrespondenceType.KM
+                 and config.feature in (FeatureType.BSC, FeatureType.NONE)
+                 and not comm.distributed
+                 and (_jax.default_backend() == "tpu" or _FUSED_INTERPRET)
+                 and S % 128 == 0 and T % 128 == 0)
+    if use_fused:
+        # All computed once, before the while_loop traces the body: center
+        # both keypoint sets by a common offset so the fused kernel's
+        # norm-expansion ED stays f32-accurate at 100m-scale coordinates.
+        mid = 0.5 * (jnp.min(jnp.where(mask_t[:, None], kp_t, 3e38), axis=0)
+                     + jnp.max(jnp.where(mask_t[:, None], kp_t, -3e38),
+                               axis=0))
+        kp_t_c = jnp.where(mask_t[:, None], kp_t - mid[None, :], 0.0)
+        fd_b = fd.astype(jnp.bfloat16)
 
     def body(st: _State) -> _State:
-        ed = euclidean_matrix(st.kps, kp_t, scale)
+        it_eff = st.it.astype(jnp.float32) + st.it_shift
         if config.feature == FeatureType.BSC:
-            it_eff = st.it.astype(jnp.float32) + st.it_shift
-            cost = blend_bsc(ed, fd, mask_s, mask_t, it_eff, st.rms, st.fdm,
-                             st.fdstd, st.para1, st.para2, scale,
-                             config.weight_changing_rate,
-                             config.penalty_initial, comm)
-        elif config.feature == FeatureType.FPFH:
-            it_eff = st.it.astype(jnp.float32) + st.it_shift
-            cost = blend_fpfh(ed, fd, mask_s, mask_t, it_eff, st.rms,
-                              st.para1, st.para2, scale,
-                              config.penalty_initial, comm)
+            wfd = jnp.exp(-it_eff / config.weight_changing_rate)
+            wed = 1.0 - wfd
         else:
-            cost = blend_none(ed, mask_s, mask_t, comm)
+            wfd = jnp.float32(0.0)
+            wed = jnp.float32(1.0)
 
-        energy = jnp.float32(0.0)
-        rounds = jnp.int32(0)
-        prices = st.prices
-        eps_used = jnp.float32(0.0)
-        if config.correspondence == CorrespondenceType.KM:
-            # Price warm start: reuse the previous iteration's dual prices,
-            # deflated by a bound on how much any benefit entry can have
-            # drifted since (keypoint motion + blend-weight decay + penalty
-            # shift + the epsilon overshoot baked into final prices).  Late
-            # iterations move keypoints by millimeters, so the bound is
-            # tiny and the tie-resolving price wars of earlier solves are
-            # not repeated (see auction_assign).
-            drift = st.price_unc + jnp.abs(cost.penalty - st.pen_prev)
-            ares = auction_match(cost.cd, cost.penalty, mask_s, mask_t,
-                                 eps_final=config.km_eps,
-                                 max_rounds=config.auction_max_rounds,
-                                 comm=comm, total_rows=total_rows,
-                                 rel_eps=config.auction_rel_eps,
-                                 p0=st.prices, price_uncertainty=drift,
-                                 quantize_bf16=config.auction_bf16,
-                                 use_round_kernel=config.auction_round_kernel,
-                                 n_phases=config.auction_phases)
+        budget = jnp.int32(config.auction_max_rounds)
+        ed_max_fused = None
+        if use_fused:
+            from ghicp_tpu.matching.cost import bsc_penalty
+            from ghicp_tpu.ops.cost_kernel import fused_benefit
+            kps_c = st.kps - mid[None, :]
+            b, cnt, s1, s2, _, ed_max_fused = fused_benefit(
+                kps_c, kp_t_c, fd_b, mask_s, mask_t, wed, wfd, scale,
+                ts=128, interpret=_FUSED_INTERPRET)
+            n_valid = jnp.maximum(cnt, 1.0)
+            mean = s1 / n_valid
+            std = jnp.sqrt(jnp.maximum(s2 / n_valid - mean * mean, 0.0))
+            if config.feature == FeatureType.BSC:
+                penalty = bsc_penalty(mean, std, it_eff, st.rms, st.fdm,
+                                      st.fdstd, st.para1, st.para2, scale,
+                                      wed, wfd, config.penalty_initial)
+            else:
+                penalty = jnp.maximum(mean, 1.0)   # blend_none semantics
+            drift = st.price_unc + jnp.abs(penalty - st.pen_prev)
+            ares = auction_match_benefits(
+                b, penalty, mask_s, mask_t, eps_final=config.km_eps,
+                max_rounds=budget,
+                comm=comm, total_rows=total_rows,
+                rel_eps=config.auction_rel_eps,
+                p0=st.prices, price_uncertainty=drift,
+                use_round_kernel=config.auction_round_kernel,
+                n_phases=config.auction_phases)
             match = ares.match
             energy = ares.energy
             rounds = ares.rounds
             prices = ares.prices
             eps_used = ares.eps_used
-        elif config.correspondence == CorrespondenceType.NNR:
-            match = nnr_match(cost.cd, mask_s, mask_t, comm)
+            rows_sel = jnp.arange(S)
+            cd_sel = -b[rows_sel, match.tgt_idx].astype(jnp.float32)
         else:
-            match = nn_match(cost.cd, cost.penalty, mask_s, mask_t, comm)
+            ed = euclidean_matrix(st.kps, kp_t, scale)
+            if config.feature == FeatureType.BSC:
+                cost = blend_bsc(ed, fd, mask_s, mask_t, it_eff, st.rms,
+                                 st.fdm, st.fdstd, st.para1, st.para2, scale,
+                                 config.weight_changing_rate,
+                                 config.penalty_initial, comm)
+            elif config.feature == FeatureType.FPFH:
+                cost = blend_fpfh(ed, fd, mask_s, mask_t, it_eff, st.rms,
+                                  st.para1, st.para2, scale,
+                                  config.penalty_initial, comm)
+            else:
+                cost = blend_none(ed, mask_s, mask_t, comm)
+            penalty = cost.penalty
+
+            energy = jnp.float32(0.0)
+            rounds = jnp.int32(0)
+            prices = st.prices
+            eps_used = jnp.float32(0.0)
+            if config.correspondence == CorrespondenceType.KM:
+                # Price warm start: reuse the previous iteration's dual
+                # prices, deflated by a bound on how much any benefit entry
+                # can have drifted since (keypoint motion + blend-weight
+                # decay + penalty shift + the epsilon overshoot baked into
+                # final prices).  Late iterations move keypoints by
+                # millimeters, so the bound is tiny and the tie-resolving
+                # price wars of earlier solves are not repeated.
+                drift = st.price_unc + jnp.abs(penalty - st.pen_prev)
+                ares = auction_match(cost.cd, penalty, mask_s, mask_t,
+                                     eps_final=config.km_eps,
+                                     max_rounds=budget,
+                                     comm=comm, total_rows=total_rows,
+                                     rel_eps=config.auction_rel_eps,
+                                     p0=st.prices, price_uncertainty=drift,
+                                     quantize_bf16=config.auction_bf16,
+                                     use_round_kernel=(
+                                         config.auction_round_kernel),
+                                     n_phases=config.auction_phases)
+                match = ares.match
+                energy = ares.energy
+                rounds = ares.rounds
+                prices = ares.prices
+                eps_used = ares.eps_used
+            elif config.correspondence == CorrespondenceType.NNR:
+                match = nnr_match(cost.cd, mask_s, mask_t, comm)
+            else:
+                match = nn_match(cost.cd, penalty, mask_s, mask_t, comm)
+            rows_sel = jnp.arange(S)
+            cd_sel = cost.cd[rows_sel, match.tgt_idx]
 
         w = match.w
         cor = comm.psum(jnp.sum(w))
@@ -214,9 +281,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
         w_est = w
         if (config.confidence_weighting
                 and config.correspondence == CorrespondenceType.KM):
-            rows = jnp.arange(w.shape[0])
-            margin = jnp.maximum(cost.penalty - cost.cd[rows, match.tgt_idx],
-                                 0.0)
+            margin = jnp.maximum(penalty - cd_sel, 0.0)
             margin = jnp.where(w > 0, margin, 0.0)
             msum = jnp.maximum(comm.psum(jnp.sum(margin)), 1e-12)
             nw = jnp.maximum(comm.psum(jnp.sum(w)), 1.0)
@@ -270,7 +335,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
             rmse_after=m.rmse_after.at[i].set(rmse_after),
             cor=m.cor.at[i].set(cor.astype(jnp.int32)),
             iou=m.iou.at[i].set(iou),
-            penalty=m.penalty.at[i].set(cost.penalty),
+            penalty=m.penalty.at[i].set(penalty),
             rounds=m.rounds.at[i].set(rounds))
 
         matches = jnp.where(w > 0, match.tgt_idx, -1)
@@ -290,8 +355,11 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
             r = config.weight_changing_rate
             i_eff = i.astype(jnp.float32) + st.it_shift
             dwfd = jnp.exp(-i_eff / r) - jnp.exp(-(i_eff + 1.0) / r)
-            ed_max = comm.pmax(jnp.max(jnp.where(
-                mask_s[:, None] & mask_t[None, :], ed, 0.0)))
+            if ed_max_fused is not None:
+                ed_max = comm.pmax(ed_max_fused)
+            else:
+                ed_max = comm.pmax(jnp.max(jnp.where(
+                    mask_s[:, None] & mask_t[None, :], ed, 0.0)))
             drift_next = d_ed + dwfd * (ed_max + d_ed)
         elif config.feature == FeatureType.FPFH:
             drift_next = jnp.float32(3.0e38)
@@ -303,7 +371,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
             para1=st.para1 + delta, para2=st.para2 + delta,
             metrics=metrics, matches=matches, rmse_after=rmse_after,
             prices=prices, price_unc=drift_next + 2.0 * eps_used,
-            pen_prev=cost.penalty, it_shift=st.it_shift)
+            pen_prev=penalty, it_shift=st.it_shift)
 
     return body
 

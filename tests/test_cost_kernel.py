@@ -1,0 +1,108 @@
+"""Fused cost->benefit kernel (ops/cost_kernel.py): interpret-mode parity
+vs the jnp reference and the separate blend path, and engine-level
+equivalence of the fused dispatch."""
+import numpy as np
+import jax.numpy as jnp
+
+from ghicp_tpu.ops.cost_kernel import fused_benefit, fused_benefit_ref
+
+
+def _fixture(seed=0, S=256, C=384, offset=300.0):
+    rng = np.random.default_rng(seed)
+    kp_s = (rng.uniform(0, 12, (S, 3)) + offset).astype(np.float32)
+    kp_t = (rng.uniform(0, 12, (C, 3)) + offset).astype(np.float32)
+    fd = rng.integers(0, 441, (S, C)).astype(np.float32)
+    ms = np.ones(S, bool); ms[-13:] = False
+    mt = np.ones(C, bool); mt[-7:] = False
+    return (jnp.asarray(kp_s), jnp.asarray(kp_t),
+            jnp.asarray(fd).astype(jnp.bfloat16),
+            jnp.asarray(ms), jnp.asarray(mt))
+
+
+def test_fused_benefit_matches_ref():
+    kp_s, kp_t, fd, ms, mt = _fixture()
+    # center like the engine does
+    mid = 0.5 * (jnp.min(jnp.where(mt[:, None], kp_t, 3e38), axis=0)
+                 + jnp.max(jnp.where(mt[:, None], kp_t, -3e38), axis=0))
+    args = (kp_s - mid, kp_t - mid, fd, ms, mt, 0.7, 0.3, 0.22)
+    got = fused_benefit(*args, ts=128, interpret=True)
+    want = fused_benefit_ref(*args)
+    assert np.array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    for g, w in zip(got[1:], want[1:]):
+        np.testing.assert_allclose(float(g), float(w), rtol=1e-5)
+
+
+def test_fused_benefit_matches_blend_path():
+    """Stats and benefit values must agree with the separate
+    euclidean_matrix + blend_bsc + gate pipeline (within bf16 rounding of
+    the emitted matrix)."""
+    from ghicp_tpu.matching.cost import blend_bsc, euclidean_matrix
+    kp_s, kp_t, fd, ms, mt = _fixture(seed=3)
+    mid = 0.5 * (jnp.min(jnp.where(mt[:, None], kp_t, 3e38), axis=0)
+                 + jnp.max(jnp.where(mt[:, None], kp_t, -3e38), axis=0))
+    wfd = float(np.exp(-2.0 / 6.0))
+    wed = 1.0 - wfd
+    scale = 0.15
+    b, cnt, s1, s2, cdmax, edmax = fused_benefit(
+        kp_s - mid, kp_t - mid, fd, ms, mt, wed, wfd, scale,
+        ts=128, interpret=True)
+    ed = euclidean_matrix(kp_s, kp_t, jnp.float32(scale))
+    cost = blend_bsc(ed, fd.astype(jnp.float32), ms, mt, jnp.float32(2.0),
+                     jnp.float32(1.0), jnp.float32(100.0), jnp.float32(30.0),
+                     jnp.float32(1.0), jnp.float32(1.0), jnp.float32(scale),
+                     6.0, 2.0)
+    mean = float(s1 / cnt)
+    std = float(jnp.sqrt(jnp.maximum(s2 / cnt - (s1 / cnt) ** 2, 0.0)))
+    np.testing.assert_allclose(mean, float(cost.cd_mean), rtol=2e-4)
+    np.testing.assert_allclose(std, float(cost.cd_std), rtol=2e-3, atol=1e-4)
+    m = np.asarray(ms)[:, None] & np.asarray(mt)[None, :]
+    cd = np.where(m, np.asarray(cost.cd), 0.0)
+    bb = np.asarray(b.astype(jnp.float32))
+    # benefit = -cd within bf16 rounding at valid pairs
+    np.testing.assert_allclose(np.where(m, bb, 0.0), -cd, rtol=1e-2,
+                               atol=0.6)
+    assert np.all(bb[~m] < -1e30)
+
+
+def test_engine_fused_path_matches_xla_path():
+    """End-to-end: the fused-kernel engine (interpret mode) must land on the
+    same pose as the separate-blend engine within the bf16-benefit noise."""
+    import dataclasses
+
+    import ghicp_tpu.matching.auction as au
+    import ghicp_tpu.registration.ghicp as gh
+    from ghicp_tpu.core.config import (CorrespondenceType, FeatureType,
+                                       GHICPConfig)
+    from ghicp_tpu.io.synthetic import structured_scene
+    from ghicp_tpu.registration import register_pair, transform_error
+
+    rng = np.random.default_rng(9)
+    pts = structured_scene(rng, 6000, extent=8.0)
+    th = np.deg2rad(8.0)
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    t = np.float32([0.5, -0.3, 0.1])
+    T_gt = np.eye(4, dtype=np.float32); T_gt[:3, :3] = R; T_gt[:3, 3] = t
+    src = ((pts - t) @ R + rng.normal(0, 0.01, pts.shape)).astype(np.float32)
+    tgt = (pts + rng.normal(0, 0.01, pts.shape)).astype(np.float32)
+
+    cfg = GHICPConfig(feature=FeatureType.BSC,
+                      correspondence=CorrespondenceType.KM,
+                      voxel_size=0.15, neighborhood_radius=0.5,
+                      non_max_radius=1.0, min_neighbors=8,
+                      estimated_overlap=0.9, max_iterations=25)
+    out_plain = register_pair(src, tgt,
+                              dataclasses.replace(cfg,
+                                                  fused_cost_kernel=False))
+    old_f, old_k = gh._FUSED_INTERPRET, au._KERNEL_INTERPRET
+    gh._FUSED_INTERPRET = True
+    au._KERNEL_INTERPRET = True
+    try:
+        out_fused = register_pair(src, tgt, cfg)
+    finally:
+        gh._FUSED_INTERPRET = old_f
+        au._KERNEL_INTERPRET = old_k
+    r1, t1 = transform_error(out_plain.transform, T_gt)
+    r2, t2 = transform_error(out_fused.transform, T_gt)
+    assert r1 < 1.5 and t1 < 0.3, (r1, t1)
+    assert r2 < 1.5 and t2 < 0.3, (r2, t2)
