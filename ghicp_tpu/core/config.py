@@ -106,6 +106,14 @@ class GHICPConfig:
     converge_translation: float = 0.02    # m
     converge_rotation: float = 0.02       # degrees
     max_iterations: int = 100
+    engine_chunk: int = 32                # iterations per device dispatch in
+                                          # the host-stepped loop.  Remote
+                                          # transports impose per-execution
+                                          # deadlines (~20s); each chunk also
+                                          # costs a tunnel round-trip + two
+                                          # scalar fetches, so keep chunks as
+                                          # large as the deadline allows
+                                          # (32 x ~25ms/iter << deadline)
 
     # --- robust transform estimation (upgrade over the reference's plain
     # SVD over all matched pairs, ghicp_reg.cpp:857-866).  The late-stage

@@ -212,7 +212,8 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
     # Host-stepped dispatch: one device call per few iterations (remote-TPU
     # transports impose single-execution deadlines at large keypoint counts).
     result = ghicp_register_chunked(kp_s, kp_s_mask, kp_t, kp_t_mask, fd,
-                                    jnp.float32(bbx), config, chunk=8,
+                                    jnp.float32(bbx), config,
+                                    chunk=config.engine_chunk,
                                     init_transform=T0, it_shift=it_shift)
     jax.block_until_ready(result.transform)
     timings["register"] = time.perf_counter() - t0
