@@ -54,6 +54,8 @@ class AuctionResult(NamedTuple):
     energy: Array      # scalar: sum matched CD + penalty * n_unmatched
     rounds: Array      # total bidding rounds executed
     eps_used: Array    # effective final epsilon (after the rel_eps floor)
+    acol: Array        # [rows] raw assignment: col id, _SINK, or -1 —
+                       # feed back as ``acol0`` to warm-start the next solve
 
 
 _SINK = jnp.int32(2**30)  # "unmatched" pseudo-column (infinite capacity)
@@ -153,7 +155,9 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
                    comm: Comm = LOCAL, row_offset=None,
                    eps_scaling: float = 5.0, rel_eps: float = 0.0,
                    p0: Optional[Array] = None, price_uncertainty=None,
-                   use_round_kernel: bool = False, n_phases: int = 4):
+                   use_round_kernel: bool = False, n_phases: int = 4,
+                   b_max: Optional[Array] = None,
+                   acol0: Optional[Array] = None):
     """Assignment on a benefit matrix b [R, C] (maximization) with an
     outside option at ``sink_value`` per row, via epsilon scaling with
     *kept assignments*.
@@ -199,7 +203,10 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
     if row_offset is None:
         row_offset = comm.axis_index() * R
     row_gid = row_offset + jnp.arange(R, dtype=jnp.int32)
-    finite_max = comm.pmax(jnp.max(jnp.where(jnp.isfinite(b), b, _NEG)))
+    if b_max is None:
+        # One full-matrix pass; callers with fused cost stats pass b_max in.
+        b_max = comm.pmax(jnp.max(jnp.where(jnp.isfinite(b), b, _NEG)))
+    finite_max = jnp.asarray(b_max, jnp.float32)
     spread = jnp.maximum(finite_max - jnp.float32(sink_value), 0.0)
     eps_final = jnp.maximum(jnp.float32(eps), jnp.float32(rel_eps) * spread)
     if n_phases <= 1:
@@ -214,6 +221,47 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
         d = jnp.float32(price_uncertainty)
         eps0 = jnp.clip(d, eps_final, cold_eps0)
         p_init = jnp.maximum(p0 - d, 0.0)
+
+    rows = jnp.arange(R)
+    if acol0 is None:
+        owner_init = jnp.full((C,), -1, jnp.int32)
+        acol_init = jnp.full((R,), -1, jnp.int32)
+    else:
+        # --- Assignment warm start -------------------------------------
+        # The dominant per-solve cost is the first bidding sweep: EVERY row
+        # computes a full top-2 (~12 VPU passes over [R, C]).  But across
+        # GH-ICP iterations the matching barely changes late in the run —
+        # so keep the previous assignment wherever epsilon-complementary-
+        # slackness still holds under the NEW benefits and the deflated
+        # prices (one max-pass + gathers), and let the auction re-bid only
+        # the violators.  Kept rows satisfy eps0-CS by the test; re-bid
+        # rows by the auction invariant — the combined assignment carries
+        # the same n*eps optimality bound as a cold solve.
+        real0 = (acol0 >= 0) & (acol0 < C)
+        jc0 = jnp.where(real0, acol0, 0)
+        # Rebuild column owners (greedy-completed rows may duplicate a
+        # column: max-scatter keeps one, the loser reopens).
+        owner_init = jnp.full((C,), -1, jnp.int32).at[
+            jnp.where(real0, acol0, C)].max(
+                jnp.where(real0, row_gid, -1), mode="drop")
+        owner_init = comm.pmax(owner_init)
+        # Reverse-auction zeroing: a price is only meaningful while an
+        # owner supports it; stale prices on unowned columns would push
+        # bidders to the fixed-price sink.
+        p_init = jnp.where(owner_init >= 0, p_init, 0.0)
+        v1 = jnp.max(b.astype(jnp.float32) - p_init[None, :], axis=1)
+        vsel = b[rows, jc0].astype(jnp.float32) - p_init[jc0]
+        own_ok = real0 & (owner_init[jc0] == row_gid)
+        keep = own_ok & (vsel >= v1 - eps0)
+        stay_sunk = (acol0 == _SINK) & (jnp.float32(sink_value) >= v1 - eps0)
+        # CS violators release their columns (prices stay — they were bid-
+        # supported a moment ago and are deflated by the drift bound).
+        rel = own_ok & ~keep
+        owner_init = owner_init.at[jnp.where(rel, acol0, C)].set(
+            -1, mode="drop")
+        owner_init = comm.pmin(owner_init)
+        acol_init = jnp.where(keep, acol0,
+                              jnp.where(stay_sunk, _SINK, -1))
 
     def reopen_violators(st, eps_prev, eps_now):
         """Deflate the systematic +eps bid overshoot, then unassign rows
@@ -230,11 +278,17 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
         rows = jnp.arange(R)
 
         def cs_ok(p_now):
-            v = b - p_now[None, :]
-            v1 = jnp.max(jnp.maximum(v, jnp.float32(sink_value)), axis=1)
+            # v1 as a pure reduce over (b - p): XLA fuses the subtract into
+            # the reduction.  The assigned value comes from GATHERS on b and
+            # p — indexing the fused expression would force the full [R, C]
+            # f32 matrix to materialize in HBM (~256MB at 8k^2, measured
+            # 1.8ms per pass).
+            v1 = jnp.max(jnp.maximum(b.astype(jnp.float32) - p_now[None, :],
+                                     jnp.float32(sink_value)), axis=1)
             cur = jnp.where((acol >= 0) & (acol < C), acol, 0)
-            assigned_val = jnp.where(acol == _SINK,
-                                     jnp.float32(sink_value), v[rows, cur])
+            assigned_val = jnp.where(
+                acol == _SINK, jnp.float32(sink_value),
+                b[rows, cur].astype(jnp.float32) - p_now[cur])
             return (acol < 0) | (assigned_val >= v1 - eps_now)
 
         # Fixed point: find CS violators, unassign them AND free their
@@ -246,7 +300,10 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
         # bidding phase re-establishes CS for whatever remains open).
         # (A data-dependent early-exit while_loop here nests 4 deep inside
         # the engine loop and stalls the XLA:TPU compiler for minutes —
-        # keep this a bounded fori_loop.)
+        # keep this a bounded fori_loop.)  Sweep 1 runs unconditionally;
+        # the cascade sweeps 2-4 (each a full-matrix cs_ok pass, ~1ms at
+        # TLS scale) run under a cond only when sweep 1 reopened rows —
+        # near convergence nothing violates and the repair costs one pass.
         def sweep(_, st2):
             owner, acol, p = st2
             ok = cs_ok(p)
@@ -258,20 +315,29 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
             p = jnp.where(owner < 0, 0.0, p)
             return owner, acol, p
 
-        owner, acol, p = jax.lax.fori_loop(0, 4, sweep, (owner, acol, p))
+        st1 = sweep(0, (owner, acol, p))
+        any_reopened = comm.psum(jnp.sum(
+            ((st1[1] == -1) & (acol != -1)).astype(jnp.int32))) > 0
+        owner, acol, p = jax.lax.cond(
+            any_reopened,
+            lambda s: jax.lax.fori_loop(1, 4, sweep, s),
+            lambda s: s, st1)
         return owner, acol, p
 
     # Row-tile height: the kernel's VMEM footprint is ~5 x ts x C x 4B
     # (double-buffered benefit stripe + the [ts, C] f32 round intermediates)
-    # against the 16MB scoped budget — shrink ts as columns grow.  ts=128
-    # fits C=8192; each doubling of C halves ts.
-    ts = 128
-    while ts > 16 and ts * C > 128 * 8192:
+    # against the raised scoped-VMEM budget — shrink ts as columns grow.
+    # ts=256 fits C=8192 (~56MB of 128MB physical); each doubling of C
+    # halves ts.  Fewer, taller tiles matter because the per-tile-visit
+    # scalar overhead (active-list build, DMA bookkeeping) dominates late
+    # sweeps, not the VPU passes.
+    ts = 256
+    while ts > 16 and ts * C > 256 * 8192:
         ts //= 2
     if (use_round_kernel and not comm.distributed
             and (jax.default_backend() == "tpu" or _KERNEL_INTERPRET)
             and R % ts == 0 and R % 128 == 0 and C % 128 == 0
-            and ts * C <= 128 * 8192):
+            and ts * C <= 256 * 8192):
         # Whole-phase Pallas kernel: every bidding round's state transition
         # happens in VMEM scratch, one launch per epsilon phase (see
         # ghicp_tpu/ops/auction_rounds.py), with an exact in-kernel
@@ -290,9 +356,9 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
                 col_ids, mode="drop")
             return jnp.where((sunk == 1) & (acol < 0), _SINK, acol)
 
-        owner = jnp.full((C,), -1, jnp.int32)
-        sunk = jnp.zeros((R,), jnp.int32)
-        open_ = jnp.ones((R,), jnp.int32)
+        owner = owner_init
+        sunk = (acol_init == _SINK).astype(jnp.int32)
+        open_ = (acol_init == -1).astype(jnp.int32)
         p = p_init
         eps_now = eps0
         remaining = jnp.int32(max_rounds)
@@ -363,8 +429,7 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
               jnp.where(done, p, rp))
         return done, eps_next, st, r
 
-    st0 = (jnp.full((C,), -1, jnp.int32), jnp.full((R,), -1, jnp.int32),
-           p_init)
+    st0 = (owner_init, acol_init, p_init)
     _, _, (owner, acol, p), rounds = jax.lax.while_loop(
         cond, body, (jnp.bool_(False), eps0, st0, jnp.int32(0)))
     return acol, p, rounds, eps_final
@@ -380,7 +445,9 @@ def auction_match_benefits(b: Array, penalty: Array, mask_s: Array,
                            p0: Optional[Array] = None,
                            price_uncertainty=None,
                            use_round_kernel: bool = False,
-                           n_phases: int = 2) -> AuctionResult:
+                           n_phases: int = 2,
+                           b_max: Optional[Array] = None,
+                           acol0: Optional[Array] = None) -> AuctionResult:
     """Auction on a PREBUILT benefit matrix (e.g. from the fused cost
     kernel, ops/cost_kernel.py).
 
@@ -397,27 +464,37 @@ def auction_match_benefits(b: Array, penalty: Array, mask_s: Array,
     acol, p, rounds, eps_used = auction_assign(
         b, -penalty, eps_final, max_rounds, comm, rel_eps=rel_eps,
         p0=p0, price_uncertainty=price_uncertainty,
-        use_round_kernel=use_round_kernel, n_phases=n_phases)
-    # Greedy completion at budget exhaustion (see auction_match).
+        use_round_kernel=use_round_kernel, n_phases=n_phases, b_max=b_max,
+        acol0=acol0)
+    # Greedy completion at budget exhaustion (see auction_match) — under a
+    # cond: when the auction converged (no -1 rows, the common case with
+    # in-kernel epsilon escalation) the full-matrix top-1 pass is skipped.
     leftover = acol == -1
-    bf = b.astype(jnp.float32)
-    v = bf - p[None, :]
-    v1 = jnp.max(v, axis=1)
-    j1 = jnp.argmax(v, axis=1).astype(jnp.int32)
-    acol = jnp.where(leftover, jnp.where(v1 > -penalty, j1, _SINK), acol)
+
+    def complete(acol):
+        # argmax-then-gather: a max+argmax pair over the same (b - p)
+        # expression makes XLA materialize the full f32 matrix; a single
+        # argmax reduce fuses, and the max value comes from gathers.
+        j1 = jnp.argmax(b.astype(jnp.float32) - p[None, :],
+                        axis=1).astype(jnp.int32)
+        v1 = b[jnp.arange(S), j1].astype(jnp.float32) - p[j1]
+        return jnp.where(leftover, jnp.where(v1 > -penalty, j1, _SINK), acol)
+
+    acol = jax.lax.cond(jnp.any(leftover), complete, lambda a: a, acol)
     matched = (acol >= 0) & (acol < T)
     jc = jnp.where(matched, acol, 0)
     rows = jnp.arange(S)
-    real = mask_s & matched & (bf[rows, jc] > -penalty)
+    bsel = b[rows, jc].astype(jnp.float32)
+    real = mask_s & matched & (bsel > -penalty)
     w = real.astype(jnp.float32)
     cor = comm.psum(jnp.sum(w))
-    matched_cd = comm.psum(jnp.sum(jnp.where(real, -bf[rows, jc], 0.0)))
+    matched_cd = comm.psum(jnp.sum(jnp.where(real, -bsel, 0.0)))
     n_sq = jnp.float32(max(rows_total, T))
     energy = matched_cd + penalty * (n_sq - cor)
     match = MatchResult(tgt_idx=jc.astype(jnp.int32), w=w,
                         n_matches=cor.astype(jnp.int32))
     return AuctionResult(match=match, prices=p, energy=energy, rounds=rounds,
-                         eps_used=eps_used)
+                         eps_used=eps_used, acol=acol)
 
 
 @functools.partial(jax.jit, static_argnames=("eps_final",
@@ -431,7 +508,8 @@ def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
                   price_uncertainty=None,
                   quantize_bf16: bool = False,
                   use_round_kernel: bool = False,
-                  n_phases: int = 4) -> AuctionResult:
+                  n_phases: int = 4,
+                  acol0: Optional[Array] = None) -> AuctionResult:
     """Global-optimal correspondence via auction (KM equivalent).
 
     cd: [S, T] blended cost (+inf at invalid pairs); S may be a local row
@@ -460,7 +538,7 @@ def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
     acol, p, rounds, eps_used = auction_assign(
         b, -penalty, eps_final, max_rounds, comm, rel_eps=rel_eps,
         p0=p0, price_uncertainty=price_uncertainty,
-        use_round_kernel=use_round_kernel, n_phases=n_phases)
+        use_round_kernel=use_round_kernel, n_phases=n_phases, acol0=acol0)
     # Greedy completion at budget exhaustion: rows still unassigned when the
     # TOTAL rounds budget binds (acol == -1) take their best column at the
     # current prices (duplicates allowed), or the sink if the sink rule says
@@ -473,10 +551,16 @@ def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
     # top-1 sweep; exact one-to-one still holds for every row the auction
     # itself assigned.
     leftover = acol == -1
-    v = jnp.where(gate, b.astype(jnp.float32) - p[None, :], _NEG)
-    v1 = jnp.max(v, axis=1)
-    j1 = jnp.argmax(v, axis=1).astype(jnp.int32)
-    acol = jnp.where(leftover, jnp.where(v1 > -penalty, j1, _SINK), acol)
+
+    def complete(acol):
+        j1 = jnp.argmax(jnp.where(gate, b.astype(jnp.float32) - p[None, :],
+                                  _NEG), axis=1).astype(jnp.int32)
+        rr = jnp.arange(S)
+        v1 = jnp.where(gate[rr, j1],
+                       b[rr, j1].astype(jnp.float32) - p[j1], _NEG)
+        return jnp.where(leftover, jnp.where(v1 > -penalty, j1, _SINK), acol)
+
+    acol = jax.lax.cond(jnp.any(leftover), complete, lambda a: a, acol)
     matched = (acol >= 0) & (acol < T)
     jc = jnp.where(matched, acol, 0)
     real = mask_s & matched & gate[jnp.arange(S), jc]
@@ -491,4 +575,4 @@ def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
     match = MatchResult(tgt_idx=jc.astype(jnp.int32), w=w,
                         n_matches=cor.astype(jnp.int32))
     return AuctionResult(match=match, prices=p, energy=energy, rounds=rounds,
-                        eps_used=eps_used)
+                         eps_used=eps_used, acol=acol)

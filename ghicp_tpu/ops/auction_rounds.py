@@ -566,11 +566,11 @@ def auction_phase_gs_pallas(b: Array, p0: Array, owner0: Array, sunk0: Array,
         ],
         compiler_params=pltpu.CompilerParams(
             # The resolve's live set (stripe double buffer + two [ts, C]
-            # f32 temporaries + masks) peaks ~16.4MB at C=8192 — just past
-            # the 16MB default scoped-VMEM soft limit.  Physical VMEM is
-            # far larger; raise the cap instead of dropping the prefetch
-            # double buffer.
-            vmem_limit_bytes=32 * 1024 * 1024),
+            # f32 temporaries + masks) peaks ~33MB at ts=256, C=8192 —
+            # well past the 16MB default scoped-VMEM soft limit.  Physical
+            # VMEM is 128MB; raise the cap instead of dropping the
+            # prefetch double buffer or shrinking the tile.
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(eps, jnp.float32).reshape(1),
       jnp.asarray(sink_value, jnp.float32).reshape(1),

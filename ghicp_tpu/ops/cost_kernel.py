@@ -47,8 +47,10 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fd_ref, ms_ref, mt_ref,
     @pl.when(i == 0)
     def _init():
         # Stats accumulate directly into the (whole-array, sequential-grid)
-        # output block; cd/ed are nonnegative so 0 is a valid max identity.
+        # output block; cd/ed are nonnegative so 0 is a valid max identity
+        # for rows 0-4.  Row 5 accumulates max(-cd) and needs -inf.
         part_out[:, :] = jnp.zeros_like(part_out)
+        part_out[5, :] = jnp.full_like(part_out[5, :], _NEG)
     s = kps_ref[:, :]                                    # [ts, 8]
     t = kpt_ref[:, :]                                    # [C, 8]
     d = jax.lax.dot_general(s, t, (((1,), (1,)), ((), ())),
@@ -72,18 +74,24 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fd_ref, ms_ref, mt_ref,
     part_out[3, :] = jnp.maximum(part_out[3, :], jnp.max(cdm))
     part_out[4, :] = jnp.maximum(part_out[4, :],
                                  jnp.max(jnp.where(m, ed, 0.0)))
+    # cd_min over valid pairs (negated so the zero-initialized accumulator
+    # is a valid identity): the auction derives its epsilon spread as
+    # penalty - cd_min without another full-matrix pass.
+    part_out[5, :] = jnp.maximum(part_out[5, :],
+                                 jnp.max(jnp.where(m, -cd, _NEG)))
 
 
-@functools.partial(jax.jit, static_argnames=("ts", "interpret"))
+@functools.partial(jax.jit, static_argnames=("ts", "interpret", "out_dtype"))
 def fused_benefit(kp_s: Array, kp_t: Array, fd: Array, mask_s: Array,
                   mask_t: Array, wed, wfd, scale, ts: int = 256,
-                  interpret: bool = False):
+                  interpret: bool = False, out_dtype=jnp.bfloat16):
     """One-sweep benefit matrix + CD statistics.
 
     kp_s [S,3], kp_t [C,3] f32 (center them by a common offset first);
-    fd [S,C] (bf16 or f32); masks bool.  Returns (b bf16 [S,C],
-    cd_count, cd_sum, cd_sumsq, cd_max, ed_max) with stats over valid
-    pairs.  S % ts == 0; C % 128 == 0.
+    fd [S,C] (bf16 or f32); masks bool.  Returns (b [S,C] ``out_dtype``,
+    cd_count, cd_sum, cd_sumsq, cd_max, ed_max, b_max) with stats over
+    valid pairs (b_max = -cd_min feeds the auction's epsilon spread).
+    S % ts == 0; C % 128 == 0.
     """
     S, C = fd.shape
     n_tiles = S // ts
@@ -115,7 +123,7 @@ def fused_benefit(kp_s: Array, kp_t: Array, fd: Array, mask_s: Array,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((S, C), jnp.bfloat16),
+            jax.ShapeDtypeStruct((S, C), out_dtype),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -128,10 +136,11 @@ def fused_benefit(kp_s: Array, kp_t: Array, fd: Array, mask_s: Array,
       mask_s.astype(jnp.int32).reshape(n_tiles, ts),
       mask_t.astype(jnp.int32).reshape(1, C))
     return (b, parts[0, 0], parts[1, 0], parts[2, 0],
-            parts[3, 0], parts[4, 0])
+            parts[3, 0], parts[4, 0], parts[5, 0])
 
 
-def fused_benefit_ref(kp_s, kp_t, fd, mask_s, mask_t, wed, wfd, scale):
+def fused_benefit_ref(kp_s, kp_t, fd, mask_s, mask_t, wed, wfd, scale,
+                      out_dtype=jnp.bfloat16):
     """jnp reference (parity tests; same norm-expansion ED path)."""
     d = jnp.matmul(kp_s, kp_t.T, precision=jax.lax.Precision.HIGHEST)
     s2 = jnp.sum(kp_s * kp_s, axis=1)
@@ -140,9 +149,10 @@ def fused_benefit_ref(kp_s, kp_t, fd, mask_s, mask_t, wed, wfd, scale):
     ed = jnp.asarray(scale, jnp.float32) * jnp.sqrt(d2)
     cd = wed * ed + wfd * fd.astype(jnp.float32)
     m = mask_s[:, None] & mask_t[None, :]
-    b = jnp.where(m, -cd, _NEG).astype(jnp.bfloat16)
+    b = jnp.where(m, -cd, _NEG).astype(out_dtype)
     mf = m.astype(jnp.float32)
     return (b, jnp.sum(mf), jnp.sum(jnp.where(m, cd, 0.0)),
             jnp.sum(jnp.where(m, cd * cd, 0.0)),
             jnp.max(jnp.where(m, cd, 0.0)),
-            jnp.max(jnp.where(m, ed, 0.0)))
+            jnp.max(jnp.where(m, ed, 0.0)),
+            jnp.max(jnp.where(m, -cd, _NEG)))

@@ -90,6 +90,10 @@ class _State(NamedTuple):
     matches: Array    # [S] int32
     rmse_after: Array
     prices: Array     # [T] auction dual prices carried across iterations
+    acol: Array       # [S] raw auction assignment (col/_SINK/-1) carried
+                      # across iterations: warm-starts the next solve so
+                      # only eps-CS violators re-bid (the full first-sweep
+                      # top-2 over [S,T] was the dominant engine cost)
     price_unc: Array  # scalar bound on benefit drift since `prices` was set
     pen_prev: Array   # previous iteration's penalty (drift component)
     it_shift: Array   # f32 schedule offset: W_FD decays from
@@ -141,6 +145,7 @@ def _initial_state(kp_s: Array, n_target: int, config: GHICPConfig,
         metrics=metrics0, matches=jnp.full((S,), -1, jnp.int32),
         rmse_after=jnp.float32(jnp.inf),
         prices=jnp.zeros((n_target,), jnp.float32),
+        acol=jnp.full((S,), -1, jnp.int32),
         price_unc=jnp.float32(3.0e38), pen_prev=jnp.float32(0.0),
         it_shift=jnp.float32(it_shift))
 
@@ -168,7 +173,11 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
                      + jnp.max(jnp.where(mask_t[:, None], kp_t, -3e38),
                                axis=0))
         kp_t_c = jnp.where(mask_t[:, None], kp_t - mid[None, :], 0.0)
-        fd_b = fd.astype(jnp.bfloat16)
+        # Benefit-store precision follows auction_bf16 (same knob as the
+        # unfused path's quantize_bf16); f32 keeps full ED resolution at
+        # double the sweep traffic.
+        b_dtype = jnp.bfloat16 if config.auction_bf16 else jnp.float32
+        fd_b = fd.astype(jnp.bfloat16) if config.auction_bf16 else fd
 
     def body(st: _State) -> _State:
         it_eff = st.it.astype(jnp.float32) + st.it_shift
@@ -185,9 +194,9 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
             from ghicp_tpu.matching.cost import bsc_penalty
             from ghicp_tpu.ops.cost_kernel import fused_benefit
             kps_c = st.kps - mid[None, :]
-            b, cnt, s1, s2, _, ed_max_fused = fused_benefit(
+            b, cnt, s1, s2, _, ed_max_fused, b_max = fused_benefit(
                 kps_c, kp_t_c, fd_b, mask_s, mask_t, wed, wfd, scale,
-                ts=128, interpret=_FUSED_INTERPRET)
+                ts=128, interpret=_FUSED_INTERPRET, out_dtype=b_dtype)
             n_valid = jnp.maximum(cnt, 1.0)
             mean = s1 / n_valid
             std = jnp.sqrt(jnp.maximum(s2 / n_valid - mean * mean, 0.0))
@@ -205,12 +214,14 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
                 rel_eps=config.auction_rel_eps,
                 p0=st.prices, price_uncertainty=drift,
                 use_round_kernel=config.auction_round_kernel,
-                n_phases=config.auction_phases)
+                n_phases=config.auction_phases, b_max=b_max,
+                acol0=st.acol)
             match = ares.match
             energy = ares.energy
             rounds = ares.rounds
             prices = ares.prices
             eps_used = ares.eps_used
+            acol_new = ares.acol
             rows_sel = jnp.arange(S)
             cd_sel = -b[rows_sel, match.tgt_idx].astype(jnp.float32)
         else:
@@ -232,6 +243,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
             rounds = jnp.int32(0)
             prices = st.prices
             eps_used = jnp.float32(0.0)
+            acol_new = st.acol
             if config.correspondence == CorrespondenceType.KM:
                 # Price warm start: reuse the previous iteration's dual
                 # prices, deflated by a bound on how much any benefit entry
@@ -250,12 +262,14 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
                                      quantize_bf16=config.auction_bf16,
                                      use_round_kernel=(
                                          config.auction_round_kernel),
-                                     n_phases=config.auction_phases)
+                                     n_phases=config.auction_phases,
+                                     acol0=st.acol)
                 match = ares.match
                 energy = ares.energy
                 rounds = ares.rounds
                 prices = ares.prices
                 eps_used = ares.eps_used
+                acol_new = ares.acol
             elif config.correspondence == CorrespondenceType.NNR:
                 match = nnr_match(cost.cd, mask_s, mask_t, comm)
             else:
@@ -370,7 +384,8 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
             converged=converged, rms=rmse, fdm=fdm, fdstd=fdstd,
             para1=st.para1 + delta, para2=st.para2 + delta,
             metrics=metrics, matches=matches, rmse_after=rmse_after,
-            prices=prices, price_unc=drift_next + 2.0 * eps_used,
+            prices=prices, acol=acol_new,
+            price_unc=drift_next + 2.0 * eps_used,
             pen_prev=penalty, it_shift=st.it_shift)
 
     return body
@@ -442,7 +457,10 @@ def ghicp_register_chunked(kp_s: Array, mask_s: Array, kp_t: Array,
         state = _ghicp_chunk(state, kp_t, mask_s, mask_t, fd,
                              jnp.asarray(bbx_magnitude, jnp.float32),
                              config, chunk)
-        if bool(state.converged) or int(state.it) >= config.max_iterations:
+        # One batched fetch: separate bool()/int() materializations cost a
+        # remote-transport round trip EACH (~30-50ms through the tunnel).
+        conv, it = jax.device_get((state.converged, state.it))
+        if bool(conv) or int(it) >= config.max_iterations:
             break
     success = state.rmse_after < 1.5 * config.non_max_radius
     return GHICPResult(transform=state.rt, iterations=state.it,

@@ -43,7 +43,7 @@ def test_fused_benefit_matches_blend_path():
     wfd = float(np.exp(-2.0 / 6.0))
     wed = 1.0 - wfd
     scale = 0.15
-    b, cnt, s1, s2, cdmax, edmax = fused_benefit(
+    b, cnt, s1, s2, cdmax, edmax, bmax = fused_benefit(
         kp_s - mid, kp_t - mid, fd, ms, mt, wed, wfd, scale,
         ts=128, interpret=True)
     ed = euclidean_matrix(kp_s, kp_t, jnp.float32(scale))

@@ -177,6 +177,47 @@ def test_auction_warm_start_matches_cold():
     assert abs(float(cold.energy) - float(warm.energy)) <= n * 0.01 + 1e-3
 
 
+def test_auction_assignment_warm_start_matches_cold():
+    """Warm-starting prices AND the previous assignment (``acol0``): rows
+    whose eps-CS still holds keep their match; the rest re-bid.  The
+    combined assignment must stay within the same n*eps optimality band as
+    a cold solve, on both the XLA and (interpret-mode) kernel paths."""
+    import jax.numpy as jnp
+    import ghicp_tpu.matching.auction as auc
+    from ghicp_tpu.matching.auction import auction_match
+    from scipy.optimize import linear_sum_assignment
+    rng = np.random.default_rng(29)
+    n = 128
+    cd0 = rng.uniform(0.0, 4.0, (n, n)).astype(np.float32)
+    ii = np.arange(n)
+    cd0[ii, ii] *= 0.1
+    penalty = 3.0
+    ms = jnp.ones(n, bool)
+    delta = 0.05
+    cd1 = (cd0 + rng.uniform(-delta, delta, cd0.shape)).astype(np.float32)
+    b = np.full((n, n), penalty, np.float32)
+    gate = cd1 < penalty
+    b[gate] = cd1[gate]
+    ri, ci = linear_sum_assignment(b)
+    opt = b[ri, ci].sum()
+    for use_kernel in (False, True):
+        auc._KERNEL_INTERPRET = use_kernel
+        try:
+            a0 = auction_match(jnp.asarray(cd0), jnp.float32(penalty), ms,
+                               ms, eps_final=0.001,
+                               use_round_kernel=use_kernel)
+            warm = auction_match(jnp.asarray(cd1), jnp.float32(penalty), ms,
+                                 ms, eps_final=0.001, p0=a0.prices,
+                                 price_uncertainty=2 * delta + 0.01,
+                                 acol0=a0.acol, use_round_kernel=use_kernel)
+        finally:
+            auc._KERNEL_INTERPRET = False
+        assert float(warm.energy) <= opt + n * 0.01 + 1e-3, use_kernel
+        # one-to-one over real matches
+        tgt = np.asarray(warm.match.tgt_idx)[np.asarray(warm.match.w) > 0]
+        assert len(set(tgt.tolist())) == len(tgt), use_kernel
+
+
 def test_auction_round_kernel_path_matches_xla():
     """The whole-phase Pallas kernel dispatch (interpret mode on CPU) must
     reach the same epsilon-optimal energy as the XLA while-loop path, with
