@@ -56,6 +56,10 @@ class AuctionResult(NamedTuple):
     eps_used: Array    # effective final epsilon (after the rel_eps floor)
     acol: Array        # [rows] raw assignment: col id, _SINK, or -1 —
                        # feed back as ``acol0`` to warm-start the next solve
+    cd_sel: Array      # [rows] f32 matched-pair cost (CD at the assigned
+                       # column; callers reuse it instead of re-gathering
+                       # the [rows, cols] matrix — row gathers cost ~0.14ms
+                       # at 8k rows on this backend)
 
 
 _SINK = jnp.int32(2**30)  # "unmatched" pseudo-column (infinite capacity)
@@ -401,6 +405,11 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
             if k < n_phases - 1:
                 eps_next = jnp.maximum(eps0 * ratio**(k + 1), eps_final)
                 acol = derive_acol(owner, sunk)
+                # (An outer cond "skip repair when the ladder is flat" was
+                # measured SLOWER: the penalty drifts every iteration, so
+                # the ladder is almost always active and the cond only adds
+                # [R]-state copies.  The inner cascade cond in
+                # reopen_violators is the one that pays.)
                 owner, acol, p = reopen_violators((owner, acol, p),
                                                   eps_now, eps_next)
                 sunk = (acol == _SINK).astype(jnp.int32)
@@ -423,10 +432,12 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
         done = (eps_now <= eps_final * 1.0001) | (r >= max_rounds)
         eps_next = jnp.maximum(eps_now / eps_scaling, eps_final)
         # Reopen CS violators only when another phase will actually run —
-        # the final phase's assignment must be returned intact.
-        ro, ra, rp = reopen_violators((owner, acol, p), eps_now, eps_next)
-        st = (jnp.where(done, owner, ro), jnp.where(done, acol, ra),
-              jnp.where(done, p, rp))
+        # the final phase's assignment must be returned intact (and the
+        # repair's full-matrix sweeps skipped, via cond).
+        st = jax.lax.cond(
+            done, lambda s: s,
+            lambda s: reopen_violators(s, eps_now, eps_next),
+            (owner, acol, p))
         return done, eps_next, st, r
 
     st0 = (owner_init, acol_init, p_init)
@@ -494,7 +505,7 @@ def auction_match_benefits(b: Array, penalty: Array, mask_s: Array,
     match = MatchResult(tgt_idx=jc.astype(jnp.int32), w=w,
                         n_matches=cor.astype(jnp.int32))
     return AuctionResult(match=match, prices=p, energy=energy, rounds=rounds,
-                         eps_used=eps_used, acol=acol)
+                         eps_used=eps_used, acol=acol, cd_sel=-bsel)
 
 
 @functools.partial(jax.jit, static_argnames=("eps_final",
@@ -563,11 +574,11 @@ def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
     acol = jax.lax.cond(jnp.any(leftover), complete, lambda a: a, acol)
     matched = (acol >= 0) & (acol < T)
     jc = jnp.where(matched, acol, 0)
+    cd_sel = cd[jnp.arange(S), jc]
     real = mask_s & matched & gate[jnp.arange(S), jc]
     w = real.astype(jnp.float32)
     cor = comm.psum(jnp.sum(w))
-    matched_cd = comm.psum(
-        jnp.sum(jnp.where(real, cd[jnp.arange(S), jc], 0.0)))
+    matched_cd = comm.psum(jnp.sum(jnp.where(real, cd_sel, 0.0)))
     # Energy bookkeeping on the reference's square problem of size
     # n = max(total_rows, T) (km.cpp:128-141).
     n_sq = jnp.float32(max(rows_total, T))
@@ -575,4 +586,4 @@ def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
     match = MatchResult(tgt_idx=jc.astype(jnp.int32), w=w,
                         n_matches=cor.astype(jnp.int32))
     return AuctionResult(match=match, prices=p, energy=energy, rounds=rounds,
-                         eps_used=eps_used, acol=acol)
+                         eps_used=eps_used, acol=acol, cd_sel=cd_sel)

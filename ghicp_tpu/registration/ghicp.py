@@ -222,8 +222,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
             prices = ares.prices
             eps_used = ares.eps_used
             acol_new = ares.acol
-            rows_sel = jnp.arange(S)
-            cd_sel = -b[rows_sel, match.tgt_idx].astype(jnp.float32)
+            cd_sel = ares.cd_sel
         else:
             ed = euclidean_matrix(st.kps, kp_t, scale)
             if config.feature == FeatureType.BSC:
@@ -270,12 +269,13 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
                 prices = ares.prices
                 eps_used = ares.eps_used
                 acol_new = ares.acol
+                cd_sel = ares.cd_sel
             elif config.correspondence == CorrespondenceType.NNR:
                 match = nnr_match(cost.cd, mask_s, mask_t, comm)
+                cd_sel = cost.cd[jnp.arange(S), match.tgt_idx]
             else:
                 match = nn_match(cost.cd, penalty, mask_s, mask_t, comm)
-            rows_sel = jnp.arange(S)
-            cd_sel = cost.cd[rows_sel, match.tgt_idx]
+                cd_sel = cost.cd[jnp.arange(S), match.tgt_idx]
 
         w = match.w
         cor = comm.psum(jnp.sum(w))
