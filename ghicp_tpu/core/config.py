@@ -106,14 +106,16 @@ class GHICPConfig:
     converge_translation: float = 0.02    # m
     converge_rotation: float = 0.02       # degrees
     max_iterations: int = 100
-    engine_chunk: int = 32                # iterations per device dispatch in
+    engine_chunk: int = 64                # iterations per device dispatch in
                                           # the host-stepped loop.  Remote
                                           # transports impose per-execution
                                           # deadlines (~20s); each chunk also
                                           # costs a tunnel round-trip + two
-                                          # scalar fetches, so keep chunks as
-                                          # large as the deadline allows
-                                          # (32 x ~25ms/iter << deadline)
+                                          # scalar fetches (~40ms), so keep
+                                          # chunks as large as the deadline
+                                          # allows (64 x ~2.4ms/iter <<
+                                          # deadline; measured 319 vs 282
+                                          # it/s at chunk 64 vs 32, round 2)
 
     # --- robust transform estimation (upgrade over the reference's plain
     # SVD over all matched pairs, ghicp_reg.cpp:857-866).  The late-stage
@@ -144,7 +146,7 @@ class GHICPConfig:
                                           # pose is ignored (identity init)
 
     # --- auction solver (eps-scaling forward auction with outside option) ---
-    auction_max_rounds: int = 8           # TOTAL sweep budget per solve
+    auction_max_rounds: int = 2           # TOTAL sweep budget per solve
                                           # (traced: may vary per engine
                                           # iteration without recompiles).
                                           # Three mechanisms make a small
@@ -158,27 +160,32 @@ class GHICPConfig:
                                           # instead of flat greedy
                                           # completion), and margin-
                                           # weighted robust estimation.
-                                          # Measured at 6.6k kps (round 2):
-                                          # budgets 4/8/16/32 register
-                                          # 0.13/0.07/0.00/0.00 deg
-                                          # (RANSAC-init) and 8 gives
-                                          # identity-start 0.000 deg at
-                                          # 116 it/s vs 83 at 16.  Raise
+                                          # Measured at 6.6k kps (round 2,
+                                          # 5-seed identity-start, single
+                                          # phase): budget 2/4/8 all land
+                                          # 0.10-0.15 deg worst-seed at
+                                          # 195/~160/137 it/s — MORE robust
+                                          # than the old 8/2-phase default
+                                          # (12.5 deg on one seed: the
+                                          # phase-boundary repair reopened
+                                          # rows mid-trajectory).  Raise
                                           # toward 2000+ for exact-KM-
                                           # parity studies
-    auction_phases: int = 2               # epsilon-scaling phases in the
+    auction_phases: int = 1               # epsilon-scaling phases in the
                                           # whole-phase kernel path (python-
                                           # unrolled launches).  Each phase
                                           # boundary runs a CS repair that
                                           # reopens rows (re-wars burn the
-                                          # rounds budget): measured at 6.6k
-                                          # kps / budget 48, phases 4/2/1
-                                          # give 29.3/35.9/34.6 it/s with
-                                          # phases=2 matching phases=4
-                                          # accuracy; 1 = bid at the final
-                                          # epsilon directly (degrades
-                                          # accuracy at small budgets —
-                                          # 8.7 deg at budget 16)
+                                          # rounds budget).  With the
+                                          # assignment warm start + in-kernel
+                                          # escalation, a single phase at the
+                                          # final epsilon is both fastest and
+                                          # the most seed-robust (probe19,
+                                          # round 2: phases 1 worst-seed 0.15
+                                          # deg vs 12.5 deg at phases 2).
+                                          # Multi-phase ladders remain for
+                                          # cold-start/exact-parity studies
+                                          # (with budgets >= 48)
     fused_cost_kernel: bool = True        # fuse ED + CD blend + stats +
                                           # benefit emission into one Pallas
                                           # sweep (ops/cost_kernel.py) on the

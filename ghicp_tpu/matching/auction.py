@@ -161,7 +161,9 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
                    p0: Optional[Array] = None, price_uncertainty=None,
                    use_round_kernel: bool = False, n_phases: int = 4,
                    b_max: Optional[Array] = None,
-                   acol0: Optional[Array] = None):
+                   acol0: Optional[Array] = None,
+                   hint_v1: Optional[Array] = None,
+                   hint_vsel: Optional[Array] = None):
     """Assignment on a benefit matrix b [R, C] (maximization) with an
     outside option at ``sink_value`` per row, via epsilon scaling with
     *kept assignments*.
@@ -187,6 +189,14 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
     near-equilibrium prices the expensive tie-resolving price wars of
     earlier solves are already encoded in ``p0`` and do not repeat.  Cold
     start = p0 zeros with infinite uncertainty (the default).
+
+    ``hint_v1``/``hint_vsel`` [R] (optional, with ``acol0``): precomputed
+    warm-start CS quantities — v1 an UPPER bound on max_j(b_j - p_init_j)
+    and vsel a LOWER bound on the kept column's (b - p_init) — typically
+    emitted by the fused benefit kernel in the same sweep that builds ``b``
+    (ops/cost_kernel.py), saving the keep test's full-matrix pass here.
+    Conservative bounds only release extra rows (they re-bid normally), so
+    the n*eps optimality bound is preserved.
 
     ``rel_eps`` (when > 0) floors the final epsilon at
     ``rel_eps * spread``: the assignment is then within ``n * rel_eps *
@@ -253,8 +263,12 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
         # owner supports it; stale prices on unowned columns would push
         # bidders to the fixed-price sink.
         p_init = jnp.where(owner_init >= 0, p_init, 0.0)
-        v1 = jnp.max(b.astype(jnp.float32) - p_init[None, :], axis=1)
-        vsel = b[rows, jc0].astype(jnp.float32) - p_init[jc0]
+        if hint_v1 is not None:
+            v1 = hint_v1
+            vsel = hint_vsel
+        else:
+            v1 = jnp.max(b.astype(jnp.float32) - p_init[None, :], axis=1)
+            vsel = b[rows, jc0].astype(jnp.float32) - p_init[jc0]
         own_ok = real0 & (owner_init[jc0] == row_gid)
         keep = own_ok & (vsel >= v1 - eps0)
         stay_sunk = (acol0 == _SINK) & (jnp.float32(sink_value) >= v1 - eps0)
@@ -395,10 +409,14 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
             # each) to true eps-CS convergence; grinding them in-VMEM is
             # 100x slower than the budget truncation + greedy completion,
             # which costs nothing measurable in pose accuracy (NOTES.md).
-            p, owner, sunk, r = auction_phase_gs_pallas(
+            # The final phase greedy-completes leftover open rows in-kernel
+            # (streams only still-open tiles, usually none) so the caller's
+            # full-matrix `complete` pass is skipped.
+            p, owner, sunk, r, gcol = auction_phase_gs_pallas(
                 b, p, owner, sunk, open_, eps_now, jnp.float32(sink_value),
                 remaining, ts=ts, inner_cap=1,
                 esc_after=esc_after, esc_period=esc_period,
+                complete_open=1 if k == n_phases - 1 else 0,
                 interpret=_KERNEL_INTERPRET)
             remaining = remaining - r
             spent = spent + r
@@ -415,6 +433,11 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
                 sunk = (acol == _SINK).astype(jnp.int32)
                 open_ = (acol == -1).astype(jnp.int32)
         acol = derive_acol(owner, sunk)
+        # Merge the final phase's in-kernel greedy completion (duplicates
+        # allowed, owners/prices untouched — same semantics as the callers'
+        # XLA `complete` pass, which then sees no leftovers and skips).
+        acol = jnp.where((acol == -1) & (gcol >= 0),
+                         jnp.where(gcol < C, gcol, _SINK), acol)
         # Price-overshoot bound for warm starts: a column won at sweep r of
         # the final phase carries up to the escalated epsilon of that sweep.
         eps_bound = eps_final * jnp.exp2(
@@ -458,7 +481,10 @@ def auction_match_benefits(b: Array, penalty: Array, mask_s: Array,
                            use_round_kernel: bool = False,
                            n_phases: int = 2,
                            b_max: Optional[Array] = None,
-                           acol0: Optional[Array] = None) -> AuctionResult:
+                           acol0: Optional[Array] = None,
+                           hint_v1: Optional[Array] = None,
+                           hint_vsel: Optional[Array] = None
+                           ) -> AuctionResult:
     """Auction on a PREBUILT benefit matrix (e.g. from the fused cost
     kernel, ops/cost_kernel.py).
 
@@ -476,7 +502,7 @@ def auction_match_benefits(b: Array, penalty: Array, mask_s: Array,
         b, -penalty, eps_final, max_rounds, comm, rel_eps=rel_eps,
         p0=p0, price_uncertainty=price_uncertainty,
         use_round_kernel=use_round_kernel, n_phases=n_phases, b_max=b_max,
-        acol0=acol0)
+        acol0=acol0, hint_v1=hint_v1, hint_vsel=hint_vsel)
     # Greedy completion at budget exhaustion (see auction_match) — under a
     # cond: when the auction converged (no -1 rows, the common case with
     # in-kernel epsilon escalation) the full-matrix top-1 pass is skipped.

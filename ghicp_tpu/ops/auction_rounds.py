@@ -316,9 +316,9 @@ def auction_phase_pallas(b: Array, p0: Array, owner0: Array, sunk0: Array,
     return out[0][0], out[1][0], out[2].reshape(S), out[3][0]
 
 
-def _gs_kernel(eps_ref, sink_ref, maxr_ref, esc_ref, b_ref, p0_ref,
+def _gs_kernel(eps_ref, sink_ref, maxr_ref, esc_ref, comp_ref, b_ref, p0_ref,
                owner0_ref, sunk0_ref, open0_ref,
-               p_out, owner_out, sunk_out, rounds_out,
+               p_out, owner_out, sunk_out, rounds_out, gcol_out,
                s_p, s_owner, s_sunk, s_open, s_tile, s_list, sems,
                *, ts: int, inner_cap: int):
     """Gauss-Seidel phase with tile-local quiescence.
@@ -502,6 +502,45 @@ def _gs_kernel(eps_ref, sink_ref, maxr_ref, esc_ref, b_ref, p0_ref,
 
     r, _ = jax.lax.while_loop(round_cond, round_body,
                               (jnp.int32(0), jnp.sum(s_open[:, :])))
+
+    # In-kernel greedy completion (``comp_ref`` flag; final phase only):
+    # rows still open when the sweep budget binds take their best column at
+    # the final prices (duplicates allowed — owners/prices untouched) or the
+    # sink, exactly the caller's XLA `complete` pass — but streaming ONLY
+    # tiles that still have open rows (usually none once the escalation has
+    # converged the phase), instead of a full [S, C] argmax pass.
+    # Encoding: -1 = row was not open, C = sink, else the column id.
+    gcol_out[:, :] = jnp.full_like(gcol_out, -1)
+
+    @pl.when(comp_ref[0] > 0)
+    def _complete():
+        C_ = s_p.shape[0]
+        n_active = build_active_list()
+
+        @pl.when(n_active > 0)
+        def _seed():
+            stripe_dma(s_list[0], 0).start()
+
+        def comp_body(j, _):
+            t = s_list[j]
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < n_active)
+            def _prefetch():
+                stripe_dma(s_list[j + 1], jax.lax.rem(j + 1, 2)).start()
+
+            stripe_dma(t, slot).wait()
+            open_t = s_open[t, :] > 0
+            v = s_tile[slot].astype(jnp.float32) - s_p[:][None, :]
+            v1 = jnp.max(v, axis=1)
+            j1 = jnp.argmax(v, axis=1).astype(jnp.int32)
+            gcol_out[t, :] = jnp.where(
+                open_t, jnp.where(v1 > sink, j1, jnp.int32(C_)),
+                jnp.int32(-1))
+            return 0
+
+        jax.lax.fori_loop(0, n_active, comp_body, 0)
+
     p_out[0, :] = s_p[:]
     owner_out[0, :] = s_owner[:]
     sunk_out[:, :] = s_sunk[:, :]
@@ -512,18 +551,21 @@ def _gs_kernel(eps_ref, sink_ref, maxr_ref, esc_ref, b_ref, p0_ref,
 def auction_phase_gs_pallas(b: Array, p0: Array, owner0: Array, sunk0: Array,
                             open0: Array, eps, sink_value, max_rounds,
                             ts: int = 128, inner_cap: int = 128,
-                            esc_after=0, esc_period=1,
+                            esc_after=0, esc_period=1, complete_open=0,
                             interpret: bool = False):
     """Gauss-Seidel bidding phase with active-tile skipping and tile-local
     quiescence (up to ``inner_cap`` in-VMEM bid rounds per tile visit).
 
     Same phase contract as :func:`auction_phase_pallas` (returns
-    (p [C], owner [C], sunk [S], rounds)) plus an explicit ``open0`` [S]
-    int32 mask of rows that may still bid (unassigned, not sunk).  Rounds
-    count full sweeps over the active tiles.  ``esc_after``/``esc_period``
-    (runtime scalars) switch on epsilon escalation: from sweep
-    ``esc_after`` the working epsilon doubles every ``esc_period`` sweeps,
-    terminating cross-tile price wars gracefully (0 = fixed epsilon).
+    (p [C], owner [C], sunk [S], rounds, gcol [S])) plus an explicit
+    ``open0`` [S] int32 mask of rows that may still bid (unassigned, not
+    sunk).  Rounds count full sweeps over the active tiles.
+    ``esc_after``/``esc_period`` (runtime scalars) switch on epsilon
+    escalation: from sweep ``esc_after`` the working epsilon doubles every
+    ``esc_period`` sweeps, terminating cross-tile price wars gracefully
+    (0 = fixed epsilon).  ``complete_open`` (runtime scalar): when > 0,
+    rows still open after the budget take a greedy assignment at the final
+    prices, returned in ``gcol`` (-1 = was not open, C = sink, else col).
     S % ts == 0; C % 128 == 0.
     """
     S, C = b.shape
@@ -537,6 +579,7 @@ def auction_phase_gs_pallas(b: Array, p0: Array, owner0: Array, sunk0: Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),    # sink [1]
             pl.BlockSpec(memory_space=pltpu.SMEM),    # max_rounds [1]
             pl.BlockSpec(memory_space=pltpu.SMEM),    # esc [2]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # complete flag [1]
             pl.BlockSpec(memory_space=pl.ANY),        # b (HBM; manual DMA)
             pl.BlockSpec(memory_space=pltpu.VMEM),    # p0 [1, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),    # owner0 [1, C]
@@ -548,12 +591,14 @@ def auction_phase_gs_pallas(b: Array, p0: Array, owner0: Array, sunk0: Array,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, C), jnp.float32),
             jax.ShapeDtypeStruct((1, C), jnp.int32),
             jax.ShapeDtypeStruct((n_tiles, ts), jnp.int32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, ts), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((C,), jnp.float32),           # prices
@@ -576,9 +621,11 @@ def auction_phase_gs_pallas(b: Array, p0: Array, owner0: Array, sunk0: Array,
       jnp.asarray(sink_value, jnp.float32).reshape(1),
       jnp.asarray(max_rounds, jnp.int32).reshape(1),
       esc,
+      jnp.asarray(complete_open, jnp.int32).reshape(1),
       b, p0.reshape(1, C), owner0.reshape(1, C),
       sunk0.reshape(n_tiles, ts), open0.reshape(n_tiles, ts))
-    return out[0][0], out[1][0], out[2].reshape(S), out[3][0]
+    return (out[0][0], out[1][0], out[2].reshape(S), out[3][0],
+            out[4].reshape(S))
 
 
 def auction_rounds_gs_ref(b: Array, p0: Array, owner0: Array, sunk0: Array,

@@ -26,6 +26,7 @@ and the norm-expansion cancellation keeps ED accurate in f32.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,8 +38,8 @@ Array = jax.Array
 _NEG = -3.0e38
 
 
-def _kernel(scal_ref, kps_ref, kpt_ref, fd_ref, ms_ref, mt_ref,
-            b_out, part_out, *, ts: int):
+def _kernel(scal_ref, kps_ref, kpt_ref, fd_ref, ms_ref, mt_ref, p_ref,
+            ac_ref, b_out, part_out, v1_out, vsel_out, *, ts: int):
     i = pl.program_id(0)
     wed = scal_ref[0]
     wfd = scal_ref[1]
@@ -63,7 +64,21 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fd_ref, ms_ref, mt_ref,
     cd = wed * ed + wfd * fd_ref[:, :].astype(jnp.float32)
     # (i1 cannot grow a minor dim in Mosaic — grow the int32 mask instead.)
     m = (ms_ref[i, :][:, None] > 0) & (mt_ref[0, :][None, :] > 0)
-    b_out[:, :] = jnp.where(m, -cd, _NEG).astype(b_out.dtype)
+    b = jnp.where(m, -cd, _NEG)
+    b_out[:, :] = b.astype(b_out.dtype)
+    # Warm-start CS hints in the same sweep (the auction's keep test
+    # otherwise costs a second full-matrix pass):
+    #   v1   = per-row max of (b - p)   over the deflated prices,
+    #   vsel = the kept column's (b - p) via a one-hot masked max
+    #          (-inf when the row has no kept column: acol0 < 0 or >= C
+    #          never matches a real column id).
+    v = b - p_ref[0, :][None, :]
+    v1_out[i, :] = jnp.max(v, axis=1)
+    acv = ac_ref[i, :]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ts, v.shape[1]), 1)
+    keep_oh = cols == jnp.where((acv >= 0) & (acv < v.shape[1]), acv, -1)[
+        :, None]
+    vsel_out[i, :] = jnp.max(jnp.where(keep_oh, v, _NEG), axis=1)
     # (Scalar VMEM stores are unsupported — each stat occupies a full
     # broadcast row of the [8, 128] accumulator; callers read lane 0.)
     cnt = jnp.sum(m.astype(jnp.float32))
@@ -84,14 +99,23 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fd_ref, ms_ref, mt_ref,
 @functools.partial(jax.jit, static_argnames=("ts", "interpret", "out_dtype"))
 def fused_benefit(kp_s: Array, kp_t: Array, fd: Array, mask_s: Array,
                   mask_t: Array, wed, wfd, scale, ts: int = 256,
-                  interpret: bool = False, out_dtype=jnp.bfloat16):
-    """One-sweep benefit matrix + CD statistics.
+                  interpret: bool = False, out_dtype=jnp.bfloat16,
+                  p_defl: Optional[Array] = None,
+                  acol0: Optional[Array] = None):
+    """One-sweep benefit matrix + CD statistics + warm-start CS hints.
 
     kp_s [S,3], kp_t [C,3] f32 (center them by a common offset first);
     fd [S,C] (bf16 or f32); masks bool.  Returns (b [S,C] ``out_dtype``,
-    cd_count, cd_sum, cd_sumsq, cd_max, ed_max, b_max) with stats over
-    valid pairs (b_max = -cd_min feeds the auction's epsilon spread).
-    S % ts == 0; C % 128 == 0.
+    cd_count, cd_sum, cd_sumsq, cd_max, ed_max, b_max, v1 [S], vsel [S])
+    with stats over valid pairs (b_max = -cd_min feeds the auction's
+    epsilon spread).  ``p_defl`` [C] (deflated, owner-zeroed prices) and
+    ``acol0`` [S] (previous assignment) feed the hint outputs
+    v1 = rowmax(b - p_defl) and vsel = (b - p_defl) at the kept column
+    (-inf where acol0 is not a real column) — the auction's warm-start
+    keep test then needs no second full-matrix pass.  Hints are computed
+    from the f32 benefits (pre ``out_dtype`` quantization); the bf16
+    error (~2^-8 relative) sits far below the rel_eps floor the epsilon
+    bound already tolerates.  S % ts == 0; C % 128 == 0.
     """
     S, C = fd.shape
     n_tiles = S // ts
@@ -100,7 +124,11 @@ def fused_benefit(kp_s: Array, kp_t: Array, fd: Array, mask_s: Array,
     scal = jnp.stack([jnp.asarray(wed, jnp.float32),
                       jnp.asarray(wfd, jnp.float32),
                       jnp.asarray(scale, jnp.float32)])
-    b, parts = pl.pallas_call(
+    if p_defl is None:
+        p_defl = jnp.zeros((C,), jnp.float32)
+    if acol0 is None:
+        acol0 = jnp.full((S,), -1, jnp.int32)
+    b, parts, v1, vsel = pl.pallas_call(
         functools.partial(_kernel, ts=ts),
         grid=(n_tiles,),
         in_specs=[
@@ -115,16 +143,26 @@ def fused_benefit(kp_s: Array, kp_t: Array, fd: Array, mask_s: Array,
                          memory_space=pltpu.VMEM),              # mask_s i32
             pl.BlockSpec((1, C), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),              # mask_t i32
+            pl.BlockSpec((1, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),              # p_defl
+            pl.BlockSpec((n_tiles, ts), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),              # acol0 i32
         ],
         out_specs=(
             pl.BlockSpec((ts, C), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, ts), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, ts), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((S, C), out_dtype),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, ts), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, ts), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             # Pipelined fd/b stripes + the f32 ed/cd intermediates peak
@@ -134,14 +172,17 @@ def fused_benefit(kp_s: Array, kp_t: Array, fd: Array, mask_s: Array,
         interpret=interpret,
     )(scal, kps8, kpt8, fd,
       mask_s.astype(jnp.int32).reshape(n_tiles, ts),
-      mask_t.astype(jnp.int32).reshape(1, C))
+      mask_t.astype(jnp.int32).reshape(1, C),
+      p_defl.reshape(1, C), acol0.astype(jnp.int32).reshape(n_tiles, ts))
     return (b, parts[0, 0], parts[1, 0], parts[2, 0],
-            parts[3, 0], parts[4, 0], parts[5, 0])
+            parts[3, 0], parts[4, 0], parts[5, 0],
+      v1.reshape(S), vsel.reshape(S))
 
 
 def fused_benefit_ref(kp_s, kp_t, fd, mask_s, mask_t, wed, wfd, scale,
-                      out_dtype=jnp.bfloat16):
+                      out_dtype=jnp.bfloat16, p_defl=None, acol0=None):
     """jnp reference (parity tests; same norm-expansion ED path)."""
+    S, C = fd.shape
     d = jnp.matmul(kp_s, kp_t.T, precision=jax.lax.Precision.HIGHEST)
     s2 = jnp.sum(kp_s * kp_s, axis=1)
     t2 = jnp.sum(kp_t * kp_t, axis=1)
@@ -149,10 +190,20 @@ def fused_benefit_ref(kp_s, kp_t, fd, mask_s, mask_t, wed, wfd, scale,
     ed = jnp.asarray(scale, jnp.float32) * jnp.sqrt(d2)
     cd = wed * ed + wfd * fd.astype(jnp.float32)
     m = mask_s[:, None] & mask_t[None, :]
-    b = jnp.where(m, -cd, _NEG).astype(out_dtype)
+    bf = jnp.where(m, -cd, _NEG)
+    b = bf.astype(out_dtype)
     mf = m.astype(jnp.float32)
+    if p_defl is None:
+        p_defl = jnp.zeros((C,), jnp.float32)
+    if acol0 is None:
+        acol0 = jnp.full((S,), -1, jnp.int32)
+    v = bf - p_defl[None, :]
+    v1 = jnp.max(v, axis=1)
+    real0 = (acol0 >= 0) & (acol0 < C)
+    vsel = jnp.where(real0, v[jnp.arange(S), jnp.where(real0, acol0, 0)],
+                     _NEG)
     return (b, jnp.sum(mf), jnp.sum(jnp.where(m, cd, 0.0)),
             jnp.sum(jnp.where(m, cd * cd, 0.0)),
             jnp.max(jnp.where(m, cd, 0.0)),
             jnp.max(jnp.where(m, ed, 0.0)),
-            jnp.max(jnp.where(m, -cd, _NEG)))
+            jnp.max(jnp.where(m, -cd, _NEG)), v1, vsel)

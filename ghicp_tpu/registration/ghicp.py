@@ -194,9 +194,26 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
             from ghicp_tpu.matching.cost import bsc_penalty
             from ghicp_tpu.ops.cost_kernel import fused_benefit
             kps_c = st.kps - mid[None, :]
-            b, cnt, s1, s2, _, ed_max_fused, b_max = fused_benefit(
-                kps_c, kp_t_c, fd_b, mask_s, mask_t, wed, wfd, scale,
-                ts=128, interpret=_FUSED_INTERPRET, out_dtype=b_dtype)
+            # Warm-start CS hints come out of the SAME sweep that builds the
+            # benefit matrix: deflate the carried prices by the pre-penalty
+            # drift bound (the penalty component isn't known until this
+            # kernel's stats), zero unowned columns, and let the kernel
+            # compute v1/vsel against those mid prices.  The remaining
+            # penalty-drift component is added to v1 afterwards — an upper
+            # bound, so the keep test stays conservative (sound).
+            real0 = (st.acol >= 0) & (st.acol < T)
+            owner0 = jnp.full((T,), -1, jnp.int32).at[
+                jnp.where(real0, st.acol, T)].max(
+                jnp.where(real0, jnp.arange(S, dtype=jnp.int32), -1),
+                mode="drop")
+            p_mid = jnp.where(owner0 >= 0,
+                              jnp.maximum(st.prices - st.price_unc, 0.0),
+                              0.0)
+            b, cnt, s1, s2, _, ed_max_fused, b_max, v1_mid, vsel_mid = (
+                fused_benefit(
+                    kps_c, kp_t_c, fd_b, mask_s, mask_t, wed, wfd, scale,
+                    ts=128, interpret=_FUSED_INTERPRET, out_dtype=b_dtype,
+                    p_defl=p_mid, acol0=st.acol))
             n_valid = jnp.maximum(cnt, 1.0)
             mean = s1 / n_valid
             std = jnp.sqrt(jnp.maximum(s2 / n_valid - mean * mean, 0.0))
@@ -206,7 +223,8 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
                                       wed, wfd, config.penalty_initial)
             else:
                 penalty = jnp.maximum(mean, 1.0)   # blend_none semantics
-            drift = st.price_unc + jnp.abs(penalty - st.pen_prev)
+            dpen = jnp.abs(penalty - st.pen_prev)
+            drift = st.price_unc + dpen
             ares = auction_match_benefits(
                 b, penalty, mask_s, mask_t, eps_final=config.km_eps,
                 max_rounds=budget,
@@ -215,7 +233,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
                 p0=st.prices, price_uncertainty=drift,
                 use_round_kernel=config.auction_round_kernel,
                 n_phases=config.auction_phases, b_max=b_max,
-                acol0=st.acol)
+                acol0=st.acol, hint_v1=v1_mid + dpen, hint_vsel=vsel_mid)
             match = ares.match
             energy = ares.energy
             rounds = ares.rounds

@@ -141,7 +141,7 @@ def test_gs_phase_matches_gs_ref_and_exits_early():
     s0 = jnp.zeros(S, jnp.int32)
     op0 = jnp.ones(S, jnp.int32)
     budget = 400
-    p, o, s, r = auction_phase_gs_pallas(jnp.asarray(b), p0, o0, s0, op0,
+    p, o, s, r, _g = auction_phase_gs_pallas(jnp.asarray(b), p0, o0, s0, op0,
                                          0.05, -2.0, budget, ts=128,
                                          interpret=True)
     rp, ro, rs, _ = auction_rounds_gs_ref(jnp.asarray(b), p0, o0, s0, op0,
@@ -165,7 +165,7 @@ def test_gs_phase_budget_cap_matches_gs_ref():
     s0 = jnp.zeros(S, jnp.int32)
     op0 = jnp.ones(S, jnp.int32)
     for budget in (1, 4):
-        p, o, s, r = auction_phase_gs_pallas(b, p0, o0, s0, op0, 0.01, -10.0,
+        p, o, s, r, _g = auction_phase_gs_pallas(b, p0, o0, s0, op0, 0.01, -10.0,
                                              budget, ts=128, interpret=True)
         rp, ro, rs, _ = auction_rounds_gs_ref(b, p0, o0, s0, op0, 0.01,
                                               -10.0, budget, ts=128)
@@ -192,7 +192,7 @@ def test_gs_converges_faster_with_same_quality():
     eps, sink = 0.02, -2.0
     pj, oj, sj, rj = auction_phase_pallas(bj, p0, o0, s0, eps, sink,
                                           2000, ts=128, interpret=True)
-    pg, og, sg, rg = auction_phase_gs_pallas(bj, p0, o0, s0, op0, eps, sink,
+    pg, og, sg, rg, _g = auction_phase_gs_pallas(bj, p0, o0, s0, op0, eps, sink,
                                              2000, ts=128, interpret=True)
     def value(o, s):
         o = np.asarray(o)
@@ -219,7 +219,7 @@ def test_gs_eps_escalation_parity_and_convergence():
     s0 = jnp.zeros(S, jnp.int32)
     op0 = jnp.ones(S, jnp.int32)
     eps, sink, budget = 1e-4, -10.0, 64    # tiny eps: war would crawl
-    p, o, s, r = auction_phase_gs_pallas(b, p0, o0, s0, op0, eps, sink,
+    p, o, s, r, _g = auction_phase_gs_pallas(b, p0, o0, s0, op0, eps, sink,
                                          budget, ts=128, esc_after=8,
                                          esc_period=4, interpret=True)
     assert int(r) < budget       # escalation terminated the war

@@ -25,11 +25,23 @@ def test_fused_benefit_matches_ref():
     mid = 0.5 * (jnp.min(jnp.where(mt[:, None], kp_t, 3e38), axis=0)
                  + jnp.max(jnp.where(mt[:, None], kp_t, -3e38), axis=0))
     args = (kp_s - mid, kp_t - mid, fd, ms, mt, 0.7, 0.3, 0.22)
-    got = fused_benefit(*args, ts=128, interpret=True)
-    want = fused_benefit_ref(*args)
+    # Warm-start CS hint inputs: a nontrivial price vector and an acol0 mix
+    # of real columns, -1 (no assignment) and a sink marker (2**30).
+    rng = np.random.default_rng(5)
+    S, C = fd.shape
+    p = jnp.asarray(rng.uniform(0, 3, C).astype(np.float32))
+    acol0 = rng.integers(0, C, S).astype(np.int32)
+    acol0[::7] = -1
+    acol0[::11] = 2**30
+    acol0 = jnp.asarray(acol0)
+    got = fused_benefit(*args, ts=128, interpret=True, p_defl=p, acol0=acol0)
+    want = fused_benefit_ref(*args, p_defl=p, acol0=acol0)
     assert np.array_equal(np.asarray(got[0]), np.asarray(want[0]))
-    for g, w in zip(got[1:], want[1:]):
+    for g, w in zip(got[1:7], want[1:7]):
         np.testing.assert_allclose(float(g), float(w), rtol=1e-5)
+    # hint vectors (v1 [S], vsel [S])
+    for g, w in zip(got[7:], want[7:]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-5)
 
 
 def test_fused_benefit_matches_blend_path():
@@ -43,7 +55,7 @@ def test_fused_benefit_matches_blend_path():
     wfd = float(np.exp(-2.0 / 6.0))
     wed = 1.0 - wfd
     scale = 0.15
-    b, cnt, s1, s2, cdmax, edmax, bmax = fused_benefit(
+    b, cnt, s1, s2, cdmax, edmax, bmax, _v1, _vsel = fused_benefit(
         kp_s - mid, kp_t - mid, fd, ms, mt, wed, wfd, scale,
         ts=128, interpret=True)
     ed = euclidean_matrix(kp_s, kp_t, jnp.float32(scale))

@@ -47,7 +47,7 @@ def main():
 
     @jax.jit
     def f_fused(x, kps, kpt, fd):
-        b, cnt, s1, s2, _, edm = fused_benefit(
+        b, cnt, s1, s2, _, edm, _bm, _v1, _vs = fused_benefit(
             kps + x, kpt, fd, mask, mask, jnp.float32(0.7), jnp.float32(0.3),
             jnp.float32(0.2), ts=128)
         return s1
@@ -81,7 +81,7 @@ def main():
             owner0 = jnp.full((C,), -1, jnp.int32)
             sunk0 = jnp.zeros((S,), jnp.int32)
             open0 = jnp.ones((S,), jnp.int32)
-            p, owner, sunk, r = auction_phase_gs_pallas(
+            p, owner, sunk, r, _g = auction_phase_gs_pallas(
                 b + x.astype(jnp.bfloat16), p0, owner0, sunk0, open0,
                 jnp.float32(0.05), -penalty, jnp.int32(budget), ts=128,
                 inner_cap=1, esc_after=4, esc_period=1)

@@ -41,7 +41,7 @@ for k in range(4):
     esc_after = max(remaining // 2, 1)
     esc_period = max(remaining // 8, 1)
     t0 = time.perf_counter()
-    p, owner, sunk, r = auction_phase_gs_pallas(
+    p, owner, sunk, r, _g = auction_phase_gs_pallas(
         bj, p, owner, sunk, open_, eps_now, sink, remaining,
         ts=128, esc_after=esc_after, esc_period=esc_period)
     jax.block_until_ready(p)

@@ -65,7 +65,7 @@ def run_phases(cd, penalty, tag, budget=48):
     remaining = budget
     for k in range(4):
         t0 = time.perf_counter()
-        p, owner, sunk, r = auction_phase_gs_pallas(
+        p, owner, sunk, r, _g = auction_phase_gs_pallas(
             b, p, owner, sunk, open_, eps_now, -float(penalty), remaining,
             ts=128, esc_after=max(remaining // 2, 1),
             esc_period=max(remaining // 8, 1))
