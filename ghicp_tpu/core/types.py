@@ -107,8 +107,12 @@ def compact_device(cloud: PointCloud,
     remote-TPU tunnel; the device-side sort is ~5 ms).  Padding rows are
     filled with the live centroid, matching ``from_points``.
     """
-    count = int(jnp.sum(cloud.mask))
-    cap = capacity or bucket_size(count)
+    if capacity is None:
+        # Scalar count fetch = one remote round trip; callers compacting
+        # several clouds should fetch all counts in ONE jax.device_get and
+        # pass bucket_size(count) as ``capacity``.
+        capacity = bucket_size(int(jnp.sum(cloud.mask)))
+    cap = capacity
     if cap > cloud.capacity:
         cap = cloud.capacity
     return _compact_gather(cloud, cap)

@@ -100,13 +100,25 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
     ct = PointCloud.from_points(target_pts)
 
     # --- downsample (ghicp_main.cpp:88-90) ---
-    ds = _compact(voxel_downsample(cs, config.voxel_size))
-    dt = _compact(voxel_downsample(ct, config.voxel_size))
-    jax.block_until_ready(ds.xyz)
+    # Both clouds dispatch async; the only host syncs are ONE paired count
+    # fetch (for the static compaction buckets) and the final block.  Every
+    # extra scalar materialization costs a remote-transport round trip
+    # (~30-50ms through the tunnel).
+    vs = voxel_downsample(cs, config.voxel_size)
+    vt = voxel_downsample(ct, config.voxel_size)
+    # One [2]-array fetch: scalar materializations through the tunnel cost
+    # ~170ms EACH (fresh scalar buffers are far slower than array fetches).
+    n_vs, n_vt = jax.device_get(
+        jnp.stack([jnp.sum(vs.mask), jnp.sum(vt.mask)]))
+    ds = _compact(vs, capacity=bucket_size(int(n_vs)))
+    dt = _compact(vt, capacity=bucket_size(int(n_vt)))
+    jax.block_until_ready((ds.xyz, dt.xyz))
     timings["downsample"] = time.perf_counter() - t0
 
-    # bbx magnitude of the downsampled source (ghicp_main.cpp:92-93)
-    bbx = float(cloud_bounds(ds).magnitude)
+    # bbx magnitude of the downsampled source (ghicp_main.cpp:92-93) —
+    # stays a device scalar all the way into the engine (fetching it here
+    # would stall the pipeline for a round trip).
+    bbx = cloud_bounds(ds).magnitude
 
     # --- keypoints (ghicp_main.cpp:96-100) + sub-voxel refinement ---
     t0 = time.perf_counter()
@@ -127,8 +139,8 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
                               max_cells=config.pca_max_cells)
         rs = detect_keypoints(ds, config, fs_pca)
         rt = detect_keypoints(dt, config, ft_pca)
-    mask_s_np = np.asarray(rs.mask)
-    mask_t_np = np.asarray(rt.mask)
+    # One paired fetch of both keypoint masks (vs two round trips).
+    mask_s_np, mask_t_np = jax.device_get((rs.mask, rt.mask))
     nks, nkt = int(mask_s_np.sum()), int(mask_t_np.sum())
     cap = keypoint_capacity or config.keypoint_capacity or bucket_size(
         max(nks, nkt, 1))
