@@ -16,7 +16,9 @@ class FeatureType(enum.Enum):
 
     BSC = "bsc"
     FPFH = "fpfh"
-    ROPS = "rops"   # enum parity only; "Not passed yet" in the reference too
+    ROPS = "rops"   # implemented here (features/rops.py) — the reference
+                    # only declares the enum ("Not passed yet",
+                    # ghicp_main.cpp:130-134)
     NONE = "none"
 
 
@@ -90,6 +92,13 @@ class GHICPConfig:
     # --- FPFH feature (fpfh.hpp:36-58) ---
     fpfh_k: int = 20                      # KNN for normals + SPFH
     fpfh_radius: float = 0.0              # 0 = auto (3 * voxel_size)
+
+    # --- RoPS feature (features/rops.py; the reference declares the enum
+    # but never implements it — ghicp_main.cpp:130-134 "Not passed yet") ---
+    rops_radius: float = 0.0              # support radius; 0 = non_max_radius
+    rops_rotations: int = 3               # T rotations per LRF axis
+    rops_bins: int = 5                    # L x L distribution matrix side
+    rops_neighbor_k: int = 256            # fixed neighbor capacity
 
     # --- energy function (ghicp_reg.h:26-41) ---
     penalty_initial: float = 2.0

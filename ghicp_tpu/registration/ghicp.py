@@ -248,7 +248,9 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
                                  st.fdm, st.fdstd, st.para1, st.para2, scale,
                                  config.weight_changing_rate,
                                  config.penalty_initial, comm)
-            elif config.feature == FeatureType.FPFH:
+            elif config.feature in (FeatureType.FPFH, FeatureType.ROPS):
+                # RoPS returns |corr| similarity like FPFH -> same
+                # multiplicative blend (ghicp_reg.cpp:295-341).
                 cost = blend_fpfh(ed, fd, mask_s, mask_t, it_eff, st.rms,
                                   st.para1, st.para2, scale,
                                   config.penalty_initial, comm)
@@ -393,7 +395,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
                 ed_max = comm.pmax(jnp.max(jnp.where(
                     mask_s[:, None] & mask_t[None, :], ed, 0.0)))
             drift_next = d_ed + dwfd * (ed_max + d_ed)
-        elif config.feature == FeatureType.FPFH:
+        elif config.feature in (FeatureType.FPFH, FeatureType.ROPS):
             drift_next = jnp.float32(3.0e38)
         else:
             drift_next = d_ed

@@ -183,8 +183,20 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
         ht, _ = fpfh_features(dt, radius=radius, k=max(config.fpfh_k, 24))
         fd = fpfh_similarity_matrix(hs[kp_s_idx], ht[kp_t_idx])
     elif config.feature == FeatureType.ROPS:
-        raise NotImplementedError(
-            "RoPS is enum-only in the reference too (ghicp_main.cpp:130-134)")
+        # Implemented beyond reference parity (features/rops.py; the
+        # reference's RoPS is enum-only, ghicp_main.cpp:130-134).  Rides
+        # the FPFH similarity lane of the engine.
+        from ghicp_tpu.features import rops_features, rops_similarity_matrix
+        rr_rad = config.rops_radius or float(config.non_max_radius)
+        rf_s = rops_features(ds, kp_s, kp_s_mask, radius=rr_rad,
+                             neighbor_k=config.rops_neighbor_k,
+                             n_rotations=config.rops_rotations,
+                             n_bins=config.rops_bins)
+        rf_t = rops_features(dt, kp_t, kp_t_mask, radius=rr_rad,
+                             neighbor_k=config.rops_neighbor_k,
+                             n_rotations=config.rops_rotations,
+                             n_bins=config.rops_bins)
+        fd = rops_similarity_matrix(rf_s.desc, rf_t.desc)
     else:
         fd = jnp.zeros((cap, cap), jnp.float32)
     jax.block_until_ready(fd)
@@ -200,7 +212,8 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
         from ghicp_tpu.matching.ransac import ransac_coarse_align
         # fd is a distance for BSC (Hamming) and a similarity in [0,1] for
         # FPFH — flip the latter so smaller = more similar.
-        fd_dist = (1.0 - fd) if config.feature == FeatureType.FPFH else fd
+        fd_dist = (1.0 - fd) if config.feature in (
+            FeatureType.FPFH, FeatureType.ROPS) else fd
         tau = config.ransac_tau or 3.0 * config.voxel_size
         frames_s = frames_t = None
         if config.feature == FeatureType.BSC:
