@@ -393,3 +393,53 @@ def test_auction_kernel_budget_quality_contract():
     for i in range(n):
         if w[i] > 0:
             assert cd[i, tj[i]] < penalty   # gate always respected
+
+
+def test_auction_hint_keep_test_matches_inline():
+    """The fused-kernel CS hints (hint_v1/hint_vsel computed in the same
+    sweep that builds the benefit matrix) must produce EXACTLY the result
+    of the in-solver full-matrix keep test when they encode the same
+    quantities (p_defl == the solver's deflated owner-zeroed prices,
+    slack == 0)."""
+    import jax.numpy as jnp
+    from ghicp_tpu.matching.auction import _SINK, auction_match_benefits
+    rng = np.random.default_rng(31)
+    S = C = 128
+    cd = rng.uniform(0.0, 4.0, (S, C)).astype(np.float32)
+    penalty = 3.0
+    b = np.where(cd < penalty, -cd, -3.0e38).astype(np.float32)
+    ms = jnp.ones(S, bool)
+    # a previous solve provides warm state
+    a0 = auction_match_benefits(jnp.asarray(b), jnp.float32(penalty), ms, ms,
+                                eps_final=0.01, max_rounds=500)
+    # drift the benefits a little
+    b1 = (b + np.where(b > -1e30, rng.uniform(-0.02, 0.02, b.shape), 0.0)
+          ).astype(np.float32)
+    d = 0.05
+    cold = auction_match_benefits(jnp.asarray(b1), jnp.float32(penalty), ms,
+                                  ms, eps_final=0.01, max_rounds=500,
+                                  p0=a0.prices, price_uncertainty=d,
+                                  acol0=a0.acol)
+    # replicate the solver's p_init: deflate then zero unowned columns
+    acol0 = np.asarray(a0.acol)
+    real0 = (acol0 >= 0) & (acol0 < C)
+    owner = np.full(C, -1, np.int64)
+    for r in np.argsort(np.arange(S)):   # max-row-id wins scatter
+        if real0[r]:
+            owner[acol0[r]] = max(owner[acol0[r]], r)
+    p_init = np.maximum(np.asarray(a0.prices) - d, 0.0)
+    p_init[owner < 0] = 0.0
+    v = b1 - p_init[None, :]
+    v1 = v.max(axis=1)
+    vsel = np.where(real0, v[np.arange(S), np.where(real0, acol0, 0)],
+                    -3.0e38).astype(np.float32)
+    hinted = auction_match_benefits(jnp.asarray(b1), jnp.float32(penalty),
+                                    ms, ms, eps_final=0.01, max_rounds=500,
+                                    p0=a0.prices, price_uncertainty=d,
+                                    acol0=a0.acol,
+                                    hint_v1=jnp.asarray(v1),
+                                    hint_vsel=jnp.asarray(vsel))
+    assert np.array_equal(np.asarray(cold.acol), np.asarray(hinted.acol))
+    np.testing.assert_allclose(np.asarray(cold.prices),
+                               np.asarray(hinted.prices), rtol=1e-6)
+    assert float(cold.energy) == float(hinted.energy)
