@@ -36,7 +36,7 @@ Everything is vmapped over keypoints: no python loops at runtime.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +56,12 @@ class BSCFeatures(NamedTuple):
     packed: Array   # [V, S, n_words] uint32
     mask: Array     # [S] keypoint validity
     n_bits: int
+    frames: Optional[Array] = None  # [S, 3, 3] LCS rotations (rows = axes)
+                                    # — the frames the encoder rotated each
+                                    # neighborhood into, exported so pose-
+                                    # hypothesis consumers (matching/
+                                    # ransac.py) skip a second neighbor
+                                    # search + weighted PCA (bsc_frames)
 
 
 def sample_pattern(seed: int, grid_side: int) -> np.ndarray:
@@ -233,7 +239,8 @@ def unpack_bits(packed: Array, n_bits: int) -> Array:
 
 
 def _encode_keypoint(nxyz, nvalid, kp, pairs, perms, g, r):
-    """All variants' bits for one keypoint. Returns [V, n_bits] float32."""
+    """All variants' bits for one keypoint.
+    Returns ([V, n_bits] float32 bits, [3, 3] LCS frame)."""
     R = _local_coordinate_system(nxyz, nvalid, kp, r)
     local = jnp.where(nvalid[:, None], (nxyz - kp) @ R.T, 2.0 * r)
     nw, depth = _grid_accumulate(local, nvalid, g, r)
@@ -243,7 +250,7 @@ def _encode_keypoint(nxyz, nvalid, kp, pairs, perms, g, r):
         depth_v = jnp.take_along_axis(depth, perm, axis=1)
         return _binarize(nw_v, depth_v, pairs)
 
-    return jax.vmap(one_variant)(perms)
+    return jax.vmap(one_variant)(perms), R
 
 
 @functools.partial(jax.jit, static_argnames=("grid_side", "radius",
@@ -257,13 +264,13 @@ def _extract_jit(cloud: PointCloud, kp_xyz: Array, kp_mask: Array,
     nxyz = cloud.xyz[nb.idx]                                # [S, K, 3]
     nvalid = nb.valid
 
-    bits = jax.vmap(
+    bits, frames = jax.vmap(
         lambda nx, nv, kp: _encode_keypoint(nx, nv, kp, pairs, perms,
                                             grid_side, radius)
     )(nxyz, nvalid, kp_xyz)                                  # [S, V, n_bits]
     # Invalid keypoints -> all-zero features.
     bits = jnp.where(kp_mask[:, None, None], bits, 0.0)
-    return pack_bits(bits).transpose(1, 0, 2)                # [V, S, W]
+    return pack_bits(bits).transpose(1, 0, 2), frames        # [V, S, W]
 
 
 def extract_bsc(cloud: PointCloud, keypoints: Array, kp_mask: Array,
@@ -288,12 +295,12 @@ def extract_bsc(cloud: PointCloud, keypoints: Array, kp_mask: Array,
     # to it shrinks the grid cells (2r/7) below the keypoint localization
     # noise and the bits decorrelate — bsc_radius overrides the tie.
     radius = config.bsc_radius or float(config.non_max_radius)
-    packed = _extract_jit(cloud, kp_xyz, kp_mask, pairs, perms,
-                          radius=float(radius), grid_side=g,
-                          num_variants=num_variants,
-                          neighbor_k=config.bsc_neighbor_k)
+    packed, frames = _extract_jit(cloud, kp_xyz, kp_mask, pairs, perms,
+                                  radius=float(radius), grid_side=g,
+                                  num_variants=num_variants,
+                                  neighbor_k=config.bsc_neighbor_k)
     return BSCFeatures(packed=packed, mask=kp_mask,
-                       n_bits=config.bsc_total_bits)
+                       n_bits=config.bsc_total_bits, frames=frames)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "neighbor_k"))

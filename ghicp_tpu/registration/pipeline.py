@@ -217,12 +217,11 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
         tau = config.ransac_tau or 3.0 * config.voxel_size
         frames_s = frames_t = None
         if config.feature == FeatureType.BSC:
-            from ghicp_tpu.features.bsc import bsc_frames
-            br = config.bsc_radius or float(config.non_max_radius)
-            frames_s = bsc_frames(ds, kp_s, kp_s_mask, radius=br,
-                                  neighbor_k=config.bsc_neighbor_k)
-            frames_t = bsc_frames(dt, kp_t, kp_t_mask, radius=br,
-                                  neighbor_k=config.bsc_neighbor_k)
+            # Reuse the LCS frames the BSC encoder already computed (same
+            # radius/neighbor_k) instead of a second neighbor search +
+            # weighted PCA per keypoint set (bsc_frames).
+            frames_s = fs.frames
+            frames_t = ft.frames
         rr = ransac_coarse_align(kp_s, kp_s_mask, kp_t, kp_t_mask, fd_dist,
                                  tau=tau, n_hyp=config.ransac_hypotheses,
                                  frames_s=frames_s, frames_t=frames_t)
