@@ -97,28 +97,60 @@ def build_station(pts: np.ndarray, index: int, config: GHICPConfig,
 def register_graph(clouds: Sequence[np.ndarray],
                    pairs: Sequence[Tuple[int, int]],
                    config: GHICPConfig,
-                   keypoint_capacity: Optional[int] = None
+                   keypoint_capacity: Optional[int] = None,
+                   batched: bool = False
                    ) -> Tuple[List[PairResult], List[np.ndarray]]:
     """Register every (source, target) pair; return pair results + global
-    poses (one [4,4] per station, root = station 0)."""
+    poses (one [4,4] per station, root = station 0).
+
+    ``batched=True`` stacks all pairs on a leading axis and runs ONE
+    vmapped engine dispatch (SURVEY.md §2 parallelism item (c)) — per-pair
+    dispatch/fetch round trips through a remote transport dominate the
+    sequential path at station-graph pair sizes.  The batched dispatch
+    forces the XLA engine paths (the single-pair Pallas kernels don't
+    batch); at graph keypoint capacities the XLA path is already fast.
+    """
     # Common capacity so every pair reuses one compiled engine.
     cap = keypoint_capacity or config.keypoint_capacity or 2048
     stations = [build_station(p, i, config, cap)
                 for i, p in enumerate(clouds)]
 
-    results: List[PairResult] = []
-    for (si, ti) in pairs:
-        s, t = stations[si], stations[ti]
+    def pair_fd(s: Station, t: Station):
         if config.feature == FeatureType.BSC:
-            fd = min_hamming_fd(s.bsc_packed, t.bsc_packed[:1],
-                                441, use_mxu=config.use_mxu_hamming)
-        else:
-            fd = jnp.zeros((cap, cap), jnp.float32)
-        res = ghicp_register(s.kp_xyz, s.kp_mask, t.kp_xyz, t.kp_mask, fd,
-                             jnp.float32(s.bbx_magnitude), config)
-        results.append(PairResult(source=si, target=ti,
-                                  transform=np.asarray(res.transform),
-                                  result=res))
+            return min_hamming_fd(s.bsc_packed, t.bsc_packed[:1],
+                                  441, use_mxu=config.use_mxu_hamming)
+        return jnp.zeros((cap, cap), jnp.float32)
+
+    results: List[PairResult] = []
+    if batched:
+        from ghicp_tpu.registration.ghicp import ghicp_register_batched
+        cfg_b = dataclasses.replace(config, fused_cost_kernel=False,
+                                    auction_round_kernel=False)
+        st_s = [stations[si] for si, _ in pairs]
+        st_t = [stations[ti] for _, ti in pairs]
+        kp_s = jnp.stack([s.kp_xyz for s in st_s])
+        ms = jnp.stack([s.kp_mask for s in st_s])
+        kp_t = jnp.stack([t.kp_xyz for t in st_t])
+        mt = jnp.stack([t.kp_mask for t in st_t])
+        fd = jnp.stack([pair_fd(s, t) for s, t in zip(st_s, st_t)])
+        bbx = jnp.asarray([s.bbx_magnitude for s in st_s], jnp.float32)
+        res = ghicp_register_batched(kp_s, ms, kp_t, mt, fd, bbx, cfg_b)
+        # One host fetch for the whole batch.
+        res = jax.device_get(res)
+        for k, (si, ti) in enumerate(pairs):
+            rk = jax.tree.map(lambda x, k=k: x[k], res)
+            results.append(PairResult(source=si, target=ti,
+                                      transform=np.asarray(rk.transform),
+                                      result=rk))
+    else:
+        for (si, ti) in pairs:
+            s, t = stations[si], stations[ti]
+            fd = pair_fd(s, t)
+            res = ghicp_register(s.kp_xyz, s.kp_mask, t.kp_xyz, t.kp_mask,
+                                 fd, jnp.float32(s.bbx_magnitude), config)
+            results.append(PairResult(source=si, target=ti,
+                                      transform=np.asarray(res.transform),
+                                      result=res))
 
     poses = _poses_from_mst(len(clouds), results)
     return results, poses
