@@ -171,34 +171,44 @@ def _pca_cell_pair(table: CellTable, radius: float, chunk: int,
         feats = jnp.concatenate(
             [c, _outer6(c), jnp.where(cok, 1.0, 0.0)[..., None]], axis=-1)
         m = jnp.einsum("bqc,bcf->bqf", w, feats, precision=_HI)     # [B,cap,10]
-        cnt = jnp.maximum(m[..., 9], 1.0)
-        s1 = m[..., 0:3] / cnt[..., None]
-        s2 = m[..., 3:9] / cnt[..., None]
-        cov = _cov_from6(s2) - s1[..., :, None] * s1[..., None, :]
         idx = jax.lax.dynamic_slice_in_dim(table.idx, sl, chunk)    # [B,cap]
-        return cov, m[..., 9], idx, qok
+        return m, idx, qok
 
-    cov, cnt, idx, resident = jax.lax.map(body, jnp.arange(n_chunks))
-    cov = cov.reshape(P * cap, 3, 3)
-    cnt = cnt.reshape(P * cap)
+    # Scatter the RAW 10 moments to original point order FIRST, then run
+    # the eigendecomposition on the compact [capacity] point set.  The cell
+    # slot axis is ~2.5x the live point count (cap-padded cells), and
+    # eigh3 + the [slots, 3, 3] eigenvector relayouts + scatters on the
+    # slot axis were the module's dominant cost (measured ~80 of 156ms at
+    # 665k slots / 262k points).  The moments are cell-mean-centered, but
+    # cov = E[ccT] - mu muT is translation-invariant, so assembling cov
+    # after the scatter is exact.
+    m, idx, resident = jax.lax.map(body, jnp.arange(n_chunks))
+    m = m.reshape(P * cap, 10)
     idx = idx.reshape(P * cap)
     resident = resident.reshape(P * cap)
+    n = capacity
+    tgt = jnp.where(resident, idx, n)
+
+    def scat(x, fill=0.0):
+        base = jnp.full((n + 1,) + x.shape[1:], fill, x.dtype)
+        return base.at[tgt].set(x, mode="drop")[:n]
+
+    m_p = scat(m)                                              # [n, 10]
+    valid_p = scat(resident)
+    cnt = jnp.maximum(m_p[:, 9], 1.0)
+    s1 = m_p[:, 0:3] / cnt[:, None]
+    s2 = m_p[:, 3:9] / cnt[:, None]
+    cov = _cov_from6(s2) - s1[:, :, None] * s1[:, None, :]
     vals, vecs = eigh3(cov)
     vals = jnp.maximum(vals, 0.0)
     total = jnp.sum(vals, axis=-1)
     curvature = jnp.where(total > 0, vals[:, 2] / jnp.maximum(total, 1e-30),
                           0.0)
-    # Scatter per-slot features back to original point order.
-    n = capacity
-    tgt = jnp.where(resident, idx, n)
-    def scat(x, fill=0.0):
-        base = jnp.full((n + 1,) + x.shape[1:], fill, x.dtype)
-        return base.at[tgt].set(x, mode="drop")[:n]
     return PCAFeatures(
-        eigvals=scat(vals), principal=scat(vecs[:, :, 0]),
-        normal=scat(vecs[:, :, 2]), curvature=scat(curvature),
-        n_neighbors=scat(cnt.astype(jnp.int32)),
-        valid=scat(resident & (cnt >= 3)))
+        eigvals=vals, principal=vecs[:, :, 0],
+        normal=vecs[:, :, 2], curvature=curvature,
+        n_neighbors=m_p[:, 9].astype(jnp.int32),
+        valid=valid_p & (m_p[:, 9] >= 3))
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "chunk"))
