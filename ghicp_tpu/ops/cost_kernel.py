@@ -39,7 +39,8 @@ _NEG = -3.0e38
 
 
 def _kernel(scal_ref, kps_ref, kpt_ref, fd_ref, ms_ref, mt_ref, p_ref,
-            ac_ref, b_out, part_out, v1_out, vsel_out, *, ts: int):
+            ac_ref, b_out, part_out, v1_out, vsel_out, *, ts: int,
+            mult_blend: bool):
     i = pl.program_id(0)
     wed = scal_ref[0]
     wfd = scal_ref[1]
@@ -61,7 +62,13 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fd_ref, ms_ref, mt_ref, p_ref,
     t2 = jnp.sum(t * t, axis=1)
     d2 = jnp.maximum(s2[:, None] + t2[None, :] - 2.0 * d, 0.0)
     ed = scale * jnp.sqrt(d2)
-    cd = wed * ed + wfd * fd_ref[:, :].astype(jnp.float32)
+    if mult_blend:
+        # FPFH/RoPS lane (ghicp_reg.cpp:295-341): fd is a similarity in
+        # (0, 1]; cd = ed / fd^k with k passed in the wfd slot.
+        fdv = jnp.maximum(fd_ref[:, :].astype(jnp.float32), 1e-6)
+        cd = ed * jnp.exp(-wfd * jnp.log(fdv))
+    else:
+        cd = wed * ed + wfd * fd_ref[:, :].astype(jnp.float32)
     # (i1 cannot grow a minor dim in Mosaic — grow the int32 mask instead.)
     m = (ms_ref[i, :][:, None] > 0) & (mt_ref[0, :][None, :] > 0)
     b = jnp.where(m, -cd, _NEG)
@@ -96,12 +103,14 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fd_ref, ms_ref, mt_ref, p_ref,
                                  jnp.max(jnp.where(m, -cd, _NEG)))
 
 
-@functools.partial(jax.jit, static_argnames=("ts", "interpret", "out_dtype"))
+@functools.partial(jax.jit, static_argnames=("ts", "interpret", "out_dtype",
+                                             "mult_blend"))
 def fused_benefit(kp_s: Array, kp_t: Array, fd: Array, mask_s: Array,
                   mask_t: Array, wed, wfd, scale, ts: int = 256,
                   interpret: bool = False, out_dtype=jnp.bfloat16,
                   p_defl: Optional[Array] = None,
-                  acol0: Optional[Array] = None):
+                  acol0: Optional[Array] = None,
+                  mult_blend: bool = False):
     """One-sweep benefit matrix + CD statistics + warm-start CS hints.
 
     kp_s [S,3], kp_t [C,3] f32 (center them by a common offset first);
@@ -115,7 +124,10 @@ def fused_benefit(kp_s: Array, kp_t: Array, fd: Array, mask_s: Array,
     keep test then needs no second full-matrix pass.  Hints are computed
     from the f32 benefits (pre ``out_dtype`` quantization); the bf16
     error (~2^-8 relative) sits far below the rel_eps floor the epsilon
-    bound already tolerates.  S % ts == 0; C % 128 == 0.
+    bound already tolerates.  ``mult_blend`` switches the CD formula to
+    the FPFH/RoPS lane ``ed / max(fd, 1e-6)^k`` with the exponent k
+    passed in the ``wfd`` slot, ``wed`` unused (ghicp_reg.cpp:295-341).
+    S % ts == 0; C % 128 == 0.
     """
     S, C = fd.shape
     n_tiles = S // ts
@@ -129,7 +141,7 @@ def fused_benefit(kp_s: Array, kp_t: Array, fd: Array, mask_s: Array,
     if acol0 is None:
         acol0 = jnp.full((S,), -1, jnp.int32)
     b, parts, v1, vsel = pl.pallas_call(
-        functools.partial(_kernel, ts=ts),
+        functools.partial(_kernel, ts=ts, mult_blend=mult_blend),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),              # scalars [3]
@@ -180,7 +192,8 @@ def fused_benefit(kp_s: Array, kp_t: Array, fd: Array, mask_s: Array,
 
 
 def fused_benefit_ref(kp_s, kp_t, fd, mask_s, mask_t, wed, wfd, scale,
-                      out_dtype=jnp.bfloat16, p_defl=None, acol0=None):
+                      out_dtype=jnp.bfloat16, p_defl=None, acol0=None,
+                      mult_blend=False):
     """jnp reference (parity tests; same norm-expansion ED path)."""
     S, C = fd.shape
     d = jnp.matmul(kp_s, kp_t.T, precision=jax.lax.Precision.HIGHEST)
@@ -188,7 +201,11 @@ def fused_benefit_ref(kp_s, kp_t, fd, mask_s, mask_t, wed, wfd, scale,
     t2 = jnp.sum(kp_t * kp_t, axis=1)
     d2 = jnp.maximum(s2[:, None] + t2[None, :] - 2.0 * d, 0.0)
     ed = jnp.asarray(scale, jnp.float32) * jnp.sqrt(d2)
-    cd = wed * ed + wfd * fd.astype(jnp.float32)
+    if mult_blend:
+        cd = ed * jnp.exp(-wfd * jnp.log(
+            jnp.maximum(fd.astype(jnp.float32), 1e-6)))
+    else:
+        cd = wed * ed + wfd * fd.astype(jnp.float32)
     m = mask_s[:, None] & mask_t[None, :]
     bf = jnp.where(m, -cd, _NEG)
     b = bf.astype(out_dtype)

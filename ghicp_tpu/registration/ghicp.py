@@ -161,10 +161,10 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
     S, T = fd.shape
     use_fused = (config.fused_cost_kernel
                  and config.correspondence == CorrespondenceType.KM
-                 and config.feature in (FeatureType.BSC, FeatureType.NONE)
                  and not comm.distributed
                  and (_jax.default_backend() == "tpu" or _FUSED_INTERPRET)
                  and S % 128 == 0 and T % 128 == 0)
+    mult_blend = config.feature in (FeatureType.FPFH, FeatureType.ROPS)
     if use_fused:
         # All computed once, before the while_loop traces the body: center
         # both keypoint sets by a common offset so the fused kernel's
@@ -184,6 +184,11 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
         if config.feature == FeatureType.BSC:
             wfd = jnp.exp(-it_eff / config.weight_changing_rate)
             wed = 1.0 - wfd
+        elif mult_blend:
+            # the fused kernel's wfd slot carries the multiplicative
+            # exponent k = 1/(iter+1) (ghicp_reg.cpp:295-341)
+            wfd = 1.0 / (it_eff + 1.0)
+            wed = jnp.float32(1.0)
         else:
             wfd = jnp.float32(0.0)
             wed = jnp.float32(1.0)
@@ -213,7 +218,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
                 fused_benefit(
                     kps_c, kp_t_c, fd_b, mask_s, mask_t, wed, wfd, scale,
                     ts=128, interpret=_FUSED_INTERPRET, out_dtype=b_dtype,
-                    p_defl=p_mid, acol0=st.acol))
+                    p_defl=p_mid, acol0=st.acol, mult_blend=mult_blend))
             n_valid = jnp.maximum(cnt, 1.0)
             mean = s1 / n_valid
             std = jnp.sqrt(jnp.maximum(s2 / n_valid - mean * mean, 0.0))
@@ -221,6 +226,11 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
                 penalty = bsc_penalty(mean, std, it_eff, st.rms, st.fdm,
                                       st.fdstd, st.para1, st.para2, scale,
                                       wed, wfd, config.penalty_initial)
+            elif mult_blend:
+                # blend_fpfh penalty schedule (ghicp_reg.cpp:327-335)
+                pen_late = st.rms * st.para1 * scale * st.para2
+                pen_early = mean / config.penalty_initial
+                penalty = jnp.where(it_eff > 1, pen_late, pen_early)
             else:
                 penalty = jnp.maximum(mean, 1.0)   # blend_none semantics
             dpen = jnp.abs(penalty - st.pen_prev)

@@ -118,3 +118,64 @@ def test_engine_fused_path_matches_xla_path():
     r2, t2 = transform_error(out_fused.transform, T_gt)
     assert r1 < 1.5 and t1 < 0.3, (r1, t1)
     assert r2 < 1.5 and t2 < 0.3, (r2, t2)
+
+
+def test_fused_benefit_mult_blend_matches_ref():
+    """FPFH/RoPS lane: cd = ed / max(fd, 1e-6)^k inside the kernel."""
+    kp_s, kp_t, fd, ms, mt = _fixture(seed=7)
+    sim = (jnp.abs(fd.astype(jnp.float32)) / 441.0).astype(jnp.float32)
+    mid = 0.5 * (jnp.min(jnp.where(mt[:, None], kp_t, 3e38), axis=0)
+                 + jnp.max(jnp.where(mt[:, None], kp_t, -3e38), axis=0))
+    k = 1.0 / 3.0
+    args = (kp_s - mid, kp_t - mid, sim, ms, mt, 1.0, k, 0.22)
+    got = fused_benefit(*args, ts=128, interpret=True, mult_blend=True)
+    want = fused_benefit_ref(*args, mult_blend=True)
+    np.testing.assert_allclose(np.asarray(got[0].astype(jnp.float32)),
+                               np.asarray(want[0].astype(jnp.float32)),
+                               rtol=1e-2, atol=1e-2)
+    for g, w in zip(got[1:7], want[1:7]):
+        np.testing.assert_allclose(float(g), float(w), rtol=1e-4)
+
+
+def test_engine_fused_rops_matches_xla_path():
+    """RoPS through the fused kernel + GS auction (interpret mode) lands the
+    same pose as the separate-blend XLA engine."""
+    import dataclasses
+
+    import ghicp_tpu.matching.auction as au
+    import ghicp_tpu.registration.ghicp as gh
+    from ghicp_tpu.core.config import (CorrespondenceType, FeatureType,
+                                       GHICPConfig)
+    from ghicp_tpu.io.synthetic import structured_scene
+    from ghicp_tpu.registration import register_pair, transform_error
+
+    rng = np.random.default_rng(14)
+    pts = structured_scene(rng, 6000, extent=8.0)
+    th = np.deg2rad(8.0)
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    t = np.float32([0.5, -0.3, 0.1])
+    T_gt = np.eye(4, dtype=np.float32); T_gt[:3, :3] = R; T_gt[:3, 3] = t
+    src = ((pts - t) @ R + rng.normal(0, 0.01, pts.shape)).astype(np.float32)
+    tgt = (pts + rng.normal(0, 0.01, pts.shape)).astype(np.float32)
+
+    cfg = GHICPConfig(feature=FeatureType.ROPS,
+                      correspondence=CorrespondenceType.KM,
+                      voxel_size=0.15, neighborhood_radius=0.5,
+                      non_max_radius=1.0, min_neighbors=8,
+                      estimated_overlap=0.9, max_iterations=25)
+    out_plain = register_pair(src, tgt,
+                              dataclasses.replace(cfg,
+                                                  fused_cost_kernel=False))
+    old_f, old_k = gh._FUSED_INTERPRET, au._KERNEL_INTERPRET
+    gh._FUSED_INTERPRET = True
+    au._KERNEL_INTERPRET = True
+    try:
+        out_fused = register_pair(src, tgt, cfg)
+    finally:
+        gh._FUSED_INTERPRET = old_f
+        au._KERNEL_INTERPRET = old_k
+    r1, t1 = transform_error(out_plain.transform, T_gt)
+    r2, t2 = transform_error(out_fused.transform, T_gt)
+    assert r1 < 1.5 and t1 < 0.3, (r1, t1)
+    assert r2 < 1.5 and t2 < 0.3, (r2, t2)
