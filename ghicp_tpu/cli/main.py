@@ -73,7 +73,6 @@ def main(argv=None) -> int:
         print(f"[distributed] {n_proc} process(es), "
               f"{jax.device_count()} device(s)")
 
-    from ghicp_tpu.core import transform as tf
     from ghicp_tpu.core.config import (CorrespondenceType, FeatureType,
                                        GHICPConfig)
     from ghicp_tpu.io import read_cloud, write_cloud

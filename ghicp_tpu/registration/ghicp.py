@@ -30,7 +30,6 @@ Deliberate upgrades over the reference:
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import NamedTuple, Optional
 

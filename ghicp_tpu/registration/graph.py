@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ghicp_tpu.core.config import FeatureType, GHICPConfig
-from ghicp_tpu.core.types import PointCloud, bucket_size, cloud_bounds
+from ghicp_tpu.core.types import PointCloud, cloud_bounds
 from ghicp_tpu.features import extract_bsc, min_hamming_fd
 from ghicp_tpu.preprocess import detect_keypoints, voxel_downsample
 from ghicp_tpu.registration.ghicp import GHICPResult, ghicp_register

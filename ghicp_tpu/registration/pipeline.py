@@ -21,7 +21,7 @@ from ghicp_tpu.core.types import PointCloud, bucket_size, cloud_bounds
 from ghicp_tpu.features import (extract_bsc, fpfh_features,
                                 fpfh_similarity_matrix, min_hamming_fd)
 from ghicp_tpu.preprocess import detect_keypoints, voxel_downsample
-from ghicp_tpu.registration.ghicp import (GHICPResult, ghicp_register,
+from ghicp_tpu.registration.ghicp import (GHICPResult,
                                           ghicp_register_chunked)
 
 
