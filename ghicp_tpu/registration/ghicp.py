@@ -486,9 +486,11 @@ def ghicp_register_chunked(kp_s: Array, mask_s: Array, kp_t: Array,
         state = _ghicp_chunk(state, kp_t, mask_s, mask_t, fd,
                              jnp.asarray(bbx_magnitude, jnp.float32),
                              config, chunk)
-        # One batched fetch: separate bool()/int() materializations cost a
-        # remote-transport round trip EACH (~30-50ms through the tunnel).
-        conv, it = jax.device_get((state.converged, state.it))
+        # One batched fetch as a single [2] array: separate scalar
+        # materializations cost a remote-transport round trip EACH
+        # (~26ms through the tunnel).
+        conv, it = jax.device_get(jnp.stack(
+            [state.converged.astype(jnp.int32), state.it]))
         if bool(conv) or int(it) >= config.max_iterations:
             break
     success = state.rmse_after < 1.5 * config.non_max_radius
