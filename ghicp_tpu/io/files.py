@@ -27,8 +27,16 @@ GLOBAL_SHIFT_FILE = "GlobalShift.txt"
 
 # ----------------------------------------------------------------- txt ----
 def read_txt(path: str) -> np.ndarray:
-    data = np.loadtxt(path, dtype=np.float64, ndmin=2)
-    return data[:, :3].astype(np.float32)
+    """x y z [extras] per line (reference readTxtFile, dataio.hpp:508-560).
+
+    Prefers the OpenMP-parallel native parser; np.loadtxt fallback."""
+    from ghicp_tpu import native
+    with open(path, "rb") as f:
+        raw = f.read()
+    pts = native.txt_parse(raw)
+    if pts is None:
+        pts = np.loadtxt(path, dtype=np.float64, ndmin=2)
+    return pts[:, :3].astype(np.float32)
 
 
 def write_txt(path: str, pts: np.ndarray) -> None:

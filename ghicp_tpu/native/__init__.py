@@ -48,6 +48,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.ghicp_voxel_mark.restype = ctypes.c_int64
         lib.ghicp_transform_points.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.ghicp_txt_parse.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64]
+        lib.ghicp_txt_parse.restype = ctypes.c_int64
         _lib = lib
     except OSError:
         _lib = None
@@ -92,6 +96,25 @@ def voxel_mark(xyz: np.ndarray, voxel: float) -> np.ndarray:
     keep = np.zeros(n, bool)
     keep[first] = True
     return keep
+
+
+def txt_parse(data: bytes) -> Optional[np.ndarray]:
+    """Parse whitespace-separated 'x y z [extras]' text to [n,3] float64.
+
+    OpenMP-parallel strtod over newline-aligned chunks (the reference's
+    readTxtFile getline loop, dataio.hpp:508-560, and np.loadtxt are both
+    ~seconds per million lines).  Returns None when the native library is
+    unavailable (callers fall back to numpy).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    max_pts = data.count(b"\n") + 1
+    out = np.empty((max_pts, 3), np.float64)
+    n = lib.ghicp_txt_parse(buf.ctypes.data, len(data), out.ctypes.data,
+                            max_pts)
+    return out[:n]
 
 
 def transform_points(xyz: np.ndarray, T: np.ndarray) -> np.ndarray:

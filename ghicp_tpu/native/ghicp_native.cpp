@@ -11,6 +11,7 @@
 
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <cmath>
 #include <vector>
@@ -86,6 +87,74 @@ int64_t ghicp_voxel_mark(const float* xyz, int64_t n, float voxel,
         }
     }
     return kept;
+}
+
+// Parse whitespace-separated xyz[ extras] text, one point per line
+// (reference readTxtFile, dataio.hpp:508-560 — its std::getline +
+// istringstream loop is single-threaded; np.loadtxt is likewise seconds
+// per million lines).  Two passes over thread-chunks aligned to newline
+// boundaries: count lines, then strtod the first three fields of each.
+// Comment/blank lines are skipped.  Assumes every numeric line carries at
+// least three fields (the reference's x y z [intensity] format) — strtod
+// skips newlines, so a 2-field line would borrow its z from the next line.
+// Returns points written (<= max_points).
+int64_t ghicp_txt_parse(const char* buf, int64_t len, double* out,
+                        int64_t max_points) {
+    int n_chunks = 64;
+    std::vector<int64_t> chunk_begin(n_chunks + 1, len);
+    chunk_begin[0] = 0;
+    for (int c = 1; c < n_chunks; ++c) {
+        int64_t p = (len * c) / n_chunks;
+        while (p < len && buf[p] != '\n') ++p;
+        chunk_begin[c] = (p < len) ? p + 1 : len;
+    }
+    chunk_begin[n_chunks] = len;
+    std::vector<int64_t> counts(n_chunks, 0);
+#pragma omp parallel for schedule(static)
+    for (int c = 0; c < n_chunks; ++c) {
+        int64_t i = chunk_begin[c], e = chunk_begin[c + 1], cnt = 0;
+        while (i < e) {
+            // a line counts if it starts with a parseable number
+            while (i < e && (buf[i] == ' ' || buf[i] == '\t'
+                             || buf[i] == '\r')) ++i;
+            if (i < e && (buf[i] == '-' || buf[i] == '+' || buf[i] == '.'
+                          || (buf[i] >= '0' && buf[i] <= '9'))) ++cnt;
+            while (i < e && buf[i] != '\n') ++i;
+            ++i;
+        }
+        counts[c] = cnt;
+    }
+    std::vector<int64_t> offs(n_chunks + 1, 0);
+    for (int c = 0; c < n_chunks; ++c) offs[c + 1] = offs[c] + counts[c];
+    int64_t total = std::min<int64_t>(offs[n_chunks], max_points);
+#pragma omp parallel for schedule(static)
+    for (int c = 0; c < n_chunks; ++c) {
+        int64_t i = chunk_begin[c], e = chunk_begin[c + 1];
+        int64_t w = offs[c];
+        while (i < e) {
+            while (i < e && (buf[i] == ' ' || buf[i] == '\t'
+                             || buf[i] == '\r')) ++i;
+            bool numeric = i < e && (buf[i] == '-' || buf[i] == '+'
+                                     || buf[i] == '.'
+                                     || (buf[i] >= '0' && buf[i] <= '9'));
+            if (numeric && w < max_points) {
+                char* p = const_cast<char*>(buf + i);
+                char* q = p;
+                double x = std::strtod(p, &q);
+                double y = std::strtod(q, &q);
+                double z = std::strtod(q, &q);
+                out[w * 3 + 0] = x;
+                out[w * 3 + 1] = y;
+                out[w * 3 + 2] = z;
+                ++w;
+            } else if (numeric) {
+                ++w;  // counted but beyond max_points: keep offsets aligned
+            }
+            while (i < e && buf[i] != '\n') ++i;
+            ++i;
+        }
+    }
+    return total;
 }
 
 // Apply a rigid 4x4 transform to n xyz float32 points in place (row-major T).

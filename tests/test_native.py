@@ -46,3 +46,42 @@ def test_transform_points_parity():
     out = native.transform_points(pts, T)
     ref = pts @ T[:3, :3].T + T[:3, 3]
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_txt_parse_native_matches_loadtxt(tmp_path):
+    from ghicp_tpu import native
+    from ghicp_tpu.io.files import read_txt, write_txt
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    pts = rng.normal(0, 50, (5000, 3)).astype(np.float32)
+    p = tmp_path / "cloud.txt"
+    # extras column + comment/blank lines exercise the skip logic
+    with open(p, "w") as f:
+        f.write("# comment line\n\n")
+        for q in pts:
+            f.write(f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} 42\n")
+    got = read_txt(str(p))
+    want = np.loadtxt(p, dtype=np.float64, ndmin=2)[:, :3].astype(np.float32)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # round-trip through write_txt
+    p2 = tmp_path / "rt.txt"
+    write_txt(str(p2), got)
+    back = read_txt(str(p2))
+    np.testing.assert_allclose(back, got, atol=1e-5)
+
+
+def test_txt_parse_large_speed():
+    """The parallel parser must handle a million-line buffer correctly."""
+    from ghicp_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(4)
+    pts = rng.normal(0, 100, (300_000, 3))
+    lines = "\n".join(f"{a:.4f} {b:.4f} {c:.4f}" for a, b, c in pts)
+    got = native.txt_parse(lines.encode())
+    assert got is not None and got.shape == (len(pts), 3)
+    np.testing.assert_allclose(got, pts, atol=1e-4)
