@@ -520,7 +520,14 @@ def ghicp_register_batched(kp_s: Array, mask_s: Array, kp_t: Array,
     vmap the convergence `while_loop` runs until every pair converges; pairs
     that finish early idle inside masked iterations — the batch amortizes
     kernel launches and keeps the chip saturated for station-graph sweeps.
+
+    The single-pair Pallas kernels (fused benefit, GS auction phases) do
+    not batch — they are forced off here; the XLA engine paths vmap
+    cleanly and are fast at station-graph keypoint capacities.
     """
+    import dataclasses as _dc
+    cfg = _dc.replace(config, fused_cost_kernel=False,
+                      auction_round_kernel=False)
     fn = jax.vmap(lambda a, b, c, d, e, f: ghicp_loop(
-        a, b, c, d, e, f, config, LOCAL))
+        a, b, c, d, e, f, cfg, LOCAL))
     return fn(kp_s, mask_s, kp_t, mask_t, fd, bbx_magnitude)
