@@ -131,7 +131,12 @@ def main():
     import dataclasses
     cfg_tp = dataclasses.replace(cfg, coarse_init="none",
                                  converge_translation=0.0,
-                                 converge_rotation=0.0, max_iterations=120)
+                                 converge_rotation=0.0, max_iterations=120,
+                                 # one device dispatch + one scalar fetch for
+                                 # the whole 120-iteration run: each extra
+                                 # chunk boundary costs a tunnel round trip
+                                 # (~40ms) of pure host latency
+                                 engine_chunk=128)
     register_pair(src, tgt, cfg_tp)          # compile
     its_per_sec = 0.0
     for _ in range(3):                       # best-of-3: tunnel variance

@@ -177,6 +177,13 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
         # double the sweep traffic.
         b_dtype = jnp.bfloat16 if config.auction_bf16 else jnp.float32
         fd_b = fd.astype(jnp.bfloat16) if config.auction_bf16 else fd
+    # Matched-pair FD stats gather from the bf16 copy when the fused path
+    # carries one: the f32 [S,T] matrix then stays out of the loop carry
+    # entirely, and the per-iteration row gather reads half the bytes.
+    # (FDM/FDstd feed the penalty schedule scaled by the decaying W_FD;
+    # bf16's ~2^-9 relative rounding of integer Hamming distances is far
+    # below the schedule's own sensitivity.)
+    fd_stats = fd_b if (use_fused and config.auction_bf16) else fd
 
     def body(st: _State) -> _State:
         it_eff = st.it.astype(jnp.float32) + st.it_shift
@@ -308,8 +315,8 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
 
         w = match.w
         cor = comm.psum(jnp.sum(w))
-        rmse, fdm, fdstd = _matched_stats(st.kps, kp_t, fd, match.tgt_idx,
-                                          w, comm)
+        rmse, fdm, fdstd = _matched_stats(st.kps, kp_t, fd_stats,
+                                          match.tgt_idx, w, comm)
 
         converged = st.converged | (cor < config.min_cor)
         iou = cor / jnp.maximum(ns + nt - cor, 1.0)
