@@ -159,6 +159,9 @@ def main():
         "value": round(its_per_sec, 3),
         "unit": "iterations/s",
         "vs_baseline": round(its_per_sec / base_its_per_sec, 3),
+        # Non-default engine overrides the throughput number was measured
+        # at, so runs stay attributable/comparable across rounds.
+        "engine_chunk": cfg_tp.engine_chunk,
     }))
 
 

@@ -49,6 +49,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("viewer", type=int, choices=[0, 1],
                    help="1 = also export PLY snapshots of the aligned pair")
     p.add_argument("--max-iterations", type=int, default=100)
+    p.add_argument("--coarse-init", choices=["ransac", "none"],
+                   default="ransac",
+                   help="coarse initialization ('none' = the reference's "
+                        "identity start)")
+    p.add_argument("--ransac-hypotheses", type=int, default=None,
+                   help="RANSAC hypothesis sweep width (default: config)")
+    p.add_argument("--save-keypoints", metavar="BASE", default=None,
+                   help="write detected keypoint coordinates to "
+                        "BASE_keypoints_source.txt / BASE_keypoints_target"
+                        ".txt (the savecoordinates surface, "
+                        "dataio.hpp:609-626)")
+    p.add_argument("--save-correspondences", metavar="PATH", default=None,
+                   help="write the final matched pairs to PATH: one line "
+                        "per pair 'src_row tgt_col sx sy sz tx ty tz' with "
+                        "registered source coordinates (the Corres.txt "
+                        "surface, km.cpp:144-162); a .npz PATH stores "
+                        "arrays (rows, cols, src_xyz, tgt_xyz) instead")
     p.add_argument("--json", action="store_true",
                    help="print a single JSON result line")
     p.add_argument("--jax-cache", default="/root/.ghicp_jax_cache",
@@ -88,7 +105,10 @@ def main(argv=None) -> int:
         non_max_radius=args.non_max_radius,
         weight_adjustment_ratio=args.weight_adjust_ratio,
         weight_adjustment_step=args.weight_adjust_step,
-        max_iterations=args.max_iterations)
+        max_iterations=args.max_iterations,
+        coarse_init=args.coarse_init,
+        **({"ransac_hypotheses": args.ransac_hypotheses}
+           if args.ransac_hypotheses else {}))
 
     t0 = time.perf_counter()
     tgt, shift_t = read_cloud(args.target)
@@ -114,6 +134,29 @@ def main(argv=None) -> int:
     registered = src @ out.transform[:3, :3].T + out.transform[:3, 3]
     write_cloud(args.output, registered, global_shift=shift_s)
     print(f"[io] wrote {args.output}")
+
+    if args.save_keypoints:
+        np.savetxt(args.save_keypoints + "_keypoints_source.txt",
+                   out.keypoints_source, fmt="%.6f")
+        np.savetxt(args.save_keypoints + "_keypoints_target.txt",
+                   out.keypoints_target, fmt="%.6f")
+        print(f"[io] wrote {args.save_keypoints}_keypoints_*.txt "
+              f"({len(out.keypoints_source)}/{len(out.keypoints_target)} "
+              f"keypoints)")
+
+    if args.save_correspondences:
+        corres = out.final_correspondences()
+        if args.save_correspondences.endswith(".npz"):
+            np.savez(args.save_correspondences,
+                     rows=corres[:, 0].astype(np.int32),
+                     cols=corres[:, 1].astype(np.int32),
+                     src_xyz=corres[:, 2:5].astype(np.float32),
+                     tgt_xyz=corres[:, 5:8].astype(np.float32))
+        else:
+            np.savetxt(args.save_correspondences, corres,
+                       fmt="%d %d %.6f %.6f %.6f %.6f %.6f %.6f")
+        print(f"[io] wrote {args.save_correspondences} "
+              f"({len(corres)} correspondences)")
 
     if args.viewer:
         base = args.output.rsplit(".", 1)[0]

@@ -228,7 +228,18 @@ class GHICPConfig:
                                           # bf16 (halves the per-round HBM
                                           # sweep; quantization ~2^-8 of
                                           # spread sits below the rel_eps
-                                          # floor). False = f32 exact
+                                          # floor).  On the fused-kernel path
+                                          # this also keeps the FD copy (and
+                                          # hence the matched-pair FDM/FDstd
+                                          # stats gather feeding the penalty
+                                          # schedule) in bf16 — the reference
+                                          # computes those stats in double
+                                          # (ghicp_reg.cpp:546-567), but the
+                                          # ~2^-9 relative rounding of
+                                          # integer Hamming distances sits
+                                          # far below the schedule's own
+                                          # sensitivity. False = f32 exact
+                                          # everywhere
     auction_round_kernel: bool = True     # run bidding rounds in the
                                           # whole-phase Pallas kernel
                                           # (ops/auction_rounds.py): state

@@ -45,6 +45,10 @@ class ICPResult(NamedTuple):
     iterations: Array
     rmse: Array        # final inlier RMSE
     n_inliers: Array
+    ok: Array = jnp.bool_(True)  # False when the min-overlap gate refused
+                                 # the registration (common_reg.cpp:67-70:
+                                 # "The overlap ratio is too small. This
+                                 # registration would not be done.")
 
 
 def _nn_1(grid, pts, mask, radius: float):
@@ -75,13 +79,35 @@ def _nn_1(grid, pts, mask, radius: float):
 
 @functools.partial(jax.jit, static_argnames=("corr_dist", "max_iterations",
                                              "reciprocal", "converge_t",
-                                             "converge_r"))
+                                             "converge_r", "use_trimmed",
+                                             "min_overlap"))
 def icp_point2point(source: PointCloud, target: PointCloud,
                     corr_dist: float = 1.0, max_iterations: int = 50,
                     reciprocal: bool = False, converge_t: float = 1e-4,
-                    converge_r: float = 1e-3) -> ICPResult:
-    """Classic point-to-point ICP (common_reg.cpp:44-107)."""
+                    converge_r: float = 1e-3, use_trimmed: bool = False,
+                    min_overlap: float = 0.0) -> ICPResult:
+    """Classic point-to-point ICP (common_reg.cpp:44-107).
+
+    ``use_trimmed`` enables the trimmed correspondence rejector
+    (common_reg.cpp:63-75): the approximate overlap ratio is estimated once
+    with a ``corr_dist``-radius search (``calOverlap``,
+    common_reg.cpp:294-317), each iteration keeps only that best fraction of
+    correspondences by distance, and when the ratio falls below
+    ``min_overlap`` the registration is refused (``ok=False``, identity
+    transform — the reference returns false and leaves the clouds alone).
+    """
     tgrid = build_grid(target, cell=corr_dist)
+    N = source.xyz.shape[0]
+    if use_trimmed:
+        # calOverlap semantics: fraction of source points with a target
+        # neighbor within corr_dist, estimated once pre-alignment.
+        _, _, ov_ok = _nn_1(tgrid, source.xyz, source.mask, corr_dist)
+        n_src = jnp.maximum(jnp.sum(source.mask.astype(jnp.float32)), 1.0)
+        overlap = jnp.sum(ov_ok.astype(jnp.float32)) / n_src
+        refused = overlap < min_overlap
+    else:
+        overlap = jnp.float32(1.0)
+        refused = jnp.bool_(False)
 
     def body(st):
         pts, rt, it, done, prev = st
@@ -94,6 +120,17 @@ def icp_point2point(source: PointCloud, target: PointCloud,
                                cell=corr_dist)
             back, _, bok = _nn_1(sgrid, target.xyz[j], ok, corr_dist)
             ok = ok & bok & (back == jnp.arange(pts.shape[0]))
+        if use_trimmed:
+            # CorrespondenceRejectorTrimmed: keep the closest
+            # overlap-fraction of valid correspondences, drop the
+            # largest-distance rest (common_reg.cpp:71-74).
+            d_valid = jnp.where(ok, d, jnp.inf)
+            n_valid = jnp.sum(ok.astype(jnp.int32))
+            keep_n = jnp.clip((overlap * n_valid.astype(jnp.float32))
+                              .astype(jnp.int32), 1, N)
+            d_sorted = jnp.sort(d_valid)
+            thresh = d_sorted[jnp.clip(keep_n - 1, 0, N - 1)]
+            ok = ok & (d <= thresh)
         w = ok.astype(jnp.float32)
         step = kabsch_6dof(pts, target.xyz[j], w)
         new_pts = tf.apply(step, pts)
@@ -107,13 +144,13 @@ def icp_point2point(source: PointCloud, target: PointCloud,
                 (rmse, jnp.sum(w)))
 
     def cond(st):
-        return (~st[3]) & (st[2] < max_iterations)
+        return (~st[3]) & (st[2] < max_iterations) & ~refused
 
     init = (source.xyz, tf.identity(), jnp.int32(0), jnp.bool_(False),
             (jnp.float32(jnp.inf), jnp.float32(0.0)))
     pts, rt, it, _, (rmse, ninl) = jax.lax.while_loop(cond, body, init)
     return ICPResult(transform=rt, iterations=it, rmse=rmse,
-                     n_inliers=ninl.astype(jnp.int32))
+                     n_inliers=ninl.astype(jnp.int32), ok=~refused)
 
 
 def _solve6(A_rows, residuals, w):

@@ -118,7 +118,8 @@ def register_graph(clouds: Sequence[np.ndarray],
     def pair_fd(s: Station, t: Station):
         if config.feature == FeatureType.BSC:
             return min_hamming_fd(s.bsc_packed, t.bsc_packed[:1],
-                                  441, use_mxu=config.use_mxu_hamming)
+                                  config.bsc_total_bits,
+                                  use_mxu=config.use_mxu_hamming)
         return jnp.zeros((cap, cap), jnp.float32)
 
     results: List[PairResult] = []

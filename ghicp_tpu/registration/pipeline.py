@@ -34,6 +34,30 @@ class RegistrationOutput:
     n_source_keypoints: int
     n_target_keypoints: int
     timings: Dict[str, float]
+    # Detected (refined) keypoint coordinates, valid rows only, in the
+    # ORIGINAL input frames — the ``savecoordinates`` export surface
+    # (dataio.hpp:609-626).  Source rows are in the engine's (Morton) row
+    # order, so ``result.matches[:n_source_keypoints]`` indexes straight
+    # into ``keypoints_source`` and target columns into ``keypoints_target``.
+    keypoints_source: Optional[np.ndarray] = None   # [nks, 3]
+    keypoints_target: Optional[np.ndarray] = None   # [nkt, 3]
+
+    def final_correspondences(self) -> np.ndarray:
+        """Final matched pairs as an [M, 8] array: (src_row, tgt_col,
+        sx, sy, sz, tx, ty, tz) with source coordinates REGISTERED (the
+        last iteration's ``Corres.txt`` dump, km.cpp:144-162).
+        """
+        matches = np.asarray(self.result.matches)[
+            :len(self.keypoints_source)]
+        rows = np.nonzero(matches >= 0)[0]
+        cols = matches[rows]
+        sp = self.keypoints_source[rows]
+        sp = sp @ self.transform[:3, :3].T + self.transform[:3, 3]
+        tp = self.keypoints_target[cols]
+        return np.concatenate([rows[:, None].astype(np.float64),
+                               cols[:, None].astype(np.float64),
+                               sp.astype(np.float64),
+                               tp.astype(np.float64)], axis=1)
 
     @property
     def success(self) -> bool:
@@ -248,7 +272,11 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
         n_source_down=int(jnp.sum(ds.mask)),
         n_target_down=int(jnp.sum(dt.mask)),
         n_source_keypoints=nks, n_target_keypoints=nkt,
-        timings=timings)
+        timings=timings,
+        # Valid keypoints are the leading rows (both _keypoint_arrays and
+        # the Morton reorder sort masked rows last).
+        keypoints_source=np.asarray(kp_s)[:min(nks, cap)],
+        keypoints_target=np.asarray(kp_t)[:min(nkt, cap)])
 
 
 def transform_error(T_est: np.ndarray, T_gt: np.ndarray):

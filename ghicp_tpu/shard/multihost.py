@@ -110,7 +110,8 @@ def register_graph_distributed(clouds: Sequence[np.ndarray],
     for gi, (si, ti) in mine:
         s, t = stations[si], stations[ti]
         if config.feature == FeatureType.BSC:
-            fd = min_hamming_fd(s.bsc_packed, t.bsc_packed[:1], 441,
+            fd = min_hamming_fd(s.bsc_packed, t.bsc_packed[:1],
+                                config.bsc_total_bits,
                                 use_mxu=config.use_mxu_hamming)
         else:
             fd = jnp.zeros((cap, cap), jnp.float32)

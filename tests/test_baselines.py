@@ -58,6 +58,60 @@ def test_gicp():
     assert rot < 1.0 and tr < 0.15, (rot, tr)
 
 
+def _partial_pair(seed, keep=0.55, n=8000, rot_deg=5.0, trans=0.4):
+    """Pair where the source only covers a slab of the target's extent —
+    the regime the trimmed rejector exists for (common_reg.cpp:63-75)."""
+    rng = np.random.default_rng(seed)
+    pts = structured_scene(rng, n, extent=10.0)
+    theta = np.deg2rad(rot_deg)
+    R = np.array([[np.cos(theta), -np.sin(theta), 0],
+                  [np.sin(theta), np.cos(theta), 0],
+                  [0, 0, 1]], np.float32)
+    t = np.float32([trans, -trans, 0.1])
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[:3, :3] = R
+    T_gt[:3, 3] = t
+    # Source keeps only the lower-x slab; the rest of the target has no
+    # counterpart, so untrimmed ICP drags the pose toward those outliers.
+    cut = np.quantile(pts[:, 0], keep)
+    sel = pts[:, 0] <= cut
+    src = ((pts[sel] - t) @ R
+           + rng.normal(0, 0.01, (sel.sum(), 3))).astype(np.float32)
+    tgt = (pts + rng.normal(0, 0.01, pts.shape)).astype(np.float32)
+    return PointCloud.from_points(src), PointCloud.from_points(tgt), T_gt
+
+
+def test_icp_trimmed_partial_overlap():
+    """The trimmed rejector recovers a partial-overlap pose at least as well
+    as untrimmed ICP, and strictly helps on the inlier RMSE."""
+    s, t, T_gt = _partial_pair(6)
+    plain = icp_point2point(s, t, corr_dist=1.5, max_iterations=50)
+    trimmed = icp_point2point(s, t, corr_dist=1.5, max_iterations=50,
+                              use_trimmed=True, min_overlap=0.2)
+    rot_p, tr_p = transform_error(np.asarray(plain.transform), T_gt)
+    rot_t, tr_t = transform_error(np.asarray(trimmed.transform), T_gt)
+    assert bool(trimmed.ok)
+    assert rot_t < 1.0 and tr_t < 0.15, (rot_t, tr_t)
+    # The trim must not be worse than plain ICP on this pair.
+    assert rot_t <= rot_p + 0.05 and tr_t <= tr_p + 0.02, (
+        (rot_p, tr_p), (rot_t, tr_t))
+
+
+def test_icp_min_overlap_gate_refuses():
+    """Disjoint clouds: overlap below the gate -> ok=False, identity
+    transform, zero iterations (common_reg.cpp:67-70)."""
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(0, 5, (2000, 3)).astype(np.float32)
+    a = PointCloud.from_points(pts)
+    b = PointCloud.from_points(pts + np.float32([100.0, 0, 0]))
+    res = icp_point2point(a, b, corr_dist=1.0, max_iterations=20,
+                          use_trimmed=True, min_overlap=0.3)
+    assert not bool(res.ok)
+    assert int(res.iterations) == 0
+    np.testing.assert_allclose(np.asarray(res.transform), np.eye(4),
+                               atol=1e-6)
+
+
 def test_overlap_ratio():
     rng = np.random.default_rng(4)
     pts = rng.uniform(0, 10, (2000, 3)).astype(np.float32)

@@ -6,10 +6,10 @@ from ghicp_tpu.io import read_cloud, write_cloud
 from ghicp_tpu.io.synthetic import structured_scene
 
 
-def test_cli_roundtrip(tmp_path, capsys):
-    rng = np.random.default_rng(0)
-    pts = structured_scene(rng, 6000, extent=8.0)
-    theta = np.deg2rad(6.0)
+def _cli_pair(tmp_path, seed=0, n=6000, rot_deg=6.0, extent=8.0):
+    rng = np.random.default_rng(seed)
+    pts = structured_scene(rng, n, extent=extent)
+    theta = np.deg2rad(rot_deg)
     R = np.array([[np.cos(theta), -np.sin(theta), 0],
                   [np.sin(theta), np.cos(theta), 0], [0, 0, 1]], np.float32)
     t = np.float32([0.6, -0.4, 0.1])
@@ -20,18 +20,66 @@ def test_cli_roundtrip(tmp_path, capsys):
     op = str(tmp_path / "out.ply")
     write_cloud(sp, src)
     write_cloud(tp, tgt)
+    return sp, tp, op, src, tgt
+
+
+def _check_overlay(op, tgt, tol=0.2):
+    registered, _ = read_cloud(op)
+    from scipy.spatial import cKDTree
+    d, _ = cKDTree(tgt).query(registered[::20])
+    assert np.median(d) < tol
+
+
+def test_cli_roundtrip(tmp_path, capsys):
+    sp, tp, op, src, tgt = _cli_pair(tmp_path)
 
     rc = main([tp, sp, op, "N", "R", "0.15", "0.5", "1.0", "1.1", "0.1",
                "6", "0.9", "1", "--max-iterations", "40", "--jax-cache", ""])
     assert rc == 0
     out = capsys.readouterr().out
     assert "Registration Succeed" in out
-    registered, _ = read_cloud(op)
-    # Registered source should overlay the target (nearest-point check on a
-    # subsample).
-    from scipy.spatial import cKDTree
-    d, _ = cKDTree(tgt).query(registered[::20])
-    assert np.median(d) < 0.2
+    _check_overlay(op, tgt)
     # Viewer flag exported the aligned pair.
     assert (tmp_path / "out_pair_source.ply").exists()
     assert (tmp_path / "out_pair_target.ply").exists()
+
+
+def test_cli_flagship_bsc_km(tmp_path, capsys):
+    """The flagship `B K` lane through the 13-arg surface, with the
+    keypoint/correspondence export flags (ghicp_main.cpp:56-78;
+    dataio.hpp:609-626; km.cpp:144-162)."""
+    sp, tp, op, src, tgt = _cli_pair(tmp_path, seed=3, n=20000, extent=10.0)
+    kb = str(tmp_path / "kp")
+    cp = str(tmp_path / "corres.txt")
+    rc = main([tp, sp, op, "B", "K", "0.15", "0.5", "1.0", "1.1", "0.1",
+               "6", "0.9", "0", "--max-iterations", "40", "--jax-cache", "",
+               "--ransac-hypotheses", "4096",
+               "--save-keypoints", kb, "--save-correspondences", cp])
+    assert rc == 0
+    assert "Registration Succeed" in capsys.readouterr().out
+    _check_overlay(op, tgt)
+    ks = np.loadtxt(kb + "_keypoints_source.txt")
+    kt = np.loadtxt(kb + "_keypoints_target.txt")
+    assert ks.ndim == 2 and ks.shape[1] == 3 and len(ks) > 10
+    assert kt.ndim == 2 and kt.shape[1] == 3 and len(kt) > 10
+    corres = np.loadtxt(cp)
+    assert corres.ndim == 2 and corres.shape[1] == 8 and len(corres) > 10
+    rows = corres[:, 0].astype(int)
+    cols = corres[:, 1].astype(int)
+    assert rows.max() < len(ks) and cols.max() < len(kt)
+    # Registered source coords of matched pairs should sit near their
+    # matched target keypoints.
+    d = np.linalg.norm(corres[:, 2:5] - corres[:, 5:8], axis=1)
+    assert np.median(d) < 1.0
+
+
+def test_cli_flagship_4dof(tmp_path, capsys):
+    """The 4-DoF leveled-TLS lane through the CLI (BSC, 2 LCS variants,
+    true yaw-only estimator — SURVEY.md §2 quirks)."""
+    sp, tp, op, src, tgt = _cli_pair(tmp_path, seed=4, n=20000, extent=10.0)
+    rc = main([tp, sp, op, "B", "K", "0.15", "0.5", "1.0", "1.1", "0.1",
+               "4", "0.9", "0", "--max-iterations", "40", "--jax-cache", "",
+               "--ransac-hypotheses", "4096"])
+    assert rc == 0
+    assert "Registration Succeed" in capsys.readouterr().out
+    _check_overlay(op, tgt)
