@@ -183,7 +183,10 @@ def ransac_coarse_align(kp_s: Array, mask_s: Array, kp_t: Array,
         okf = jnp.repeat(cand_ok.reshape(-1), 4)
         Ts = jnp.concatenate([Ts, Tf], axis=0)
         ok3 = jnp.concatenate([ok3, okf], axis=0)
-        pad = (-Ts.shape[0]) % 8192
+    # Pad the hypothesis list to a whole number of scoring chunks (also
+    # covers n_hyp below one chunk, e.g. reduced sweeps on CPU).
+    pad = (-Ts.shape[0]) % 8192
+    if pad:
         Ts = jnp.pad(Ts, ((0, pad), (0, 0), (0, 0)))
         ok3 = jnp.pad(ok3, (0, pad))
     n_total = Ts.shape[0]

@@ -507,26 +507,33 @@ def ghicp_register_chunked(kp_s: Array, mask_s: Array, kp_t: Array,
                        matches=state.matches)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+@functools.partial(jax.jit, static_argnames=("config", "it_shift"))
 def ghicp_register(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
                    fd: Array, bbx_magnitude: Array, config: GHICPConfig,
-                   init_transform: Optional[Array] = None) -> GHICPResult:
+                   init_transform: Optional[Array] = None,
+                   it_shift: float = 0.0) -> GHICPResult:
     """Single-device jitted entry point for the GH-ICP loop."""
     return ghicp_loop(kp_s, mask_s, kp_t, mask_t, fd, bbx_magnitude,
-                      config, LOCAL, init_transform=init_transform)
+                      config, LOCAL, init_transform=init_transform,
+                      it_shift=it_shift)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+@functools.partial(jax.jit, static_argnames=("config", "it_shift"))
 def ghicp_register_batched(kp_s: Array, mask_s: Array, kp_t: Array,
                            mask_t: Array, fd: Array, bbx_magnitude: Array,
-                           config: GHICPConfig) -> GHICPResult:
+                           config: GHICPConfig,
+                           init_transform: Optional[Array] = None,
+                           it_shift: float = 0.0) -> GHICPResult:
     """Batched multi-pair registration: one vmapped engine over a leading
     pair axis (SURVEY.md §2 parallelism item (c)).
 
-    All inputs gain a leading [P] axis (shared keypoint capacities).  Under
-    vmap the convergence `while_loop` runs until every pair converges; pairs
-    that finish early idle inside masked iterations — the batch amortizes
-    kernel launches and keeps the chip saturated for station-graph sweeps.
+    All inputs gain a leading [P] axis (shared keypoint capacities);
+    ``init_transform`` is an optional [P, 4, 4] per-pair warm start (coarse
+    init), applied with the schedule offset ``it_shift`` like the
+    single-pair pipeline.  Under vmap the convergence `while_loop` runs
+    until every pair converges; pairs that finish early idle inside masked
+    iterations — the batch amortizes kernel launches and keeps the chip
+    saturated for station-graph sweeps.
 
     The single-pair Pallas kernels (fused benefit, GS auction phases) do
     not batch — they are forced off here; the XLA engine paths vmap
@@ -535,6 +542,11 @@ def ghicp_register_batched(kp_s: Array, mask_s: Array, kp_t: Array,
     import dataclasses as _dc
     cfg = _dc.replace(config, fused_cost_kernel=False,
                       auction_round_kernel=False)
-    fn = jax.vmap(lambda a, b, c, d, e, f: ghicp_loop(
-        a, b, c, d, e, f, cfg, LOCAL))
-    return fn(kp_s, mask_s, kp_t, mask_t, fd, bbx_magnitude)
+    if init_transform is None:
+        fn = jax.vmap(lambda a, b, c, d, e, f: ghicp_loop(
+            a, b, c, d, e, f, cfg, LOCAL))
+        return fn(kp_s, mask_s, kp_t, mask_t, fd, bbx_magnitude)
+    fn = jax.vmap(lambda a, b, c, d, e, f, t0: ghicp_loop(
+        a, b, c, d, e, f, cfg, LOCAL, init_transform=t0,
+        it_shift=it_shift))
+    return fn(kp_s, mask_s, kp_t, mask_t, fd, bbx_magnitude, init_transform)

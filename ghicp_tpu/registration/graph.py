@@ -38,9 +38,13 @@ class Station:
     index: int
     kp_xyz: jax.Array        # [cap, 3]
     kp_mask: jax.Array       # [cap]
-    bsc_packed: Optional[jax.Array]  # [V, cap, W] (None for Ft=none)
+    bsc_packed: Optional[jax.Array]  # [V, cap, W] (BSC only)
     n_keypoints: int
     bbx_magnitude: float
+    desc: Optional[jax.Array] = None     # [cap, D] float descriptors
+                                         # (FPFH histograms / RoPS moments)
+    frames: Optional[jax.Array] = None   # [cap, 3, 3] BSC LCS frames
+                                         # (coarse-init pose hypotheses)
 
 
 @dataclasses.dataclass
@@ -84,14 +88,70 @@ def build_station(pts: np.ndarray, index: int, config: GHICPConfig,
         rr = config.refine_radius or 3.0 * config.voxel_size
         cc, curv = compact_candidates(dcloud, pca, res.candidates)
         kp_xyz = refine_positions(kp_xyz, kp_mask_j, cc, curv, radius=rr)
-    packed = None
+    packed = desc = frames = None
     if config.feature == FeatureType.BSC:
+        # Full variant set: any station can act as pair source or target
+        # (the target side uses only variant 0, like ghicp_reg.cpp:178-186).
         feats = extract_bsc(dcloud, kp_xyz, kp_mask_j, config,
                             num_variants=config.bsc_num_variants)
         packed = feats.packed
+        frames = feats.frames
+    elif config.feature == FeatureType.FPFH:
+        from ghicp_tpu.features import fpfh_features
+        radius = config.fpfh_radius or 3.0 * config.voxel_size
+        hist, _ = fpfh_features(dcloud, radius=radius,
+                                k=max(config.fpfh_k, 24))
+        desc = hist[kp_idx_j]
+    elif config.feature == FeatureType.ROPS:
+        from ghicp_tpu.features import rops_features
+        rr_rad = config.rops_radius or float(config.non_max_radius)
+        rf = rops_features(dcloud, kp_xyz, kp_mask_j, radius=rr_rad,
+                           neighbor_k=config.rops_neighbor_k,
+                           n_rotations=config.rops_rotations,
+                           n_bins=config.rops_bins)
+        desc = rf.desc
     return Station(index=index, kp_xyz=kp_xyz,
                    kp_mask=kp_mask_j, bsc_packed=packed, n_keypoints=nk,
-                   bbx_magnitude=bbx)
+                   bbx_magnitude=bbx, desc=desc, frames=frames)
+
+
+def station_pair_fd(s: Station, t: Station, config: GHICPConfig):
+    """The [cap, cap] feature matrix for a station pair, per feature type:
+    Hamming distance for BSC (ghicp_reg.cpp:143-200), |correlation|
+    similarity for FPFH/RoPS (fpfh.hpp:135-165), zeros for none."""
+    if config.feature == FeatureType.BSC:
+        return min_hamming_fd(s.bsc_packed, t.bsc_packed[:1],
+                              config.bsc_total_bits,
+                              use_mxu=config.use_mxu_hamming)
+    if config.feature == FeatureType.FPFH:
+        from ghicp_tpu.features import fpfh_similarity_matrix
+        return fpfh_similarity_matrix(s.desc, t.desc)
+    if config.feature == FeatureType.ROPS:
+        from ghicp_tpu.features import rops_similarity_matrix
+        return rops_similarity_matrix(s.desc, t.desc)
+    cap = s.kp_xyz.shape[0]
+    return jnp.zeros((cap, cap), jnp.float32)
+
+
+def _coarse_init_pair(s: Station, t: Station, fd, config: GHICPConfig):
+    """RANSAC coarse init for a station pair (same policy as
+    ``register_pair``, pipeline.py): returns (T0 or None, it_shift)."""
+    if config.coarse_init != "ransac" or config.feature == FeatureType.NONE:
+        return None, 0.0
+    from ghicp_tpu.matching.ransac import ransac_coarse_align
+    fd_dist = (1.0 - fd) if config.feature in (
+        FeatureType.FPFH, FeatureType.ROPS) else fd
+    tau = config.ransac_tau or 3.0 * config.voxel_size
+    rr = ransac_coarse_align(s.kp_xyz, s.kp_mask, t.kp_xyz, t.kp_mask,
+                             fd_dist, tau=tau,
+                             n_hyp=config.ransac_hypotheses,
+                             frames_s=s.frames, frames_t=t.frames)
+    if int(rr.inliers) >= config.ransac_min_inliers:
+        # Skip the feature-dominant schedule phase (see pipeline.py): the
+        # verified pose must not be discarded by iteration 0's pure-FD
+        # matching.
+        return rr.transform, 3.0 * config.weight_changing_rate
+    return None, 0.0
 
 
 def register_graph(clouds: Sequence[np.ndarray],
@@ -115,15 +175,9 @@ def register_graph(clouds: Sequence[np.ndarray],
     stations = [build_station(p, i, config, cap)
                 for i, p in enumerate(clouds)]
 
-    def pair_fd(s: Station, t: Station):
-        if config.feature == FeatureType.BSC:
-            return min_hamming_fd(s.bsc_packed, t.bsc_packed[:1],
-                                  config.bsc_total_bits,
-                                  use_mxu=config.use_mxu_hamming)
-        return jnp.zeros((cap, cap), jnp.float32)
-
     results: List[PairResult] = []
     if batched:
+        from ghicp_tpu.core import transform as tf
         from ghicp_tpu.registration.ghicp import ghicp_register_batched
         cfg_b = dataclasses.replace(config, fused_cost_kernel=False,
                                     auction_round_kernel=False)
@@ -133,9 +187,24 @@ def register_graph(clouds: Sequence[np.ndarray],
         ms = jnp.stack([s.kp_mask for s in st_s])
         kp_t = jnp.stack([t.kp_xyz for t in st_t])
         mt = jnp.stack([t.kp_mask for t in st_t])
-        fd = jnp.stack([pair_fd(s, t) for s, t in zip(st_s, st_t)])
+        fds = [station_pair_fd(s, t, config) for s, t in zip(st_s, st_t)]
+        fd = jnp.stack(fds)
         bbx = jnp.asarray([s.bbx_magnitude for s in st_s], jnp.float32)
-        res = ghicp_register_batched(kp_s, ms, kp_t, mt, fd, bbx, cfg_b)
+        # Per-pair coarse init; pairs whose RANSAC found no consensus get
+        # identity with the shared it_shift (a zero shift for ALL pairs
+        # would need a second compiled executable — identity + shift only
+        # costs those pairs the early feature-dominant iterations, which
+        # the coarse-init path skips by design anyway).
+        inits = [_coarse_init_pair(s, t, f, config)
+                 for s, t, f in zip(st_s, st_t, fds)]
+        if any(T0 is not None for T0, _ in inits):
+            shift = max(sh for _, sh in inits)
+            T0b = jnp.stack([T0 if T0 is not None else tf.identity()
+                             for T0, _ in inits])
+            res = ghicp_register_batched(kp_s, ms, kp_t, mt, fd, bbx, cfg_b,
+                                         init_transform=T0b, it_shift=shift)
+        else:
+            res = ghicp_register_batched(kp_s, ms, kp_t, mt, fd, bbx, cfg_b)
         # One host fetch for the whole batch.
         res = jax.device_get(res)
         for k, (si, ti) in enumerate(pairs):
@@ -146,9 +215,11 @@ def register_graph(clouds: Sequence[np.ndarray],
     else:
         for (si, ti) in pairs:
             s, t = stations[si], stations[ti]
-            fd = pair_fd(s, t)
+            fd = station_pair_fd(s, t, config)
+            T0, it_shift = _coarse_init_pair(s, t, fd, config)
             res = ghicp_register(s.kp_xyz, s.kp_mask, t.kp_xyz, t.kp_mask,
-                                 fd, jnp.float32(s.bbx_magnitude), config)
+                                 fd, jnp.float32(s.bbx_magnitude), config,
+                                 init_transform=T0, it_shift=it_shift)
             results.append(PairResult(source=si, target=ti,
                                       transform=np.asarray(res.transform),
                                       result=res))

@@ -98,9 +98,9 @@ def register_graph_distributed(clouds: Sequence[np.ndarray],
     needed = sorted({s for _, (s, t) in mine for s in (s, t)})
     stations = {i: build_station(clouds[i], i, config, cap) for i in needed}
 
-    from ghicp_tpu.core.config import FeatureType
-    from ghicp_tpu.features import min_hamming_fd
     from ghicp_tpu.registration.ghicp import ghicp_register
+    from ghicp_tpu.registration.graph import (_coarse_init_pair,
+                                              station_pair_fd)
 
     # Dense [P, 4, 4] / [P] buffers; each process fills its slots, the
     # all-gather max-reduces them together (empty slots stay zero).
@@ -109,14 +109,11 @@ def register_graph_distributed(clouds: Sequence[np.ndarray],
     quals = np.zeros((P_n,), np.float32)
     for gi, (si, ti) in mine:
         s, t = stations[si], stations[ti]
-        if config.feature == FeatureType.BSC:
-            fd = min_hamming_fd(s.bsc_packed, t.bsc_packed[:1],
-                                config.bsc_total_bits,
-                                use_mxu=config.use_mxu_hamming)
-        else:
-            fd = jnp.zeros((cap, cap), jnp.float32)
+        fd = station_pair_fd(s, t, config)
+        T0, it_shift = _coarse_init_pair(s, t, fd, config)
         res = ghicp_register(s.kp_xyz, s.kp_mask, t.kp_xyz, t.kp_mask, fd,
-                             jnp.float32(s.bbx_magnitude), config)
+                             jnp.float32(s.bbx_magnitude), config,
+                             init_transform=T0, it_shift=it_shift)
         tfs[gi] = np.asarray(res.transform)
         it = max(int(res.iterations) - 1, 0)
         quals[gi] = float(np.asarray(res.metrics.iou)[it])

@@ -51,6 +51,38 @@ def test_station_graph_chain():
         assert rot < 2.0 and tr < 0.3, (i, rot, tr)
 
 
+def test_station_graph_fpfh():
+    """FPFH station graphs: per-station FPFH descriptors + coarse init on
+    the graph path (the round-2 zero-FD silent path is gone; reference
+    anchor fpfh.hpp:93-115, ghicp_main.cpp:124-126)."""
+    rng = np.random.default_rng(2)
+    pts = structured_scene(rng, 9000, extent=8.0)
+    th = np.deg2rad(8.0)
+    T1 = np.eye(4, dtype=np.float32)
+    T1[:3, :3] = [[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+    T1[:3, 3] = [0.8, -0.4, 0.1]
+    R1, t1 = T1[:3, :3], T1[:3, 3]
+    clouds = [
+        (pts + rng.normal(0, 0.01, pts.shape)).astype(np.float32),
+        (((pts - t1) @ R1) + rng.normal(0, 0.01, pts.shape)).astype(
+            np.float32),
+    ]
+    cfg = GHICPConfig(feature=FeatureType.FPFH,
+                      correspondence=CorrespondenceType.KM,
+                      voxel_size=0.15, neighborhood_radius=0.5,
+                      non_max_radius=1.0, min_neighbors=8,
+                      estimated_overlap=0.9, max_iterations=40,
+                      ransac_hypotheses=4096)
+    results, poses = register_graph(clouds, [(1, 0)], cfg,
+                                    keypoint_capacity=512)
+    err = poses[1] @ np.linalg.inv(T1)
+    rot = np.degrees(np.arccos(np.clip((np.trace(err[:3, :3]) - 1) / 2,
+                                       -1, 1)))
+    tr = np.linalg.norm(err[:3, 3])
+    assert rot < 2.0 and tr < 0.3, (rot, tr)
+
+
 def test_register_graph_batched_matches_sequential():
     """batched=True (one vmapped engine dispatch for all pairs) must land
     the same poses as the sequential per-pair path (identical math on the
