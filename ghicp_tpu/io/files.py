@@ -49,6 +49,83 @@ _PCD_TYPE = {("F", 4): "<f4", ("F", 8): "<f8", ("I", 1): "<i1",
              ("U", 2): "<u2", ("U", 4): "<u4"}
 
 
+def _lzf_decompress(data: bytes, expected_size: int) -> bytes:
+    """LibLZF decompression (the PCD ``binary_compressed`` codec; PCL reads
+    this transparently via ``pcd_io``, reference path dataio.hpp:121-162).
+
+    Control byte < 32: literal run of ctrl+1 bytes.  Otherwise a back
+    reference: top 3 bits = length-2 (7 => one extension byte follows),
+    low 5 bits + next byte = 13-bit backward offset - 1.
+    """
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 32:
+            cnt = ctrl + 1
+            out += data[i:i + cnt]
+            i += cnt
+        else:
+            length = ctrl >> 5
+            if length == 7:
+                length += data[i]
+                i += 1
+            ref = len(out) - ((ctrl & 0x1F) << 8) - data[i] - 1
+            i += 1
+            if ref < 0:
+                raise ValueError("corrupt LZF stream: reference before start")
+            for _ in range(length + 2):     # overlapping copies are legal
+                out.append(out[ref])
+                ref += 1
+    if len(out) != expected_size:
+        raise ValueError(f"LZF size mismatch: got {len(out)}, "
+                         f"expected {expected_size}")
+    return bytes(out)
+
+
+def _lzf_compress(data: bytes) -> bytes:
+    """Greedy libLZF-compatible compressor (3-byte hash chain), used by
+    ``write_pcd(compressed=True)`` and the round-trip tests."""
+    n = len(data)
+    out = bytearray()
+    htab = {}
+    i = lit_start = 0
+
+    def flush_literals(end):
+        j = lit_start
+        while j < end:
+            cnt = min(32, end - j)
+            out.append(cnt - 1)
+            out.extend(data[j:j + cnt])
+            j += cnt
+
+    while i < n - 2:
+        key = data[i:i + 3]
+        ref = htab.get(key, -1)
+        htab[key] = i
+        off = i - ref - 1
+        if 0 <= ref and off < 8192:
+            max_len = min(n - i, 264)       # 7 + 255 + 2
+            length = 3
+            while length < max_len and data[ref + length] == data[i + length]:
+                length += 1
+            flush_literals(i)
+            enc = length - 2
+            if enc < 7:
+                out.append((enc << 5) | (off >> 8))
+            else:
+                out.append((7 << 5) | (off >> 8))
+                out.append(enc - 7)
+            out.append(off & 0xFF)
+            i += length
+            lit_start = i
+        else:
+            i += 1
+    flush_literals(n)
+    return bytes(out)
+
+
 def read_pcd(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         header = {}
@@ -82,21 +159,44 @@ def read_pcd(path: str) -> np.ndarray:
             return np.stack([arr["x"], arr["y"], arr["z"]],
                             axis=1).astype(np.float32)
         if mode == "binary_compressed":
-            raise NotImplementedError("binary_compressed PCD not supported")
+            comp_size, uncomp_size = struct.unpack("<II", f.read(8))
+            raw = _lzf_decompress(f.read(comp_size), uncomp_size)
+            # Compressed PCD stores a structure-of-arrays: each field's
+            # values for ALL points are contiguous (PCL pcd_io convention).
+            out = {}
+            off = 0
+            for name, s, t, c in zip(fields, sizes, types, counts):
+                if name in ("x", "y", "z"):
+                    a = np.frombuffer(raw, dtype=_PCD_TYPE[(t, s)],
+                                      count=n * c, offset=off)
+                    out[name] = a.reshape(n, c)[:, 0] if c > 1 else a
+                off += n * s * c
+            return np.stack([out["x"], out["y"], out["z"]],
+                            axis=1).astype(np.float32)
         raise ValueError(f"unknown PCD DATA mode {mode!r}")
 
 
-def write_pcd(path: str, pts: np.ndarray, binary: bool = True) -> None:
+def write_pcd(path: str, pts: np.ndarray, binary: bool = True,
+              compressed: bool = False) -> None:
     pts = np.asarray(pts, np.float32)
     n = len(pts)
+    mode = ("binary_compressed" if compressed
+            else "binary" if binary else "ascii")
     header = (
         "# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n"
         "FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
         f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\n"
-        f"DATA {'binary' if binary else 'ascii'}\n")
+        f"DATA {mode}\n")
     with open(path, "wb") as f:
         f.write(header.encode("ascii"))
-        if binary:
+        if compressed:
+            # Structure-of-arrays field blocks, LZF-compressed.
+            soa = np.concatenate([np.ascontiguousarray(pts[:, i], "<f4")
+                                  for i in range(3)]).tobytes()
+            comp = _lzf_compress(soa)
+            f.write(struct.pack("<II", len(comp), len(soa)))
+            f.write(comp)
+        elif binary:
             f.write(np.ascontiguousarray(pts, "<f4").tobytes())
         else:
             np.savetxt(f, pts, fmt="%.6f")

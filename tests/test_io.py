@@ -30,6 +30,40 @@ def test_pcd_ascii(tmp_path, pts):
     np.testing.assert_allclose(read_pcd(p), pts, atol=1e-4)
 
 
+def test_pcd_binary_compressed(tmp_path, pts):
+    """LZF binary_compressed PCD round trip (PCL pcd_io transparency,
+    reference read path dataio.hpp:121-162)."""
+    p = str(tmp_path / "c.pcd")
+    write_pcd(p, pts, compressed=True)
+    np.testing.assert_allclose(read_pcd(p), pts, atol=1e-6)
+    # The compressed file must actually be smaller on repetitive data.
+    rep = np.tile(pts[:8], (64, 1)).astype(np.float32)
+    pr = str(tmp_path / "rep.pcd")
+    pb = str(tmp_path / "repb.pcd")
+    write_pcd(pr, rep, compressed=True)
+    write_pcd(pb, rep, binary=True)
+    assert os.path.getsize(pr) < os.path.getsize(pb) / 2
+    np.testing.assert_allclose(read_pcd(pr), rep, atol=1e-6)
+
+
+def test_lzf_codec_edge_cases():
+    """The LZF pair handles long matches, overlapping copies (RLE), and
+    incompressible streams."""
+    from ghicp_tpu.io.files import _lzf_compress, _lzf_decompress
+    cases = [
+        b"",
+        b"a",
+        b"a" * 1000,                        # overlapping back reference
+        bytes(range(256)) * 8,              # long matches
+        np.random.default_rng(3).integers(0, 256, 5000,
+                                          dtype=np.uint8).tobytes(),
+        b"abcabcabcabc" + b"x" * 40 + b"abcabcabc",
+    ]
+    for raw in cases:
+        comp = _lzf_compress(raw)
+        assert _lzf_decompress(comp, len(raw)) == raw
+
+
 def test_ply_ascii(tmp_path, pts):
     p = str(tmp_path / "a.ply")
     write_ply(p, pts, binary=False)
