@@ -1,0 +1,389 @@
+"""Matrix-free streaming cost sweep: the dense-[S,T] wall breaker.
+
+The reference holds three dense n_s x n_t double matrices in RAM
+(``Energyfunction::init``, ghicp_reg.h:26-30 — "the scaling wall" of
+SURVEY.md §2), and rounds 1-2 of this build still materialized FD and the
+benefit matrix in HBM (10 GB f32 at the reference's 50k-keypoint adaptive
+band, keypoint_detect.hpp:79-106).  This kernel removes the wall: the
+auction's row-wise top-2 reduction is computed STRAIGHT from the factor
+representations —
+
+  ED[i,j]  = scale * ||s_i - t_j||            (3-dim MXU cross term)
+  FD[i,j]  = min_v ( na_v[i] + nb[j] - 2 * fs_v[i] . ft[j] )     (BSC:
+             Hamming distance from {0,1} bit vectors, one [ts,F]x[F,tc]
+             bf16 matmul per LCS variant — exact small integers in f32
+             accumulation, the hamming_matrix_mxu identity)
+  or sim[i,j] = |fs[i] . ft[j]|               (FPFH/RoPS |Pearson| on
+             pre-standardized rows, fpfh.hpp:135-165)
+  CD = W_ED*ED + W_FD*FD   (BSC blend, ghicp_reg.cpp:245-293)
+  or CD = ED / max(sim,1e-6)^k                (ghicp_reg.cpp:295-341)
+  b  = -CD  (valid pairs; -inf elsewhere)     KM gate = b > -penalty
+
+per (row tile, column tile) ON THE FLY, keeping only the running
+(v1, j1, v2) of (b - p) plus CD statistics in VMEM scratch.  HBM traffic
+per sweep is the factor reads (~C*F bf16 per row tile), independent of
+S*T; peak memory is O(S*F + C*F) — 50k x 50k keypoints stream through a
+few hundred MB instead of 10 GB.
+
+The jnp reference (`stream_sweep_ref`) is a column-blocked lax.scan with
+identical semantics — the CPU-mesh/distributed building block and the
+parity oracle.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_NEG = -3.0e38
+
+
+class StreamFeatures(NamedTuple):
+    """Factor representation of the feature-distance matrix.
+
+    BSC (hamming lane, ``mult=False``): ``fs`` [V, S, F] / ``ft`` [C, F]
+    are the unpacked {0,1} bits as bf16 (F = total bits padded to a
+    multiple of 128); ``na`` [V, S] / ``nb`` [C] their row popcounts.
+    FD = min over variants of hamming (ghicp_reg.cpp:174-187).
+
+    FPFH/RoPS (similarity lane, ``mult=True``): ``fs`` [1, S, F] / ``ft``
+    [C, F] are the standardized descriptor rows; FD = |fs . ft| in [0, 1].
+    ``na``/``nb`` are zeros (unused).
+    """
+
+    fs: Array
+    ft: Array
+    na: Array
+    nb: Array
+
+
+class SweepResult(NamedTuple):
+    v1: Array      # [S] max_j (b_ij - p_j)
+    j1: Array      # [S] argmax column (global id)
+    v2: Array      # [S] second-best (b - p), excluding j1
+    vsel: Array    # [S] (b - p) at acol (the warm-start keep value;
+                   #     -inf where acol is not a real column)
+    cnt: Array     # scalar: number of valid pairs
+    cd_sum: Array
+    cd_sumsq: Array
+    cd_max: Array
+    ed_max: Array
+    b_max: Array   # = -cd_min over valid pairs (epsilon spread source)
+
+
+def _tile_cd(s8, t8, fs_tile, ft_tile, na_tile, nb_tile, wed, wfd, scale,
+             mult_blend: bool):
+    """CD for one (row tile, column tile) from the factor inputs."""
+    d = jax.lax.dot_general(s8, t8, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+    s2 = jnp.sum(s8 * s8, axis=1)
+    t2 = jnp.sum(t8 * t8, axis=1)
+    d2 = jnp.maximum(s2[:, None] + t2[None, :] - 2.0 * d, 0.0)
+    ed = scale * jnp.sqrt(d2)
+    if mult_blend:
+        dot = jax.lax.dot_general(fs_tile[0], ft_tile,
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        sim = jnp.maximum(jnp.abs(dot), 1e-6)
+        cd = ed * jnp.exp(-wfd * jnp.log(sim))
+    else:
+        V = fs_tile.shape[0]
+        fd = None
+        for v in range(V):
+            dot = jax.lax.dot_general(fs_tile[v], ft_tile,
+                                      (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            ham = na_tile[v][:, None] + nb_tile[None, :] - 2.0 * dot
+            fd = ham if fd is None else jnp.minimum(fd, ham)
+        cd = wed * ed + wfd * fd
+    return cd, ed
+
+
+def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
+            ms_ref, mt_ref, p_ref, ac_ref,
+            v1_out, j1_out, v2_out, vsel_out, part_out,
+            s_v1, s_j1, s_v2, s_vsel, *, tc: int, mult_blend: bool):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+    wed, wfd, scale = scal_ref[0], scal_ref[1], scal_ref[2]
+    ts = kps_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _init_row():
+        s_v1[:] = jnp.full((ts,), _NEG, jnp.float32)
+        s_j1[:] = jnp.zeros((ts,), jnp.int32)
+        s_v2[:] = jnp.full((ts,), _NEG, jnp.float32)
+        s_vsel[:] = jnp.full((ts,), _NEG, jnp.float32)
+
+    @pl.when((i == 0) & (j == 0))
+    def _init_stats():
+        part_out[:, :] = jnp.zeros_like(part_out)
+        part_out[5, :] = jnp.full_like(part_out[5, :], _NEG)
+
+    cd, ed = _tile_cd(kps_ref[:, :], kpt_ref[:, :], fs_ref[:, :, :],
+                      ft_ref[:, :], na_ref[:, :], nb_ref[0, :],
+                      wed, wfd, scale, mult_blend)
+    m = (ms_ref[0, :][:, None] > 0) & (mt_ref[0, :][None, :] > 0)
+    off = j * tc
+    v = jnp.where(m, -cd - p_ref[0, :][None, :], _NEG)
+
+    # --- running top-2 merge (same scheme as ops/top2.py) ---
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ts, tc), 1) + off
+    m1 = jnp.max(v, axis=1)
+    a1 = jnp.argmax(v, axis=1).astype(jnp.int32) + off
+    m2 = jnp.max(jnp.where(cols == a1[:, None], _NEG, v), axis=1)
+    v1, j1, v2 = s_v1[:], s_j1[:], s_v2[:]
+    s_v1[:] = jnp.maximum(v1, m1)
+    s_j1[:] = jnp.where(m1 > v1, a1, j1)
+    s_v2[:] = jnp.maximum(jnp.minimum(v1, m1), jnp.maximum(v2, m2))
+
+    # --- warm-start keep value at the kept column (one-hot in its tile) ---
+    acv = ac_ref[0, :]
+    keep_oh = cols == acv[:, None]      # acol outside [off, off+tc) no hit
+    s_vsel[:] = jnp.maximum(s_vsel[:],
+                            jnp.max(jnp.where(keep_oh, v, _NEG), axis=1))
+
+    # --- CD statistics over valid pairs (penalty schedule inputs) ---
+    cdm = jnp.where(m, cd, 0.0)
+    part_out[0, :] = part_out[0, :] + jnp.sum(m.astype(jnp.float32))
+    part_out[1, :] = part_out[1, :] + jnp.sum(cdm)
+    part_out[2, :] = part_out[2, :] + jnp.sum(cdm * cd)
+    part_out[3, :] = jnp.maximum(part_out[3, :], jnp.max(cdm))
+    part_out[4, :] = jnp.maximum(part_out[4, :],
+                                 jnp.max(jnp.where(m, ed, 0.0)))
+    part_out[5, :] = jnp.maximum(part_out[5, :],
+                                 jnp.max(jnp.where(m, -cd, _NEG)))
+
+    @pl.when(j == n_j - 1)
+    def _flush():
+        v1_out[0, :] = s_v1[:]
+        j1_out[0, :] = s_j1[:]
+        v2_out[0, :] = s_v2[:]
+        vsel_out[0, :] = s_vsel[:]
+
+
+@functools.partial(jax.jit, static_argnames=("ts", "tc", "interpret",
+                                             "mult_blend"))
+def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
+                 mask_s: Array, mask_t: Array, prices: Array, acol: Array,
+                 wed, wfd, scale, ts: int = 256, tc: int = 512,
+                 interpret: bool = False,
+                 mult_blend: bool = False) -> SweepResult:
+    """One matrix-free sweep: top-2 of (b - p) per row + CD statistics.
+
+    kp_s [S,3] / kp_t [C,3] f32 (center by a common offset first — same
+    norm-expansion caveat as ops/cost_kernel.py); ``prices`` [C];
+    ``acol`` [S] previous assignment (or -1).  S % ts == 0, C % tc == 0,
+    F % 128 == 0.
+    """
+    S = kp_s.shape[0]
+    C = kp_t.shape[0]
+    V, _, F = feats.fs.shape
+    n_i, n_j = S // ts, C // tc
+    kps8 = jnp.pad(kp_s, ((0, 0), (0, 5)))
+    kpt8 = jnp.pad(kp_t, ((0, 0), (0, 5)))
+    scal = jnp.stack([jnp.asarray(wed, jnp.float32),
+                      jnp.asarray(wfd, jnp.float32),
+                      jnp.asarray(scale, jnp.float32)])
+    v1, j1, v2, vsel, parts = pl.pallas_call(
+        functools.partial(_kernel, tc=tc, mult_blend=mult_blend),
+        grid=(n_i, n_j),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # scalars
+            pl.BlockSpec((ts, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),               # kp_s tile
+            pl.BlockSpec((tc, 8), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),               # kp_t tile
+            pl.BlockSpec((V, ts, F), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),               # fs tile
+            pl.BlockSpec((tc, F), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),               # ft tile
+            pl.BlockSpec((V, ts), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),               # na tile
+            pl.BlockSpec((1, tc), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),               # nb tile
+            pl.BlockSpec((1, ts), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),               # mask_s
+            pl.BlockSpec((1, tc), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),               # mask_t
+            pl.BlockSpec((1, tc), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),               # prices
+            pl.BlockSpec((1, ts), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),               # acol
+        ],
+        out_specs=(
+            pl.BlockSpec((1, ts), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_i, ts), jnp.float32),
+            jax.ShapeDtypeStruct((n_i, ts), jnp.int32),
+            jax.ShapeDtypeStruct((n_i, ts), jnp.float32),
+            jax.ShapeDtypeStruct((n_i, ts), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ts,), jnp.float32),
+            pltpu.VMEM((ts,), jnp.int32),
+            pltpu.VMEM((ts,), jnp.float32),
+            pltpu.VMEM((ts,), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(scal, kps8, kpt8, feats.fs, feats.ft,
+      feats.na, feats.nb.reshape(1, C),
+      mask_s.astype(jnp.int32).reshape(n_i, ts),
+      mask_t.astype(jnp.int32).reshape(1, C),
+      prices.reshape(1, C), acol.astype(jnp.int32).reshape(n_i, ts))
+    return SweepResult(v1=v1.reshape(S), j1=j1.reshape(S),
+                       v2=v2.reshape(S), vsel=vsel.reshape(S),
+                       cnt=parts[0, 0], cd_sum=parts[1, 0],
+                       cd_sumsq=parts[2, 0], cd_max=parts[3, 0],
+                       ed_max=parts[4, 0], b_max=parts[5, 0])
+
+
+def stream_sweep_ref(kp_s: Array, kp_t: Array, feats: StreamFeatures,
+                     mask_s: Array, mask_t: Array, prices: Array,
+                     acol: Array, wed, wfd, scale, tc: int = 512,
+                     mult_blend: bool = False) -> SweepResult:
+    """Column-blocked lax.scan with identical outputs (CPU / parity / the
+    per-step body of the distributed ring in shard/stream_shard.py)."""
+    S = kp_s.shape[0]
+    C = kp_t.shape[0]
+    tc = min(tc, C)
+    assert C % tc == 0
+    n_j = C // tc
+    acol = acol.astype(jnp.int32)
+
+    def step(carry, j):
+        v1, j1, v2, vsel, cnt, s1, s2, cmax, emax, bmax = carry
+        off = j * tc
+        kpt_blk = jax.lax.dynamic_slice_in_dim(kp_t, off, tc, 0)
+        ft_blk = jax.lax.dynamic_slice_in_dim(feats.ft, off, tc, 0)
+        nb_blk = jax.lax.dynamic_slice_in_dim(feats.nb, off, tc, 0)
+        mt_blk = jax.lax.dynamic_slice_in_dim(mask_t, off, tc, 0)
+        p_blk = jax.lax.dynamic_slice_in_dim(prices, off, tc, 0)
+        cd, ed = _tile_cd(kp_s, kpt_blk, feats.fs, ft_blk, feats.na, nb_blk,
+                          wed, wfd, scale, mult_blend)
+        m = mask_s[:, None] & mt_blk[None, :]
+        v = jnp.where(m, -cd - p_blk[None, :], _NEG)
+        cols = off + jnp.arange(tc, dtype=jnp.int32)[None, :]
+        m1 = jnp.max(v, axis=1)
+        a1 = off + jnp.argmax(v, axis=1).astype(jnp.int32)
+        m2 = jnp.max(jnp.where(cols == a1[:, None], _NEG, v), axis=1)
+        nv1 = jnp.maximum(v1, m1)
+        nj1 = jnp.where(m1 > v1, a1, j1)
+        nv2 = jnp.maximum(jnp.minimum(v1, m1), jnp.maximum(v2, m2))
+        nvsel = jnp.maximum(vsel, jnp.max(
+            jnp.where(cols == acol[:, None], v, _NEG), axis=1))
+        cdm = jnp.where(m, cd, 0.0)
+        return (nv1, nj1, nv2, nvsel,
+                cnt + jnp.sum(m.astype(jnp.float32)),
+                s1 + jnp.sum(cdm), s2 + jnp.sum(cdm * cd),
+                jnp.maximum(cmax, jnp.max(cdm)),
+                jnp.maximum(emax, jnp.max(jnp.where(m, ed, 0.0))),
+                jnp.maximum(bmax, jnp.max(jnp.where(m, -cd, _NEG)))), None
+
+    neg = jnp.full((S,), _NEG, jnp.float32)
+    init = (neg, jnp.zeros((S,), jnp.int32), neg, neg,
+            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(_NEG))
+    out, _ = jax.lax.scan(step, init, jnp.arange(n_j))
+    return SweepResult(*out)
+
+
+def stream_selected(kp_s: Array, kp_t: Array, feats: StreamFeatures,
+                    tgt_idx: Array, wed, wfd, scale,
+                    mult_blend: bool = False):
+    """(cd_sel, ed_sel, fd_sel) at matched pairs — the matrix-free
+    replacement for the dense row gathers fd[rows, tgt_idx]
+    (matched-stats inputs, ghicp_reg.cpp:546-567).  O(S*F) gathers."""
+    t = kp_t[tgt_idx]
+    ed = jnp.asarray(scale, jnp.float32) * jnp.linalg.norm(
+        kp_s - t, axis=-1)
+    ft_sel = feats.ft[tgt_idx]                         # [S, F]
+    if mult_blend:
+        dot = jnp.sum(feats.fs[0].astype(jnp.float32)
+                      * ft_sel.astype(jnp.float32), axis=-1)
+        fd = jnp.abs(dot)
+        cd = ed * jnp.exp(-wfd * jnp.log(jnp.maximum(fd, 1e-6)))
+    else:
+        dots = jnp.einsum("vsf,sf->vs", feats.fs.astype(jnp.float32),
+                          ft_sel.astype(jnp.float32))
+        ham = (feats.na + feats.nb[tgt_idx][None, :] - 2.0 * dots)
+        fd = jnp.min(ham, axis=0)
+        cd = wed * ed + wfd * fd
+    return cd, ed, fd
+
+
+def make_stream_features(packed_s: Optional[Array] = None,
+                         packed_t: Optional[Array] = None,
+                         n_bits: int = 441,
+                         desc_s: Optional[Array] = None,
+                         desc_t: Optional[Array] = None,
+                         standardize: str = "rows") -> StreamFeatures:
+    """Build the factor payload.
+
+    BSC: ``packed_s`` [V, S, W] / ``packed_t`` [V', T, W] uint32 (target
+    uses variant 0, ghicp_reg.cpp:178-186); bits are unpacked to bf16
+    {0,1} rows padded to a multiple of 128 columns.
+
+    FPFH/RoPS: ``desc_s`` [S, D] / ``desc_t`` [T, D]; rows are
+    standardized so that |fs . ft| equals the similarity matrices in
+    features/fpfh.py / features/rops.py (``standardize``: "rows" =
+    per-row center+norm, Pearson; "dims" = per-dimension whitening over
+    both sets first, the RoPS convention, then per-row center+norm).
+    """
+    if packed_s is not None:
+        from ghicp_tpu.features.bsc import unpack_bits
+        F = -(-n_bits // 128) * 128
+        fs = unpack_bits(packed_s, n_bits)             # [V, S, n] {0,1}
+        ft = unpack_bits(packed_t[:1], n_bits)[0]      # [T, n]
+        na = jnp.sum(fs, axis=-1)                      # [V, S]
+        nb = jnp.sum(ft, axis=-1)                      # [T]
+        fs = jnp.pad(fs, ((0, 0), (0, 0), (0, F - n_bits)))
+        ft = jnp.pad(ft, ((0, 0), (0, F - n_bits)))
+        return StreamFeatures(fs=fs.astype(jnp.bfloat16),
+                              ft=ft.astype(jnp.bfloat16),
+                              na=na, nb=nb)
+    assert desc_s is not None and desc_t is not None
+    D = desc_s.shape[-1]
+    F = -(-D // 128) * 128
+    if standardize == "dims":
+        both = jnp.concatenate([desc_s, desc_t], axis=0)
+        live = (jnp.sum(jnp.abs(both), axis=1) > 0).astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(live), 1.0)
+        mean = jnp.sum(both * live[:, None], axis=0) / n
+        var = jnp.sum(((both - mean) ** 2) * live[:, None], axis=0) / n
+        inv = 1.0 / jnp.sqrt(jnp.maximum(var, 1e-12))
+        desc_s = (desc_s - mean) * inv
+        desc_t = (desc_t - mean) * inv
+
+    def center_norm(x):
+        xc = x - jnp.mean(x, axis=-1, keepdims=True)
+        return xc / jnp.maximum(jnp.linalg.norm(xc, axis=-1, keepdims=True),
+                                1e-12)
+
+    fs = jnp.pad(center_norm(desc_s), ((0, 0), (0, F - D)))[None]
+    ft = jnp.pad(center_norm(desc_t), ((0, 0), (0, F - D)))
+    return StreamFeatures(fs=fs.astype(jnp.bfloat16),
+                          ft=ft.astype(jnp.bfloat16),
+                          na=jnp.zeros(fs.shape[:2], jnp.float32),
+                          nb=jnp.zeros((ft.shape[0],), jnp.float32))
