@@ -67,6 +67,7 @@ class SweepResult(NamedTuple):
     v1: Array      # [S] max_j (b_ij - p_j)
     j1: Array      # [S] argmax column (global id)
     v2: Array      # [S] second-best (b - p), excluding j1
+    j2: Array      # [S] second-best column (RANSAC candidate #2)
     vsel: Array    # [S] (b - p) at acol (the warm-start keep value;
                    #     -inf where acol is not a real column)
     cnt: Array     # scalar: number of valid pairs
@@ -108,8 +109,8 @@ def _tile_cd(s8, t8, fs_tile, ft_tile, na_tile, nb_tile, wed, wfd, scale,
 
 def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
             ms_ref, mt_ref, p_ref, ac_ref,
-            v1_out, j1_out, v2_out, vsel_out, part_out,
-            s_v1, s_j1, s_v2, s_vsel, *, tc: int, mult_blend: bool):
+            v1_out, j1_out, v2_out, j2_out, vsel_out, part_out,
+            s_v1, s_j1, s_v2, s_j2, s_vsel, *, tc: int, mult_blend: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
@@ -121,6 +122,7 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
         s_v1[:] = jnp.full((ts,), _NEG, jnp.float32)
         s_j1[:] = jnp.zeros((ts,), jnp.int32)
         s_v2[:] = jnp.full((ts,), _NEG, jnp.float32)
+        s_j2[:] = jnp.zeros((ts,), jnp.int32)
         s_vsel[:] = jnp.full((ts,), _NEG, jnp.float32)
 
     @pl.when((i == 0) & (j == 0))
@@ -135,15 +137,23 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
     off = j * tc
     v = jnp.where(m, -cd - p_ref[0, :][None, :], _NEG)
 
-    # --- running top-2 merge (same scheme as ops/top2.py) ---
+    # --- running top-2 merge (top2.py scheme, plus the argsecond id) ---
     cols = jax.lax.broadcasted_iota(jnp.int32, (ts, tc), 1) + off
     m1 = jnp.max(v, axis=1)
     a1 = jnp.argmax(v, axis=1).astype(jnp.int32) + off
-    m2 = jnp.max(jnp.where(cols == a1[:, None], _NEG, v), axis=1)
-    v1, j1, v2 = s_v1[:], s_j1[:], s_v2[:]
+    vm = jnp.where(cols == a1[:, None], _NEG, v)
+    m2 = jnp.max(vm, axis=1)
+    a2 = jnp.argmax(vm, axis=1).astype(jnp.int32) + off
+    v1, j1, v2, j2 = s_v1[:], s_j1[:], s_v2[:], s_j2[:]
+    take = m1 > v1
     s_v1[:] = jnp.maximum(v1, m1)
-    s_j1[:] = jnp.where(m1 > v1, a1, j1)
+    s_j1[:] = jnp.where(take, a1, j1)
     s_v2[:] = jnp.maximum(jnp.minimum(v1, m1), jnp.maximum(v2, m2))
+    # second-best id: if the tile's best displaced the running best, the
+    # runner-up is max(old v1, tile m2); otherwise max(old v2, tile m1).
+    s_j2[:] = jnp.where(take,
+                        jnp.where(v1 >= m2, j1, a2),
+                        jnp.where(m1 > v2, a1, j2))
 
     # --- warm-start keep value at the kept column (one-hot in its tile) ---
     acv = ac_ref[0, :]
@@ -167,6 +177,7 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
         v1_out[0, :] = s_v1[:]
         j1_out[0, :] = s_j1[:]
         v2_out[0, :] = s_v2[:]
+        j2_out[0, :] = s_j2[:]
         vsel_out[0, :] = s_vsel[:]
 
 
@@ -193,7 +204,7 @@ def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     scal = jnp.stack([jnp.asarray(wed, jnp.float32),
                       jnp.asarray(wfd, jnp.float32),
                       jnp.asarray(scale, jnp.float32)])
-    v1, j1, v2, vsel, parts = pl.pallas_call(
+    v1, j1, v2, j2, vsel, parts = pl.pallas_call(
         functools.partial(_kernel, tc=tc, mult_blend=mult_blend),
         grid=(n_i, n_j),
         in_specs=[
@@ -228,6 +239,8 @@ def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ts), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
@@ -235,6 +248,7 @@ def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
             jax.ShapeDtypeStruct((n_i, ts), jnp.float32),
             jax.ShapeDtypeStruct((n_i, ts), jnp.int32),
             jax.ShapeDtypeStruct((n_i, ts), jnp.float32),
+            jax.ShapeDtypeStruct((n_i, ts), jnp.int32),
             jax.ShapeDtypeStruct((n_i, ts), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ),
@@ -242,6 +256,7 @@ def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
             pltpu.VMEM((ts,), jnp.float32),
             pltpu.VMEM((ts,), jnp.int32),
             pltpu.VMEM((ts,), jnp.float32),
+            pltpu.VMEM((ts,), jnp.int32),
             pltpu.VMEM((ts,), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -253,7 +268,8 @@ def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
       mask_t.astype(jnp.int32).reshape(1, C),
       prices.reshape(1, C), acol.astype(jnp.int32).reshape(n_i, ts))
     return SweepResult(v1=v1.reshape(S), j1=j1.reshape(S),
-                       v2=v2.reshape(S), vsel=vsel.reshape(S),
+                       v2=v2.reshape(S), j2=j2.reshape(S),
+                       vsel=vsel.reshape(S),
                        cnt=parts[0, 0], cd_sum=parts[1, 0],
                        cd_sumsq=parts[2, 0], cd_max=parts[3, 0],
                        ed_max=parts[4, 0], b_max=parts[5, 0])
@@ -273,7 +289,7 @@ def stream_sweep_ref(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     acol = acol.astype(jnp.int32)
 
     def step(carry, j):
-        v1, j1, v2, vsel, cnt, s1, s2, cmax, emax, bmax = carry
+        v1, j1, v2, j2, vsel, cnt, s1, s2, cmax, emax, bmax = carry
         off = j * tc
         kpt_blk = jax.lax.dynamic_slice_in_dim(kp_t, off, tc, 0)
         ft_blk = jax.lax.dynamic_slice_in_dim(feats.ft, off, tc, 0)
@@ -287,14 +303,19 @@ def stream_sweep_ref(kp_s: Array, kp_t: Array, feats: StreamFeatures,
         cols = off + jnp.arange(tc, dtype=jnp.int32)[None, :]
         m1 = jnp.max(v, axis=1)
         a1 = off + jnp.argmax(v, axis=1).astype(jnp.int32)
-        m2 = jnp.max(jnp.where(cols == a1[:, None], _NEG, v), axis=1)
+        vm = jnp.where(cols == a1[:, None], _NEG, v)
+        m2 = jnp.max(vm, axis=1)
+        a2 = off + jnp.argmax(vm, axis=1).astype(jnp.int32)
+        take = m1 > v1
         nv1 = jnp.maximum(v1, m1)
-        nj1 = jnp.where(m1 > v1, a1, j1)
+        nj1 = jnp.where(take, a1, j1)
         nv2 = jnp.maximum(jnp.minimum(v1, m1), jnp.maximum(v2, m2))
+        nj2 = jnp.where(take, jnp.where(v1 >= m2, j1, a2),
+                        jnp.where(m1 > v2, a1, j2))
         nvsel = jnp.maximum(vsel, jnp.max(
             jnp.where(cols == acol[:, None], v, _NEG), axis=1))
         cdm = jnp.where(m, cd, 0.0)
-        return (nv1, nj1, nv2, nvsel,
+        return (nv1, nj1, nv2, nj2, nvsel,
                 cnt + jnp.sum(m.astype(jnp.float32)),
                 s1 + jnp.sum(cdm), s2 + jnp.sum(cdm * cd),
                 jnp.maximum(cmax, jnp.max(cdm)),
@@ -302,7 +323,8 @@ def stream_sweep_ref(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                 jnp.maximum(bmax, jnp.max(jnp.where(m, -cd, _NEG)))), None
 
     neg = jnp.full((S,), _NEG, jnp.float32)
-    init = (neg, jnp.zeros((S,), jnp.int32), neg, neg,
+    zi = jnp.zeros((S,), jnp.int32)
+    init = (neg, zi, neg, zi, neg,
             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(_NEG))
     out, _ = jax.lax.scan(step, init, jnp.arange(n_j))

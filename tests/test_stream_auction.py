@@ -1,0 +1,160 @@
+"""Streaming (matrix-free) auction vs the dense solver / Hungarian."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+from ghicp_tpu.features.bsc import pack_bits
+from ghicp_tpu.features.hamming import min_hamming_fd
+from ghicp_tpu.matching.stream_auction import stream_solve
+from ghicp_tpu.ops.stream_kernel import make_stream_features
+
+_SINK = 2**30
+
+
+def _problem(S=192, C=256, V=2, n_bits=441, seed=0, extent=20.0):
+    rng = np.random.default_rng(seed)
+    kp_s = rng.uniform(-extent / 2, extent / 2, (S, 3)).astype(np.float32)
+    kp_t = rng.uniform(-extent / 2, extent / 2, (C, 3)).astype(np.float32)
+    bits_s = (rng.random((V, S, n_bits)) < 0.3).astype(np.float32)
+    bits_t = (rng.random((1, C, n_bits)) < 0.3).astype(np.float32)
+    packed_s = pack_bits(jnp.asarray(bits_s))
+    packed_t = pack_bits(jnp.asarray(bits_t))
+    feats = make_stream_features(packed_s=packed_s, packed_t=packed_t,
+                                 n_bits=n_bits)
+    fd = np.asarray(min_hamming_fd(packed_s, packed_t[:1], n_bits))
+    return kp_s, kp_t, feats, fd
+
+
+def _dense_cd(kp_s, kp_t, fd, wed, wfd, scale):
+    ed = scale * np.linalg.norm(kp_s[:, None] - kp_t[None], axis=-1)
+    return (wed * ed + wfd * fd).astype(np.float32)
+
+
+def _hungarian_energy(cd, penalty):
+    ns, nt = cd.shape
+    n = max(ns, nt)
+    b = np.full((n, n), -penalty)
+    b[:ns, :nt] = np.where(cd < penalty, -cd, -penalty)
+    ri, ci = linear_sum_assignment(-b)
+    return -b[ri, ci].sum()   # = optimal ENERGY (matched cd + penalties)
+
+
+def _solve(kp_s, kp_t, feats, wed, wfd, scale, penalty_fn, budget,
+           p0=None, unc=3.0e38, acol0=None, pen_prev=0.0, eps=0.01,
+           rel_eps=0.0):
+    S, C = kp_s.shape[0], kp_t.shape[0]
+    return stream_solve(
+        jnp.asarray(kp_s), jnp.asarray(kp_t), feats,
+        jnp.ones(S, bool), jnp.ones(C, bool), wed, wfd, scale,
+        penalty_fn, eps_final=eps, rel_eps=rel_eps, max_sweeps=budget,
+        p0=jnp.zeros(C, jnp.float32) if p0 is None else p0,
+        price_uncertainty=unc,
+        acol0=jnp.full((S,), -1, jnp.int32) if acol0 is None else acol0,
+        pen_prev=pen_prev, use_kernel=False, tc=128)
+
+
+def test_stream_solve_matches_hungarian_generous_budget():
+    kp_s, kp_t, feats, fd = _problem()
+    wed, wfd, scale = 0.4, 0.6, 0.12
+
+    def penalty_fn(mean, std):
+        return mean - 2.0 * std
+
+    res = _solve(kp_s, kp_t, feats, wed, wfd, scale, penalty_fn,
+                 budget=4000, eps=0.01)
+    cd = _dense_cd(kp_s, kp_t, fd, wed, wfd, scale)
+    pen = float(cd.mean() - 2.0 * cd.std())
+    np.testing.assert_allclose(float(res.penalty), pen, rtol=1e-3)
+    opt = _hungarian_energy(cd, float(res.penalty))
+    got = float(res.energy)
+    n = max(cd.shape)
+    # epsilon-CS bound (escalation may widen the effective epsilon)
+    assert got <= opt + n * float(res.eps_used) + 1e-2, (got, opt)
+    # every reported match respects the KM gate
+    w = np.asarray(res.match.w)
+    tj = np.asarray(res.match.tgt_idx)
+    for i in np.nonzero(w > 0)[0]:
+        assert cd[i, tj[i]] < float(res.penalty)
+    # auction-assigned columns are one-to-one
+    real = tj[w > 0]
+    assert len(real) == len(np.unique(real))
+
+
+def test_stream_solve_outliers_go_to_sink():
+    """Rows with no gated column must be reported unmatched (KM dummy-match
+    semantics, km.cpp:162)."""
+    kp_s, kp_t, feats, fd = _problem(S=128, C=128, seed=3)
+    # Move the last 16 source keypoints far away: their ED exceeds any
+    # penalty and the gate rejects all their pairs.
+    kp_s = kp_s.copy()
+    kp_s[-16:] += 500.0
+    wed, wfd, scale = 1.0, 0.0, 0.1
+
+    def penalty_fn(mean, std):
+        return jnp.float32(3.0)   # ~30m gate at scale 0.1
+
+    res = _solve(kp_s, kp_t, feats, wed, wfd, scale, penalty_fn, budget=2000)
+    w = np.asarray(res.match.w)
+    assert (w[-16:] == 0).all()
+    acol = np.asarray(res.acol)
+    assert (acol[-16:] == _SINK).all()
+
+
+def test_stream_solve_warm_start_matches_cold():
+    """Second solve on slightly-moved keypoints, warm-started with the
+    first solve's prices/assignment, reaches the cold solve's energy."""
+    kp_s, kp_t, feats, fd = _problem(seed=5)
+    wed, wfd, scale = 0.8, 0.2, 0.1
+
+    def penalty_fn(mean, std):
+        return mean - 1.0 * std
+
+    res1 = _solve(kp_s, kp_t, feats, wed, wfd, scale, penalty_fn,
+                  budget=4000)
+    # keypoints move by <= 2mm -> benefit drift <= scale * 0.002
+    rng = np.random.default_rng(6)
+    kp_s2 = kp_s + rng.uniform(-2e-3, 2e-3, kp_s.shape).astype(np.float32)
+    drift = 0.1 * 2e-3 * np.sqrt(3) + 2 * float(res1.eps_used)
+    cold = _solve(kp_s2, kp_t, feats, wed, wfd, scale, penalty_fn,
+                  budget=4000)
+    warm = _solve(kp_s2, kp_t, feats, wed, wfd, scale, penalty_fn,
+                  budget=4000, p0=res1.prices, unc=drift, acol0=res1.acol,
+                  pen_prev=float(res1.penalty))
+    n = max(kp_s.shape[0], kp_t.shape[0])
+    bound = n * max(float(cold.eps_used), float(warm.eps_used)) + 1e-2
+    assert abs(float(warm.energy) - float(cold.energy)) <= bound, (
+        float(warm.energy), float(cold.energy))
+    # Warm start should spend far fewer sweeps than the cold solve.
+    assert int(warm.rounds) <= int(cold.rounds)
+
+
+def test_stream_solve_production_budget_quality():
+    """Budget-2 streaming solve on a structured pair: energy within 1% of
+    Hungarian (the dense production contract carried over)."""
+    rng = np.random.default_rng(7)
+    S = C = 256
+    kp = rng.uniform(0, 25, (S, 3)).astype(np.float32)
+    kp_s = kp + rng.normal(0, 0.05, kp.shape).astype(np.float32)
+    perm = rng.permutation(S)
+    kp_t = (kp + rng.normal(0, 0.05, kp.shape).astype(np.float32))[perm]
+    n_bits = 441
+    bits = (rng.random((S, n_bits)) < 0.3).astype(np.float32)
+    flip = rng.random((S, n_bits)) < 0.08
+    bits_t = np.where(flip, 1.0 - bits, bits)[perm].astype(np.float32)
+    packed_s = pack_bits(jnp.asarray(bits[None]))
+    packed_t = pack_bits(jnp.asarray(bits_t[None]))
+    feats = make_stream_features(packed_s=packed_s, packed_t=packed_t,
+                                 n_bits=n_bits)
+    fd = np.asarray(min_hamming_fd(packed_s, packed_t[:1], n_bits))
+    wed, wfd, scale = 0.3, 0.7, 0.005 * 43.0
+
+    def penalty_fn(mean, std):
+        return mean - 2.0 * std
+
+    res = _solve(kp_s, kp_t, feats, wed, wfd, scale, penalty_fn, budget=2,
+                 rel_eps=1.0 / 64.0)
+    cd = _dense_cd(kp_s, kp_t, fd, wed, wfd, scale)
+    opt = _hungarian_energy(cd, float(res.penalty))
+    got = float(res.energy)
+    assert (got - opt) / abs(opt) < 0.01, (got, opt)

@@ -48,13 +48,14 @@ def _dense_oracle(kp_s, kp_t, fd, mask_s, mask_t, prices, acol, wed, wfd,
     v_masked = v.copy()
     v_masked[np.arange(len(v)), j1] = _NEG
     v2 = v_masked.max(axis=1)
+    j2 = np.argmax(v_masked, axis=1)
     ac = np.asarray(acol)
     ok = (ac >= 0) & (ac < v.shape[1])
     vsel = np.where(ok, v[np.arange(len(v)), np.where(ok, ac, 0)], _NEG)
     cdm = np.where(m, cd, 0.0)
     stats = (m.sum(), cdm.sum(), (cdm * cd).sum(), cdm.max(),
              np.where(m, ed, 0.0).max(), np.where(m, -cd, _NEG).max())
-    return v1, j1, v2, vsel, stats
+    return v1, j1, v2, j2, vsel, stats
 
 
 def test_stream_sweep_ref_matches_dense_bsc():
@@ -67,11 +68,12 @@ def test_stream_sweep_ref_matches_dense_bsc():
     res = stream_sweep_ref(jnp.asarray(kp_s), jnp.asarray(kp_t), feats,
                            mask_s, mask_t, prices, acol, wed, wfd, scale,
                            tc=128)
-    v1, j1, v2, vsel, stats = _dense_oracle(
+    v1, j1, v2, j2, vsel, stats = _dense_oracle(
         kp_s, kp_t, fd, mask_s, mask_t, prices, acol, wed, wfd, scale)
     np.testing.assert_allclose(np.asarray(res.v1), v1, rtol=2e-5, atol=2e-4)
     np.testing.assert_array_equal(np.asarray(res.j1), j1)
     np.testing.assert_allclose(np.asarray(res.v2), v2, rtol=2e-5, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(res.j2), j2)
     np.testing.assert_allclose(np.asarray(res.vsel), vsel, rtol=2e-5,
                                atol=2e-4)
     got = (float(res.cnt), float(res.cd_sum), float(res.cd_sumsq),
@@ -97,6 +99,7 @@ def test_stream_sweep_pallas_interpret_matches_ref():
     np.testing.assert_array_equal(np.asarray(got.j1), np.asarray(ref.j1))
     np.testing.assert_allclose(np.asarray(got.v2), np.asarray(ref.v2),
                                rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.j2), np.asarray(ref.j2))
     np.testing.assert_allclose(np.asarray(got.vsel), np.asarray(ref.vsel),
                                rtol=1e-5, atol=1e-5)
     for name in ("cnt", "cd_sum", "cd_sumsq", "cd_max", "ed_max", "b_max"):
@@ -172,7 +175,7 @@ def test_stream_sweep_ref_mult_lane():
     res = stream_sweep_ref(jnp.asarray(kp_s), jnp.asarray(kp_t), feats,
                            mask_s, mask_t, prices, acol, 1.0, k, scale,
                            tc=128, mult_blend=True)
-    v1, j1, v2, vsel, stats = _dense_oracle(
+    v1, j1, v2, j2, vsel, stats = _dense_oracle(
         kp_s, kp_t, sim, mask_s, mask_t, prices, acol, 1.0, k, scale,
         mult=True)
     np.testing.assert_allclose(np.asarray(res.v1), v1, rtol=1e-4, atol=1e-4)
