@@ -211,6 +211,29 @@ class GHICPConfig:
                                           # deg fused (round 2); flip off to
                                           # reproduce the reference's
                                           # separate-matrix passes
+    streaming_cost: str = "auto"          # matrix-free cost lane: "on" |
+                                          # "off" | "auto".  When on, FD and
+                                          # the benefit matrix are NEVER
+                                          # materialized — each auction sweep
+                                          # recomputes benefits from the
+                                          # coordinate/feature factors
+                                          # (ops/stream_kernel.py), removing
+                                          # the reference's n_s x n_t memory
+                                          # wall (ghicp_reg.h:26-30).  "auto"
+                                          # = on when the keypoint capacity
+                                          # exceeds streaming_threshold
+                                          # (dense-matrix HBM and sweep
+                                          # traffic stop paying for
+                                          # themselves) and the solver is
+                                          # KM.  KM-only; NN/NNR always use
+                                          # the dense path
+    streaming_threshold: int = 16384      # "auto" cutover capacity: below
+                                          # it the fused dense kernels win
+                                          # (benefit matrix ~0.5GB bf16 at
+                                          # 16k); above, dense FD alone
+                                          # exceeds multiple GB and the
+                                          # factor sweeps win on memory AND
+                                          # bandwidth
     auction_rel_eps: float = 1.0 / 64.0   # final-eps floor as a fraction of
                                           # the benefit spread: assignment is
                                           # within n*rel_eps*spread of

@@ -101,10 +101,12 @@ def _rigid_from_triples(src: Array, dst: Array) -> Array:
 
 @functools.partial(jax.jit, static_argnames=("n_hyp", "n_cand", "seed"))
 def ransac_coarse_align(kp_s: Array, mask_s: Array, kp_t: Array,
-                        mask_t: Array, fd: Array, tau: float,
+                        mask_t: Array, fd: Array | None, tau: float,
                         n_hyp: int = 1 << 17, n_cand: int = 2,
                         seed: int = 0, frames_s: Array | None = None,
-                        frames_t: Array | None = None) -> RansacResult:
+                        frames_t: Array | None = None,
+                        cand: Array | None = None,
+                        cand_ok: Array | None = None) -> RansacResult:
     """Estimate a coarse rigid transform from feature correspondences.
 
     kp_s/kp_t: [S,3]/[T,3] keypoints; fd: [S,T] feature DISTANCE (smaller =
@@ -120,12 +122,17 @@ def ransac_coarse_align(kp_s: Array, mask_s: Array, kp_t: Array,
     triples need a lucky draw (p^3); the frame hypotheses enumerate every
     candidate pair once, so every true pair votes regardless of luck.
     """
-    S, T = fd.shape
+    S = kp_s.shape[0]
     big = jnp.float32(3.0e38)
-    fdm = jnp.where(mask_s[:, None] & mask_t[None, :], fd, big)
-    # top-C candidates per source row (feature-nearest targets)
-    neg, cand = jax.lax.top_k(-fdm, n_cand)             # [S, C]
-    cand_ok = (-neg < big) & mask_s[:, None]            # [S, C]
+    if cand is None:
+        # top-C candidates per source row (feature-nearest targets) from
+        # the dense FD matrix; the streaming pipeline passes precomputed
+        # (cand, cand_ok) from stream_feature_candidates instead.
+        fdm = jnp.where(mask_s[:, None] & mask_t[None, :], fd, big)
+        neg, cand = jax.lax.top_k(-fdm, n_cand)         # [S, C]
+        cand_ok = (-neg < big) & mask_s[:, None]        # [S, C]
+    else:
+        n_cand = cand.shape[1]
     # candidate pair list for scoring: source i -> cand[i, 0] (best only)
     best_t = cand[:, 0]
     pair_ok = cand_ok[:, 0]

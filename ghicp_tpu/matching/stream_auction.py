@@ -92,7 +92,8 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                  comm: Comm = LOCAL, total_rows: Optional[int] = None,
                  ts: int = 256, tc: int = 512, interpret: bool = False,
                  mult_blend: bool = False, use_kernel: bool = True,
-                 sweep_fn: Optional[Callable] = None) -> StreamSolveResult:
+                 sweep_fn: Optional[Callable] = None,
+                 select_fn: Optional[Callable] = None) -> StreamSolveResult:
     """Matrix-free KM-equivalent solve for one engine iteration.
 
     ``penalty_from_stats(cd_mean, cd_std)`` maps the sweep's CD statistics
@@ -107,8 +108,12 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     vsel lower bound = vsel_mid).
 
     ``sweep_fn(prices, acol) -> SweepResult`` overrides the sweep
-    implementation (the distributed ring in shard/stream_shard.py);
-    otherwise the Pallas kernel (TPU) or the lax.scan reference runs.
+    implementation (the distributed ring, ops/stream_kernel.py::
+    ring_sweep); otherwise the Pallas kernel (TPU) or the lax.scan
+    reference runs.  ``select_fn(tgt_idx) -> (cd_sel, ed_sel, fd_sel)``
+    likewise overrides the matched-pair gathers (the ring keeps target
+    factors sharded, so selection reads the replicated packed words
+    instead, ring_selected).
     """
     S = kp_s.shape[0]
     C = kp_t.shape[0]
@@ -204,9 +209,12 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     # --- selection, gate, energy (matrix-free gathers) ---
     matched = (acol >= 0) & (acol < C)
     jc = jnp.where(matched, acol, 0)
-    cd_sel, ed_sel, fd_sel = stream_selected(kp_s, kp_t, feats, jc,
-                                             wed, wfd, scale,
-                                             mult_blend=mult_blend)
+    if select_fn is not None:
+        cd_sel, ed_sel, fd_sel = select_fn(jc)
+    else:
+        cd_sel, ed_sel, fd_sel = stream_selected(kp_s, kp_t, feats, jc,
+                                                 wed, wfd, scale,
+                                                 mult_blend=mult_blend)
     real = mask_s & matched & mask_t[jc] & (cd_sel < penalty)
     w = real.astype(jnp.float32)
     cor = comm.psum(jnp.sum(w))

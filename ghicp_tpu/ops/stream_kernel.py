@@ -131,9 +131,9 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
         part_out[5, :] = jnp.full_like(part_out[5, :], _NEG)
 
     cd, ed = _tile_cd(kps_ref[:, :], kpt_ref[:, :], fs_ref[:, :, :],
-                      ft_ref[:, :], na_ref[:, :], nb_ref[0, :],
+                      ft_ref[:, :], na_ref[:, i, :], nb_ref[0, :],
                       wed, wfd, scale, mult_blend)
-    m = (ms_ref[0, :][:, None] > 0) & (mt_ref[0, :][None, :] > 0)
+    m = (ms_ref[i, :][:, None] > 0) & (mt_ref[0, :][None, :] > 0)
     off = j * tc
     v = jnp.where(m, -cd - p_ref[0, :][None, :], _NEG)
 
@@ -145,7 +145,11 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
     m2 = jnp.max(vm, axis=1)
     a2 = jnp.argmax(vm, axis=1).astype(jnp.int32) + off
     v1, j1, v2, j2 = s_v1[:], s_j1[:], s_v2[:], s_j2[:]
-    take = m1 > v1
+    # Lowest-column-id preference on exact ties: makes the argmax
+    # independent of the block scan order, so ring-rotated shards (each
+    # device visits blocks in a different rotation) bit-match the
+    # sequential scan on tie-heavy (integer Hamming) cost fields.
+    take = (m1 > v1) | ((m1 == v1) & (a1 < j1))
     s_v1[:] = jnp.maximum(v1, m1)
     s_j1[:] = jnp.where(take, a1, j1)
     s_v2[:] = jnp.maximum(jnp.minimum(v1, m1), jnp.maximum(v2, m2))
@@ -156,7 +160,7 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
                         jnp.where(m1 > v2, a1, j2))
 
     # --- warm-start keep value at the kept column (one-hot in its tile) ---
-    acv = ac_ref[0, :]
+    acv = ac_ref[i, :]
     keep_oh = cols == acv[:, None]      # acol outside [off, off+tc) no hit
     s_vsel[:] = jnp.maximum(s_vsel[:],
                             jnp.max(jnp.where(keep_oh, v, _NEG), axis=1))
@@ -174,11 +178,11 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
 
     @pl.when(j == n_j - 1)
     def _flush():
-        v1_out[0, :] = s_v1[:]
-        j1_out[0, :] = s_j1[:]
-        v2_out[0, :] = s_v2[:]
-        j2_out[0, :] = s_j2[:]
-        vsel_out[0, :] = s_vsel[:]
+        v1_out[i, :] = s_v1[:]
+        j1_out[i, :] = s_j1[:]
+        v2_out[i, :] = s_v2[:]
+        j2_out[i, :] = s_j2[:]
+        vsel_out[i, :] = s_vsel[:]
 
 
 @functools.partial(jax.jit, static_argnames=("ts", "tc", "interpret",
@@ -217,29 +221,29 @@ def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                          memory_space=pltpu.VMEM),               # fs tile
             pl.BlockSpec((tc, F), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),               # ft tile
-            pl.BlockSpec((V, ts), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),               # na tile
+            pl.BlockSpec((V, n_i, ts), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),               # na (full)
             pl.BlockSpec((1, tc), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),               # nb tile
-            pl.BlockSpec((1, ts), lambda i, j: (i, 0),
+            pl.BlockSpec((n_i, ts), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),               # mask_s
             pl.BlockSpec((1, tc), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),               # mask_t
             pl.BlockSpec((1, tc), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),               # prices
-            pl.BlockSpec((1, ts), lambda i, j: (i, 0),
+            pl.BlockSpec((n_i, ts), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),               # acol
         ],
         out_specs=(
-            pl.BlockSpec((1, ts), lambda i, j: (i, 0),
+            pl.BlockSpec((n_i, ts), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ts), lambda i, j: (i, 0),
+            pl.BlockSpec((n_i, ts), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ts), lambda i, j: (i, 0),
+            pl.BlockSpec((n_i, ts), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ts), lambda i, j: (i, 0),
+            pl.BlockSpec((n_i, ts), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ts), lambda i, j: (i, 0),
+            pl.BlockSpec((n_i, ts), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -263,7 +267,7 @@ def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(scal, kps8, kpt8, feats.fs, feats.ft,
-      feats.na, feats.nb.reshape(1, C),
+      feats.na.reshape(V, n_i, ts), feats.nb.reshape(1, C),
       mask_s.astype(jnp.int32).reshape(n_i, ts),
       mask_t.astype(jnp.int32).reshape(1, C),
       prices.reshape(1, C), acol.astype(jnp.int32).reshape(n_i, ts))
@@ -306,7 +310,7 @@ def stream_sweep_ref(kp_s: Array, kp_t: Array, feats: StreamFeatures,
         vm = jnp.where(cols == a1[:, None], _NEG, v)
         m2 = jnp.max(vm, axis=1)
         a2 = off + jnp.argmax(vm, axis=1).astype(jnp.int32)
-        take = m1 > v1
+        take = (m1 > v1) | ((m1 == v1) & (a1 < j1))   # tie -> lowest id
         nv1 = jnp.maximum(v1, m1)
         nj1 = jnp.where(take, a1, j1)
         nv2 = jnp.maximum(jnp.minimum(v1, m1), jnp.maximum(v2, m2))
@@ -353,6 +357,164 @@ def stream_selected(kp_s: Array, kp_t: Array, feats: StreamFeatures,
         fd = jnp.min(ham, axis=0)
         cd = wed * ed + wfd * fd
     return cd, ed, fd
+
+
+class RingFeatures(NamedTuple):
+    """Ring-sharded factor payload: target FACTOR rows sharded over the
+    mesh axis and rotated device-to-device each sweep (SURVEY.md §5's
+    ring-attention-analog dataflow for the cost field).  Target
+    coordinates/popcounts/masks/prices stay replicated (O(C) scalars);
+    only the O(C*F) factor block rides the ring.  The packed bit words
+    ([*, W] uint32 — 64x smaller than the unpacked factors) are kept
+    replicated for matched-pair selection gathers."""
+
+    fs: Array       # [V, S_local, F] source factor rows (this shard)
+    na: Array       # [V, S_local]
+    ft_blk: Array   # [C/n, F] target factor block held by this device
+                    # (initially block #axis_index)
+    nb: Array       # [C] replicated target popcounts
+    words_s: Array  # [V, S_local, W] packed source bits (selection)
+    words_t: Array  # [C, W] packed target bits, replicated (selection)
+
+
+def ring_sweep(kp_s: Array, kp_t: Array, ring: RingFeatures, mask_s: Array,
+               mask_t: Array, prices: Array, acol: Array, wed, wfd, scale,
+               axis: str) -> SweepResult:
+    """One matrix-free sweep with ring-rotated target factor blocks.
+
+    Runs inside a ``shard_map`` over ``axis``: each of the n steps
+    computes this device's row shard against the currently-held target
+    block, then ``ppermute``s the block to the neighbor — after n steps
+    every row has seen every column, and XLA overlaps each step's matmuls
+    with the next block's transfer.  Outputs use GLOBAL column ids, so
+    the auction's price/winner resolution is unchanged.  Hamming (BSC)
+    lane only.
+    """
+    C = kp_t.shape[0]
+    c_blk = ring.ft_blk.shape[0]
+    n_blocks = C // c_blk
+    my = jax.lax.axis_index(axis)
+    S = kp_s.shape[0]
+    perm = [(i, (i - 1) % n_blocks) for i in range(n_blocks)]
+
+    def step(carry, s):
+        (v1, j1, v2, j2, vsel, cnt, s1, s2, cmax, emax, bmax), ft_blk = carry
+        blk = (my + s) % n_blocks
+        off = blk * c_blk
+        kpt_blk = jax.lax.dynamic_slice_in_dim(kp_t, off, c_blk, 0)
+        nb_blk = jax.lax.dynamic_slice_in_dim(ring.nb, off, c_blk, 0)
+        mt_blk = jax.lax.dynamic_slice_in_dim(mask_t, off, c_blk, 0)
+        p_blk = jax.lax.dynamic_slice_in_dim(prices, off, c_blk, 0)
+        cd, ed = _tile_cd(kp_s, kpt_blk, ring.fs, ft_blk, ring.na, nb_blk,
+                          wed, wfd, scale, mult_blend=False)
+        m = mask_s[:, None] & mt_blk[None, :]
+        v = jnp.where(m, -cd - p_blk[None, :], _NEG)
+        cols = off + jnp.arange(c_blk, dtype=jnp.int32)[None, :]
+        m1 = jnp.max(v, axis=1)
+        a1 = off + jnp.argmax(v, axis=1).astype(jnp.int32)
+        vm = jnp.where(cols == a1[:, None], _NEG, v)
+        m2 = jnp.max(vm, axis=1)
+        a2 = off + jnp.argmax(vm, axis=1).astype(jnp.int32)
+        take = (m1 > v1) | ((m1 == v1) & (a1 < j1))   # tie -> lowest id
+        nv1 = jnp.maximum(v1, m1)
+        nj1 = jnp.where(take, a1, j1)
+        nv2 = jnp.maximum(jnp.minimum(v1, m1), jnp.maximum(v2, m2))
+        nj2 = jnp.where(take, jnp.where(v1 >= m2, j1, a2),
+                        jnp.where(m1 > v2, a1, j2))
+        nvsel = jnp.maximum(vsel, jnp.max(
+            jnp.where(cols == acol.astype(jnp.int32)[:, None], v, _NEG),
+            axis=1))
+        cdm = jnp.where(m, cd, 0.0)
+        nstat = (cnt + jnp.sum(m.astype(jnp.float32)),
+                 s1 + jnp.sum(cdm), s2 + jnp.sum(cdm * cd),
+                 jnp.maximum(cmax, jnp.max(cdm)),
+                 jnp.maximum(emax, jnp.max(jnp.where(m, ed, 0.0))),
+                 jnp.maximum(bmax, jnp.max(jnp.where(m, -cd, _NEG))))
+        ft_blk = jax.lax.ppermute(ft_blk, axis, perm)
+        return ((nv1, nj1, nv2, nj2, nvsel) + nstat, ft_blk), None
+
+    neg = jnp.full((S,), _NEG, jnp.float32)
+    zi = jnp.zeros((S,), jnp.int32)
+    init = ((neg, zi, neg, zi, neg,
+             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(_NEG)),
+            ring.ft_blk)
+    (out, _), _ = jax.lax.scan(step, init, jnp.arange(n_blocks))
+    return SweepResult(*out)
+
+
+def ring_selected(kp_s: Array, kp_t: Array, ring: RingFeatures,
+                  tgt_idx: Array, wed, wfd, scale):
+    """(cd_sel, ed_sel, fd_sel) at matched pairs from the REPLICATED packed
+    words — O(S*W) gathers, no ring traffic.  Padding bits are zero in
+    both operands, so the XOR popcount needs no bit-count bookkeeping."""
+    t = kp_t[tgt_idx]
+    ed = jnp.asarray(scale, jnp.float32) * jnp.linalg.norm(kp_s - t, axis=-1)
+    wt = ring.words_t[tgt_idx]                        # [S, W]
+    x = ring.words_s ^ wt[None, :, :]                 # [V, S, W]
+    ham = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.float32)
+    fd = jnp.min(ham, axis=0)
+    cd = wed * ed + wfd * fd
+    return cd, ed, fd
+
+
+def stream_feature_candidates(feats: StreamFeatures, mask_s: Array,
+                              mask_t: Array, mult_blend: bool = False,
+                              tc: int = 1024):
+    """Top-2 feature-nearest target candidates per source row, matrix-free.
+
+    The RANSAC coarse init (matching/ransac.py) needs each row's best
+    feature matches; the dense path top_k's the [S,T] FD matrix.  This
+    scans column blocks of the factor products instead: v = -hamming (bit
+    features) or |corr| (similarity features).  Returns (cand [S,2] int32,
+    cand_ok [S,2] bool).  One pass of the same matmuls as a sweep.
+    """
+    S = feats.fs.shape[1]
+    C = feats.ft.shape[0]
+    tc = min(tc, C)
+    assert C % tc == 0
+
+    def step(carry, j):
+        v1, j1, v2, j2 = carry
+        off = j * tc
+        ft_blk = jax.lax.dynamic_slice_in_dim(feats.ft, off, tc, 0)
+        nb_blk = jax.lax.dynamic_slice_in_dim(feats.nb, off, tc, 0)
+        mt_blk = jax.lax.dynamic_slice_in_dim(mask_t, off, tc, 0)
+        if mult_blend:
+            dot = jax.lax.dot_general(feats.fs[0], ft_blk,
+                                      (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            v = jnp.abs(dot)
+        else:
+            v = None
+            for vi in range(feats.fs.shape[0]):
+                dot = jax.lax.dot_general(feats.fs[vi], ft_blk,
+                                          (((1,), (1,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+                ham = (feats.na[vi][:, None] + nb_blk[None, :] - 2.0 * dot)
+                v = -ham if v is None else jnp.maximum(v, -ham)
+        v = jnp.where(mask_s[:, None] & mt_blk[None, :], v, _NEG)
+        cols = off + jnp.arange(tc, dtype=jnp.int32)[None, :]
+        m1 = jnp.max(v, axis=1)
+        a1 = off + jnp.argmax(v, axis=1).astype(jnp.int32)
+        vm = jnp.where(cols == a1[:, None], _NEG, v)
+        m2 = jnp.max(vm, axis=1)
+        a2 = off + jnp.argmax(vm, axis=1).astype(jnp.int32)
+        take = m1 > v1
+        nv1 = jnp.maximum(v1, m1)
+        nj1 = jnp.where(take, a1, j1)
+        nv2 = jnp.maximum(jnp.minimum(v1, m1), jnp.maximum(v2, m2))
+        nj2 = jnp.where(take, jnp.where(v1 >= m2, j1, a2),
+                        jnp.where(m1 > v2, a1, j2))
+        return (nv1, nj1, nv2, nj2), None
+
+    neg = jnp.full((S,), _NEG, jnp.float32)
+    zi = jnp.zeros((S,), jnp.int32)
+    (v1, j1, v2, j2), _ = jax.lax.scan(step, (neg, zi, neg, zi),
+                                       jnp.arange(C // tc))
+    cand = jnp.stack([j1, j2], axis=1)
+    cand_ok = jnp.stack([v1 > _NEG, v2 > _NEG], axis=1) & mask_s[:, None]
+    return cand, cand_ok
 
 
 def make_stream_features(packed_s: Optional[Array] = None,

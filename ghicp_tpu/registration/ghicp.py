@@ -51,6 +51,9 @@ Array = jax.Array
 # backends so the fused-path plumbing is exercised by the CPU test mesh.
 _FUSED_INTERPRET = False
 
+# Test hook: same for the matrix-free streaming sweep kernel.
+_STREAM_INTERPRET = False
+
 
 class IterationMetrics(NamedTuple):
     """Per-iteration history (reference vectors energy/rmse/..,
@@ -102,14 +105,15 @@ class _State(NamedTuple):
                       # a verified pose away (W_ED = 0 at it 0)
 
 
-def _matched_stats(src_pts, tgt_pts, fd, tgt_idx, w, comm: Comm):
-    """RMSE / FDM / FDstd over matched pairs (ghicp_reg.cpp:546-567)."""
-    rows = jnp.arange(src_pts.shape[0])
+def _matched_stats(src_pts, tgt_pts, fsel, tgt_idx, w, comm: Comm):
+    """RMSE / FDM / FDstd over matched pairs (ghicp_reg.cpp:546-567).
+    ``fsel`` [S]: the per-row feature distance at the matched column
+    (a dense-row gather on the materialized paths, a factor gather on the
+    streaming path)."""
     t = tgt_pts[tgt_idx]
     n = jnp.maximum(comm.psum(jnp.sum(w)), 1.0)
     se = comm.psum(jnp.sum(w * jnp.sum((src_pts - t) ** 2, axis=-1)))
     rmse = jnp.sqrt(se / n)
-    fsel = fd[rows, tgt_idx]
     s1 = comm.psum(jnp.sum(w * fsel))
     s2 = comm.psum(jnp.sum(w * fsel * fsel))
     fdm = s1 / n
@@ -149,21 +153,41 @@ def _initial_state(kp_s: Array, n_target: int, config: GHICPConfig,
         it_shift=jnp.float32(it_shift))
 
 
-def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
+def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                bbx_magnitude: Array, config: GHICPConfig, comm: Comm,
-               total_rows: int):
-    """One GH-ICP iteration as a while_loop body closure."""
+               total_rows: int, stream=None):
+    """One GH-ICP iteration as a while_loop body closure.
+
+    ``stream`` (a :class:`ghicp_tpu.ops.stream_kernel.StreamFeatures`, with
+    ``fd=None``) selects the matrix-free lane: the benefit field is
+    recomputed from the coordinate/feature factors inside each auction
+    sweep, no [S, T] tensor ever materializes (the reference's scaling
+    wall, ghicp_reg.h:26-30, removed rather than moved).  KM only.
+    """
     import jax as _jax
     scale = config.scale_factor * bbx_magnitude
     ns = comm.psum(jnp.sum(mask_s.astype(jnp.float32)))
     nt = jnp.sum(mask_t.astype(jnp.float32))
-    S, T = fd.shape
-    use_fused = (config.fused_cost_kernel
+    S = mask_s.shape[0]
+    T = kp_t.shape[0]
+    use_stream = stream is not None
+    if use_stream and config.correspondence != CorrespondenceType.KM:
+        raise ValueError("streaming cost path supports KM only")
+    use_fused = (not use_stream
+                 and config.fused_cost_kernel
                  and config.correspondence == CorrespondenceType.KM
                  and not comm.distributed
                  and (_jax.default_backend() == "tpu" or _FUSED_INTERPRET)
                  and S % 128 == 0 and T % 128 == 0)
     mult_blend = config.feature in (FeatureType.FPFH, FeatureType.ROPS)
+    if use_stream:
+        # Common centering offset for f32 norm-expansion accuracy (same
+        # rationale as the fused kernel path below).
+        mid = 0.5 * (jnp.min(jnp.where(mask_t[:, None], kp_t, 3e38), axis=0)
+                     + jnp.max(jnp.where(mask_t[:, None], kp_t, -3e38),
+                               axis=0))
+        mid = comm.pmax(mid)   # replicate identical offset across shards
+        kp_t_c = jnp.where(mask_t[:, None], kp_t - mid[None, :], 0.0)
     if use_fused:
         # All computed once, before the while_loop traces the body: center
         # both keypoint sets by a common offset so the fused kernel's
@@ -201,7 +225,67 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
 
         budget = jnp.int32(config.auction_max_rounds)
         ed_max_fused = None
-        if use_fused:
+        fsel = None
+        if use_stream:
+            from ghicp_tpu.matching.cost import bsc_penalty
+            from ghicp_tpu.matching.stream_auction import stream_solve
+            kps_c = st.kps - mid[None, :]
+            if config.feature == FeatureType.BSC:
+                def penalty_fn(mean, std):
+                    return bsc_penalty(mean, std, it_eff, st.rms, st.fdm,
+                                       st.fdstd, st.para1, st.para2, scale,
+                                       wed, wfd, config.penalty_initial)
+            elif mult_blend:
+                def penalty_fn(mean, std):
+                    pen_late = st.rms * st.para1 * scale * st.para2
+                    pen_early = mean / config.penalty_initial
+                    return jnp.where(it_eff > 1, pen_late, pen_early)
+            else:
+                def penalty_fn(mean, std):
+                    return jnp.maximum(mean, 1.0)
+            from ghicp_tpu.ops.stream_kernel import (RingFeatures,
+                                                     ring_selected,
+                                                     ring_sweep)
+            is_ring = isinstance(stream, RingFeatures)
+            if is_ring:
+                if mult_blend:
+                    raise ValueError("ring streaming supports the BSC "
+                                     "(hamming) lane only")
+
+                def sweep_fn(p, ac):
+                    return ring_sweep(kps_c, kp_t_c, stream, mask_s,
+                                      mask_t, p, ac, wed, wfd, scale,
+                                      comm.axis)
+
+                def select_fn(jc):
+                    return ring_selected(kps_c, kp_t_c, stream, jc,
+                                         wed, wfd, scale)
+            else:
+                sweep_fn = select_fn = None
+            use_kernel = (not comm.distributed
+                          and (_jax.default_backend() == "tpu"
+                               or _STREAM_INTERPRET))
+            sres = stream_solve(
+                kps_c, kp_t_c, None if is_ring else stream, mask_s, mask_t,
+                wed, wfd, scale,
+                penalty_fn, eps_final=config.km_eps,
+                rel_eps=config.auction_rel_eps, max_sweeps=budget,
+                p0=st.prices, price_uncertainty=st.price_unc,
+                acol0=st.acol, pen_prev=st.pen_prev, comm=comm,
+                total_rows=total_rows, interpret=_STREAM_INTERPRET,
+                mult_blend=mult_blend, use_kernel=use_kernel,
+                sweep_fn=sweep_fn, select_fn=select_fn)
+            match = sres.match
+            energy = sres.energy
+            rounds = sres.rounds
+            prices = sres.prices
+            eps_used = sres.eps_used
+            acol_new = sres.acol
+            cd_sel = sres.cd_sel
+            fsel = sres.fd_sel
+            penalty = sres.penalty
+            ed_max_fused = sres.ed_max
+        elif use_fused:
             from ghicp_tpu.matching.cost import bsc_penalty
             from ghicp_tpu.ops.cost_kernel import fused_benefit
             kps_c = st.kps - mid[None, :]
@@ -315,7 +399,9 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
 
         w = match.w
         cor = comm.psum(jnp.sum(w))
-        rmse, fdm, fdstd = _matched_stats(st.kps, kp_t, fd_stats,
+        if fsel is None:
+            fsel = fd_stats[jnp.arange(S), match.tgt_idx]
+        rmse, fdm, fdstd = _matched_stats(st.kps, kp_t, fsel,
                                           match.tgt_idx, w, comm)
 
         converged = st.converged | (cor < config.min_cor)
@@ -428,10 +514,11 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Array,
 
 
 def ghicp_loop(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
-               fd: Array, bbx_magnitude: Array, config: GHICPConfig,
+               fd: Optional[Array], bbx_magnitude: Array,
+               config: GHICPConfig,
                comm: Comm = LOCAL, total_rows: Optional[int] = None,
                init_transform: Optional[Array] = None,
-               it_shift: float = 0.0) -> GHICPResult:
+               it_shift: float = 0.0, stream=None) -> GHICPResult:
     """The GH-ICP fixed-point loop (unjitted body — see ``ghicp_register``
     for the single-device entry and ``ghicp_tpu.shard`` for the SPMD one).
 
@@ -439,13 +526,16 @@ def ghicp_loop(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
     similarity for FPFH, zeros for none), computed once like the reference
     (ghicp_reg.cpp:33-44).  Under a distributed ``comm``, kp_s/mask_s/fd are
     the local row shards and every reduction crosses the mesh axis.
+
+    ``stream`` (StreamFeatures, with ``fd=None``): the matrix-free lane —
+    no [S, T] tensor exists anywhere in the loop (ops/stream_kernel.py).
     """
     if total_rows is None:
         total_rows = kp_s.shape[0]
     state0 = _initial_state(kp_s, kp_t.shape[0], config, init_transform,
                             it_shift)
     body = _make_body(kp_t, mask_s, mask_t, fd, bbx_magnitude, config, comm,
-                      total_rows)
+                      total_rows, stream=stream)
 
     def cond(st: _State):
         return (~st.converged) & (st.it < config.max_iterations)
@@ -460,11 +550,12 @@ def ghicp_loop(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
 
 @functools.partial(jax.jit, static_argnames=("config", "limit_step"))
 def _ghicp_chunk(state: _State, kp_t: Array, mask_s: Array, mask_t: Array,
-                 fd: Array, bbx_magnitude: Array, config: GHICPConfig,
-                 limit_step: int) -> _State:
+                 fd: Optional[Array], bbx_magnitude: Array,
+                 config: GHICPConfig, limit_step: int,
+                 stream=None) -> _State:
     """Advance the GH-ICP loop by at most ``limit_step`` iterations."""
     body = _make_body(kp_t, mask_s, mask_t, fd, bbx_magnitude, config, LOCAL,
-                      fd.shape[0])
+                      mask_s.shape[0], stream=stream)
     limit = jnp.minimum(state.it + limit_step,
                         jnp.int32(config.max_iterations))
 
@@ -475,10 +566,12 @@ def _ghicp_chunk(state: _State, kp_t: Array, mask_s: Array, mask_t: Array,
 
 
 def ghicp_register_chunked(kp_s: Array, mask_s: Array, kp_t: Array,
-                           mask_t: Array, fd: Array, bbx_magnitude: Array,
+                           mask_t: Array, fd: Optional[Array],
+                           bbx_magnitude: Array,
                            config: GHICPConfig, chunk: int = 8,
                            init_transform: Optional[Array] = None,
-                           it_shift: float = 0.0) -> GHICPResult:
+                           it_shift: float = 0.0,
+                           stream=None) -> GHICPResult:
     """Host-stepped GH-ICP: the same loop dispatched ``chunk`` iterations at
     a time.
 
@@ -492,7 +585,7 @@ def ghicp_register_chunked(kp_s: Array, mask_s: Array, kp_t: Array,
     while True:
         state = _ghicp_chunk(state, kp_t, mask_s, mask_t, fd,
                              jnp.asarray(bbx_magnitude, jnp.float32),
-                             config, chunk)
+                             config, chunk, stream=stream)
         # One batched fetch as a single [2] array: separate scalar
         # materializations cost a remote-transport round trip EACH
         # (~26ms through the tunnel).
@@ -509,13 +602,14 @@ def ghicp_register_chunked(kp_s: Array, mask_s: Array, kp_t: Array,
 
 @functools.partial(jax.jit, static_argnames=("config", "it_shift"))
 def ghicp_register(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
-                   fd: Array, bbx_magnitude: Array, config: GHICPConfig,
+                   fd: Optional[Array], bbx_magnitude: Array,
+                   config: GHICPConfig,
                    init_transform: Optional[Array] = None,
-                   it_shift: float = 0.0) -> GHICPResult:
+                   it_shift: float = 0.0, stream=None) -> GHICPResult:
     """Single-device jitted entry point for the GH-ICP loop."""
     return ghicp_loop(kp_s, mask_s, kp_t, mask_t, fd, bbx_magnitude,
                       config, LOCAL, init_transform=init_transform,
-                      it_shift=it_shift)
+                      it_shift=it_shift, stream=stream)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "it_shift"))

@@ -195,17 +195,38 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
 
     # --- features (ghicp_main.cpp:107-141) ---
     t0 = time.perf_counter()
+    # Streaming (matrix-free) lane decision: never build the [cap, cap]
+    # FD matrix; the engine recomputes the cost field from these factors
+    # inside each auction sweep (ops/stream_kernel.py).
+    from ghicp_tpu.core.config import CorrespondenceType
+    use_stream = (config.correspondence == CorrespondenceType.KM
+                  and (config.streaming_cost == "on"
+                       or (config.streaming_cost == "auto"
+                           and cap > config.streaming_threshold)))
+    stream_feats = None
+    fd = None
     if config.feature == FeatureType.BSC:
         fs = extract_bsc(ds, kp_s, kp_s_mask, config,
                          num_variants=config.bsc_num_variants)
         ft = extract_bsc(dt, kp_t, kp_t_mask, config, num_variants=1)
-        fd = min_hamming_fd(fs.packed, ft.packed, fs.n_bits,
-                            use_mxu=config.use_mxu_hamming)
+        if use_stream:
+            from ghicp_tpu.ops.stream_kernel import make_stream_features
+            stream_feats = make_stream_features(packed_s=fs.packed,
+                                                packed_t=ft.packed,
+                                                n_bits=fs.n_bits)
+        else:
+            fd = min_hamming_fd(fs.packed, ft.packed, fs.n_bits,
+                                use_mxu=config.use_mxu_hamming)
     elif config.feature == FeatureType.FPFH:
         radius = config.fpfh_radius or 3.0 * config.voxel_size
         hs, _ = fpfh_features(ds, radius=radius, k=max(config.fpfh_k, 24))
         ht, _ = fpfh_features(dt, radius=radius, k=max(config.fpfh_k, 24))
-        fd = fpfh_similarity_matrix(hs[kp_s_idx], ht[kp_t_idx])
+        if use_stream:
+            from ghicp_tpu.ops.stream_kernel import make_stream_features
+            stream_feats = make_stream_features(desc_s=hs[kp_s_idx],
+                                                desc_t=ht[kp_t_idx])
+        else:
+            fd = fpfh_similarity_matrix(hs[kp_s_idx], ht[kp_t_idx])
     elif config.feature == FeatureType.ROPS:
         # Implemented beyond reference parity (features/rops.py; the
         # reference's RoPS is enum-only, ghicp_main.cpp:130-134).  Rides
@@ -220,10 +241,25 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
                              neighbor_k=config.rops_neighbor_k,
                              n_rotations=config.rops_rotations,
                              n_bins=config.rops_bins)
-        fd = rops_similarity_matrix(rf_s.desc, rf_t.desc)
+        if use_stream:
+            from ghicp_tpu.ops.stream_kernel import make_stream_features
+            stream_feats = make_stream_features(desc_s=rf_s.desc,
+                                                desc_t=rf_t.desc,
+                                                standardize="dims")
+        else:
+            fd = rops_similarity_matrix(rf_s.desc, rf_t.desc)
+    elif use_stream:
+        # Feature "none" streaming: zero bit factors (FD identically 0,
+        # matching the dense zeros matrix; W_FD is 0 on this lane anyway).
+        from ghicp_tpu.ops.stream_kernel import StreamFeatures
+        stream_feats = StreamFeatures(
+            fs=jnp.zeros((1, cap, 128), jnp.bfloat16),
+            ft=jnp.zeros((cap, 128), jnp.bfloat16),
+            na=jnp.zeros((1, cap), jnp.float32),
+            nb=jnp.zeros((cap,), jnp.float32))
     else:
         fd = jnp.zeros((cap, cap), jnp.float32)
-    jax.block_until_ready(fd)
+    jax.block_until_ready(stream_feats.ft if use_stream else fd)
     timings["features"] = time.perf_counter() - t0
 
     # --- registration (ghicp_main.cpp:144-151) ---
@@ -234,10 +270,6 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
     if (T0 is None and config.coarse_init == "ransac"
             and config.feature != FeatureType.NONE):
         from ghicp_tpu.matching.ransac import ransac_coarse_align
-        # fd is a distance for BSC (Hamming) and a similarity in [0,1] for
-        # FPFH — flip the latter so smaller = more similar.
-        fd_dist = (1.0 - fd) if config.feature in (
-            FeatureType.FPFH, FeatureType.ROPS) else fd
         tau = config.ransac_tau or 3.0 * config.voxel_size
         frames_s = frames_t = None
         if config.feature == FeatureType.BSC:
@@ -246,9 +278,27 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
             # weighted PCA per keypoint set (bsc_frames).
             frames_s = fs.frames
             frames_t = ft.frames
-        rr = ransac_coarse_align(kp_s, kp_s_mask, kp_t, kp_t_mask, fd_dist,
-                                 tau=tau, n_hyp=config.ransac_hypotheses,
-                                 frames_s=frames_s, frames_t=frames_t)
+        if use_stream:
+            # Matrix-free candidates: one factor-product scan instead of
+            # top_k over the (never-built) [cap, cap] FD matrix.
+            from ghicp_tpu.ops.stream_kernel import stream_feature_candidates
+            cand, cand_ok = stream_feature_candidates(
+                stream_feats, kp_s_mask, kp_t_mask,
+                mult_blend=config.feature in (FeatureType.FPFH,
+                                              FeatureType.ROPS))
+            rr = ransac_coarse_align(kp_s, kp_s_mask, kp_t, kp_t_mask, None,
+                                     tau=tau, n_hyp=config.ransac_hypotheses,
+                                     frames_s=frames_s, frames_t=frames_t,
+                                     cand=cand, cand_ok=cand_ok)
+        else:
+            # fd is a distance for BSC (Hamming) and a similarity in [0,1]
+            # for FPFH — flip the latter so smaller = more similar.
+            fd_dist = (1.0 - fd) if config.feature in (
+                FeatureType.FPFH, FeatureType.ROPS) else fd
+            rr = ransac_coarse_align(kp_s, kp_s_mask, kp_t, kp_t_mask,
+                                     fd_dist, tau=tau,
+                                     n_hyp=config.ransac_hypotheses,
+                                     frames_s=frames_s, frames_t=frames_t)
         if int(rr.inliers) >= config.ransac_min_inliers:
             T0 = rr.transform
             # Skip the feature-dominant schedule phase: W_FD starts at
@@ -262,7 +312,8 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
     result = ghicp_register_chunked(kp_s, kp_s_mask, kp_t, kp_t_mask, fd,
                                     jnp.float32(bbx), config,
                                     chunk=config.engine_chunk,
-                                    init_transform=T0, it_shift=it_shift)
+                                    init_transform=T0, it_shift=it_shift,
+                                    stream=stream_feats)
     jax.block_until_ready(result.transform)
     timings["register"] = time.perf_counter() - t0
 
