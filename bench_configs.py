@@ -155,6 +155,80 @@ def config5():
         "worst_t_err_m": round(worst_t, 4)}))
 
 
+def config6():
+    """50k x 50k keypoint pair through the matrix-free streaming lane —
+    the reference's adaptive upper band (keypoint_detect.hpp:79-106).
+
+    The reference cannot REPRESENT this problem: Energyfunction::init
+    allocates three dense n_s x n_t double matrices (ghicp_reg.h:26-30) =
+    3 x 8B x 50k x 50k = 60 GB before one iteration runs.  The streaming
+    lane's peak footprint is the factor payload (~300 MB) — FD and the
+    benefit matrix never exist; every auction sweep recomputes benefits
+    from coordinates + packed BSC bits on the MXU
+    (ops/stream_kernel.py).
+    """
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.ghicp_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from ghicp_tpu.core.config import (CorrespondenceType, FeatureType,
+                                       GHICPConfig)
+    from ghicp_tpu.io.synthetic import structured_scene
+    from ghicp_tpu.registration.pipeline import (register_pair,
+                                                 transform_error)
+
+    log(f"backend: {jax.default_backend()}")
+    rng = np.random.default_rng(29)
+    n_points = 2_000_000
+    pts = structured_scene(rng, n_points, extent=40.0)
+    theta = np.deg2rad(12.0)
+    R = np.array([[np.cos(theta), -np.sin(theta), 0],
+                  [np.sin(theta), np.cos(theta), 0], [0, 0, 1]], np.float32)
+    t = np.float32([1.5, -1.0, 0.2])
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[:3, :3] = R
+    T_gt[:3, 3] = t
+    src = ((pts - t) @ R + rng.normal(0, 0.006, pts.shape)).astype(np.float32)
+    tgt = (pts + rng.normal(0, 0.006, pts.shape)).astype(np.float32)
+
+    cfg = GHICPConfig(feature=FeatureType.BSC,
+                      correspondence=CorrespondenceType.KM,
+                      voxel_size=0.1, neighborhood_radius=0.5,
+                      non_max_radius=0.22, min_neighbors=15,
+                      bsc_neighbor_k=256, pca_cell_cap=40,
+                      pca_max_cells=262144,
+                      keypoint_capacity=51200,   # 200 x 256: tight bucket
+                      estimated_overlap=0.8, max_iterations=30,
+                      engine_chunk=4,    # ~each iteration is seconds of
+                                         # streaming sweeps; keep device
+                                         # dispatches well under the
+                                         # tunnel's comfort zone
+                      streaming_cost="on")
+    for tag in ("cold", "warm"):
+        t0 = time.perf_counter()
+        out = register_pair(src, tgt, cfg)
+        total = time.perf_counter() - t0
+        rot, tr = transform_error(out.transform, T_gt)
+        iters = max(int(out.result.iterations), 1)
+        its = iters / out.timings["register"]
+        log(f"[{tag}] {n_points} pts -> {out.n_source_down} down, "
+            f"kps={out.n_source_keypoints}/{out.n_target_keypoints}, "
+            f"iters={iters} ({its:.2f} it/s), rmse={out.final_rmse:.3f}, "
+            f"rot={rot:.3f}deg t={tr:.3f}m success={out.success}")
+        log(f"[{tag}] timings: "
+            f"{ {k: round(v, 2) for k, v in out.timings.items()} } "
+            f"total={total:.1f}s")
+    print(json.dumps({
+        "metric": "config6_50k_keypoints_streaming_total_wall_s",
+        "value": round(total, 1), "unit": "s (warm end-to-end)",
+        "keypoints": [out.n_source_keypoints, out.n_target_keypoints],
+        "iterations_per_sec": round(its, 3),
+        "rot_err_deg": round(rot, 4), "t_err_m": round(tr, 4),
+        "reference_memory_GB_dense": round(
+            3 * 8 * out.n_source_keypoints * out.n_target_keypoints / 1e9,
+            1),
+        "success": bool(out.success)}))
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "4"
-    {"4": config4, "5": config5}[which]()
+    {"4": config4, "5": config5, "6": config6}[which]()

@@ -153,6 +153,15 @@ class GHICPConfig:
     ransac_hypotheses: int = 1 << 17      # hypothesis sweep width
     ransac_min_inliers: int = 12          # below this consensus the coarse
                                           # pose is ignored (identity init)
+    ransac_max_rows: int = 8192           # streaming lane: cap on source
+                                          # rows used for candidate
+                                          # generation + hypotheses (a
+                                          # strided spatial subsample of the
+                                          # Morton-ordered keypoints).  The
+                                          # consensus vote needs thousands,
+                                          # not all 50k, of rows — capping
+                                          # saves a full factor-product pass
+                                          # at flagship scale
 
     # --- auction solver (eps-scaling forward auction with outside option) ---
     auction_max_rounds: int = 2           # TOTAL sweep budget per solve

@@ -173,10 +173,13 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
     use_stream = stream is not None
     if use_stream and config.correspondence != CorrespondenceType.KM:
         raise ValueError("streaming cost path supports KM only")
+    # The fused benefit kernel shards cleanly: it runs per device on the
+    # local row shard and its statistics are psum'd below (the GS round
+    # kernel stays single-device — auction_assign's internal gate falls
+    # back to the XLA bidding rounds with per-round pmax resolution).
     use_fused = (not use_stream
                  and config.fused_cost_kernel
                  and config.correspondence == CorrespondenceType.KM
-                 and not comm.distributed
                  and (_jax.default_backend() == "tpu" or _FUSED_INTERPRET)
                  and S % 128 == 0 and T % 128 == 0)
     mult_blend = config.feature in (FeatureType.FPFH, FeatureType.ROPS)
@@ -262,9 +265,11 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                                          wed, wfd, scale)
             else:
                 sweep_fn = select_fn = None
-            use_kernel = (not comm.distributed
-                          and (_jax.default_backend() == "tpu"
-                               or _STREAM_INTERPRET))
+            # The streaming sweep kernel also shards cleanly (it only
+            # computes local-row reductions); the ring lane supplies its
+            # own sweep_fn instead.
+            use_kernel = (_jax.default_backend() == "tpu"
+                          or _STREAM_INTERPRET)
             sres = stream_solve(
                 kps_c, kp_t_c, None if is_ring else stream, mask_s, mask_t,
                 wed, wfd, scale,
@@ -297,10 +302,11 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
             # penalty-drift component is added to v1 afterwards — an upper
             # bound, so the keep test stays conservative (sound).
             real0 = (st.acol >= 0) & (st.acol < T)
+            row_gid = comm.axis_index() * S + jnp.arange(S, dtype=jnp.int32)
             owner0 = jnp.full((T,), -1, jnp.int32).at[
                 jnp.where(real0, st.acol, T)].max(
-                jnp.where(real0, jnp.arange(S, dtype=jnp.int32), -1),
-                mode="drop")
+                jnp.where(real0, row_gid, -1), mode="drop")
+            owner0 = comm.pmax(owner0)
             p_mid = jnp.where(owner0 >= 0,
                               jnp.maximum(st.prices - st.price_unc, 0.0),
                               0.0)
@@ -309,9 +315,11 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                     kps_c, kp_t_c, fd_b, mask_s, mask_t, wed, wfd, scale,
                     ts=128, interpret=_FUSED_INTERPRET, out_dtype=b_dtype,
                     p_defl=p_mid, acol0=st.acol, mult_blend=mult_blend))
-            n_valid = jnp.maximum(cnt, 1.0)
-            mean = s1 / n_valid
-            std = jnp.sqrt(jnp.maximum(s2 / n_valid - mean * mean, 0.0))
+            b_max = comm.pmax(b_max)
+            n_valid = jnp.maximum(comm.psum(cnt), 1.0)
+            mean = comm.psum(s1) / n_valid
+            std = jnp.sqrt(jnp.maximum(
+                comm.psum(s2) / n_valid - mean * mean, 0.0))
             if config.feature == FeatureType.BSC:
                 penalty = bsc_penalty(mean, std, it_eff, st.rms, st.fdm,
                                       st.fdstd, st.para1, st.para2, scale,

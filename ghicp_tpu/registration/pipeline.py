@@ -280,15 +280,35 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
             frames_t = ft.frames
         if use_stream:
             # Matrix-free candidates: one factor-product scan instead of
-            # top_k over the (never-built) [cap, cap] FD matrix.
-            from ghicp_tpu.ops.stream_kernel import stream_feature_candidates
+            # top_k over the (never-built) [cap, cap] FD matrix.  Source
+            # rows capped at ransac_max_rows (strided over the Morton
+            # order = spatially uniform): at flagship scale the full-row
+            # candidate pass would cost as much as an auction sweep, and
+            # the consensus vote saturates long before 50k rows.
+            from ghicp_tpu.ops.stream_kernel import (StreamFeatures,
+                                                     stream_feature_candidates)
+            Sr = kp_s.shape[0]
+            if Sr > config.ransac_max_rows:
+                stride = -(-Sr // config.ransac_max_rows)
+                rsel = jnp.arange(0, Sr, stride)
+                sf = StreamFeatures(fs=stream_feats.fs[:, rsel],
+                                    ft=stream_feats.ft,
+                                    na=stream_feats.na[:, rsel],
+                                    nb=stream_feats.nb)
+                kp_s_r = kp_s[rsel]
+                mask_s_r = kp_s_mask[rsel]
+                frames_s_r = None if frames_s is None else frames_s[rsel]
+            else:
+                sf, kp_s_r, mask_s_r, frames_s_r = (stream_feats, kp_s,
+                                                    kp_s_mask, frames_s)
             cand, cand_ok = stream_feature_candidates(
-                stream_feats, kp_s_mask, kp_t_mask,
+                sf, mask_s_r, kp_t_mask,
                 mult_blend=config.feature in (FeatureType.FPFH,
                                               FeatureType.ROPS))
-            rr = ransac_coarse_align(kp_s, kp_s_mask, kp_t, kp_t_mask, None,
-                                     tau=tau, n_hyp=config.ransac_hypotheses,
-                                     frames_s=frames_s, frames_t=frames_t,
+            rr = ransac_coarse_align(kp_s_r, mask_s_r, kp_t, kp_t_mask,
+                                     None, tau=tau,
+                                     n_hyp=config.ransac_hypotheses,
+                                     frames_s=frames_s_r, frames_t=frames_t,
                                      cand=cand, cand_ok=cand_ok)
         else:
             # fd is a distance for BSC (Hamming) and a similarity in [0,1]
