@@ -112,6 +112,23 @@ def main():
     log(f"timings: { {k: round(v, 2) for k, v in out.timings.items()} }, "
         f"total={total:.1f}s")
 
+    # Reference-parameterization verdict: the reference's own TLS setup
+    # runs NMS 1.0-1.5 m (script/run.sh:13-14), where its success
+    # criterion RMSE_after < 1.5*NMS (ghicp_reg.cpp:918-924) is
+    # meaningful.  (At NMS 0.5 the matched RMSE of ANY complete matching
+    # is dominated by keypoint-repeatability spacing, not pose quality —
+    # the dense-keypoint config above is the throughput workload, this
+    # one is the verdict/parity workload.)
+    import dataclasses
+    cfg_ref = dataclasses.replace(cfg, non_max_radius=1.0)
+    out_ref = register_pair(src, tgt, cfg_ref)
+    rot_ref, tr_ref = transform_error(out_ref.transform, T_gt)
+    log(f"reference-params (NMS 1.0): "
+        f"kps={out_ref.n_source_keypoints}/{out_ref.n_target_keypoints}, "
+        f"rmse={out_ref.final_rmse:.3f} (bound 1.5), "
+        f"rot_err={rot_ref:.2f}deg, t_err={tr_ref:.2f}m, "
+        f"success={out_ref.success}")
+
     # Warm pipeline: rerun the (now compiled) full pipeline.
     t0 = time.perf_counter()
     out2 = register_pair(src, tgt, cfg)
@@ -128,7 +145,6 @@ def main():
     # fixed per-dispatch tunnel latency (~40ms/round-trip) the way any
     # production multi-pair run would; the serial baseline likewise pays
     # no per-iteration process overhead.
-    import dataclasses
     cfg_tp = dataclasses.replace(cfg, coarse_init="none",
                                  converge_translation=0.0,
                                  converge_rotation=0.0, max_iterations=120,
@@ -162,6 +178,12 @@ def main():
         # Non-default engine overrides the throughput number was measured
         # at, so runs stay attributable/comparable across rounds.
         "engine_chunk": cfg_tp.engine_chunk,
+        # Verdict at the reference's own TLS parameterization (NMS 1.0,
+        # run.sh:13-14; criterion ghicp_reg.cpp:918-924).
+        "reference_params_success": bool(out_ref.success),
+        "reference_params_rmse": round(float(out_ref.final_rmse), 3),
+        "rot_err_deg": round(rot_ref, 4),
+        "t_err_m": round(tr_ref, 4),
     }))
 
 

@@ -190,10 +190,11 @@ def config6():
     src = ((pts - t) @ R + rng.normal(0, 0.006, pts.shape)).astype(np.float32)
     tgt = (pts + rng.normal(0, 0.006, pts.shape)).astype(np.float32)
 
+    nms = float(sys.argv[2]) if len(sys.argv) > 2 else 0.17
     cfg = GHICPConfig(feature=FeatureType.BSC,
                       correspondence=CorrespondenceType.KM,
                       voxel_size=0.1, neighborhood_radius=0.5,
-                      non_max_radius=0.22, min_neighbors=15,
+                      non_max_radius=nms, min_neighbors=15,
                       bsc_neighbor_k=256, pca_cell_cap=40,
                       pca_max_cells=262144,
                       keypoint_capacity=51200,   # 200 x 256: tight bucket
