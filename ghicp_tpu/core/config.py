@@ -254,6 +254,21 @@ class GHICPConfig:
                                           # decisions. 0 = absolute km_eps
                                           # only (exact-parity mode)
 
+    # --- compile-time behavior ---
+    parallel_compile_warmup: bool = True  # overlap XLA compilation of
+                                          # later pipeline stages with
+                                          # earlier ones: as soon as a
+                                          # stage's shapes are known,
+                                          # background threads invoke the
+                                          # downstream jits on dummy data
+                                          # of those shapes (compiles
+                                          # parallelize ~3x on the remote
+                                          # TPU backend, measured round 3;
+                                          # once cached the threads are
+                                          # no-ops).  Affects cold-start
+                                          # wall clock only — results of
+                                          # warm calls are discarded
+
     # --- numerics ---
     use_mxu_hamming: bool = True          # matmul-based Hamming (vs popcount)
     auction_bf16: bool = True             # store the auction benefit matrix

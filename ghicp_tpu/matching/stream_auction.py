@@ -20,7 +20,6 @@ the budget, mirroring the dense GS kernel's schedule.
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -28,9 +27,8 @@ import jax.numpy as jnp
 
 from ghicp_tpu.core.comm import LOCAL, Comm
 from ghicp_tpu.matching.matchers import MatchResult
-from ghicp_tpu.ops.stream_kernel import (StreamFeatures, SweepResult,
-                                         stream_selected, stream_sweep,
-                                         stream_sweep_ref)
+from ghicp_tpu.ops.stream_kernel import (StreamFeatures, stream_selected,
+                                         stream_sweep, stream_sweep_ref)
 
 Array = jax.Array
 

@@ -254,6 +254,16 @@ def pca_features(cloud: PointCloud, radius: float, k: int = 128,
     n_cells = int(jnp.sum(table.hashes != jnp.int32(2**31 - 1)))
     cell_chunk = 256
     n_chunks = max((min(n_cells, max_cells) + cell_chunk - 1) // cell_chunk, 1)
+    # Round the chunk count up to 1/8-granular powers of two: n_chunks is
+    # a STATIC argument, so every distinct occupied-cell count would
+    # otherwise compile a fresh ~10s executable (source vs target, scene
+    # vs scene).  Extra chunks scan sentinel-hash table slots (masked
+    # work, <= 12.5% waste); clamp to the table's own slot count.
+    if n_chunks > 8:
+        g = 1 << max(n_chunks.bit_length() - 4, 0)
+        n_chunks = -(-n_chunks // g) * g
+    n_chunks = min(n_chunks, max((max_cells + cell_chunk - 1) // cell_chunk,
+                                 1))
     feats = _pca_cell_pair(table, radius, cell_chunk, n_chunks, n)
     # Spill: valid points not resident in the table (rank >= cap or cell
     # beyond max_cells).  Rare at sane caps; a scalar count is the only

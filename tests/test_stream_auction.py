@@ -1,7 +1,7 @@
 """Streaming (matrix-free) auction vs the dense solver / Hungarian."""
 import numpy as np
 import jax.numpy as jnp
-import pytest
+
 from scipy.optimize import linear_sum_assignment
 
 from ghicp_tpu.features.bsc import pack_bits

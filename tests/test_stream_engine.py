@@ -1,6 +1,4 @@
 """End-to-end streaming-lane tests: the engine with NO [S,T] tensor."""
-import dataclasses
-
 import numpy as np
 import jax
 import jax.numpy as jnp

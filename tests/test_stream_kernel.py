@@ -1,15 +1,13 @@
 """Parity tests for the matrix-free streaming cost sweep
 (ops/stream_kernel.py) against the dense formulation it replaces."""
 import numpy as np
-import jax
 import jax.numpy as jnp
-import pytest
 
 from ghicp_tpu.features.bsc import pack_bits
 from ghicp_tpu.features.fpfh import fpfh_similarity_matrix
 from ghicp_tpu.features.hamming import min_hamming_fd
 from ghicp_tpu.features.rops import rops_similarity_matrix
-from ghicp_tpu.ops.stream_kernel import (StreamFeatures, make_stream_features,
+from ghicp_tpu.ops.stream_kernel import (make_stream_features,
                                          stream_selected, stream_sweep,
                                          stream_sweep_ref)
 
