@@ -96,11 +96,18 @@ def _tile_cd(s8, t8, fs_tile, ft_tile, na_tile, nb_tile, wed, wfd, scale,
         cd = ed * jnp.exp(-wfd * jnp.log(sim))
     else:
         V = fs_tile.shape[0]
+        int_bits = fs_tile.dtype == jnp.int8
         fd = None
         for v in range(V):
-            dot = jax.lax.dot_general(fs_tile[v], ft_tile,
-                                      (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+            # {0,1} bit factors: s8 x s8 -> s32 runs the MXU at twice the
+            # bf16 rate and is exact by construction (bf16 likewise exact
+            # for small integers; both paths kept for backend coverage).
+            dot = jax.lax.dot_general(
+                fs_tile[v], ft_tile, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32 if int_bits
+                else jnp.float32)
+            if int_bits:
+                dot = dot.astype(jnp.float32)
             ham = na_tile[v][:, None] + nb_tile[None, :] - 2.0 * dot
             fd = ham if fd is None else jnp.minimum(fd, ham)
         cd = wed * ed + wfd * fd
@@ -486,11 +493,15 @@ def stream_feature_candidates(feats: StreamFeatures, mask_s: Array,
                                       preferred_element_type=jnp.float32)
             v = jnp.abs(dot)
         else:
+            int_bits = feats.fs.dtype == jnp.int8
             v = None
             for vi in range(feats.fs.shape[0]):
-                dot = jax.lax.dot_general(feats.fs[vi], ft_blk,
-                                          (((1,), (1,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
+                dot = jax.lax.dot_general(
+                    feats.fs[vi], ft_blk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32 if int_bits
+                    else jnp.float32)
+                if int_bits:
+                    dot = dot.astype(jnp.float32)
                 ham = (feats.na[vi][:, None] + nb_blk[None, :] - 2.0 * dot)
                 v = -ham if v is None else jnp.maximum(v, -ham)
         v = jnp.where(mask_s[:, None] & mt_blk[None, :], v, _NEG)
@@ -544,8 +555,10 @@ def make_stream_features(packed_s: Optional[Array] = None,
         nb = jnp.sum(ft, axis=-1)                      # [T]
         fs = jnp.pad(fs, ((0, 0), (0, 0), (0, F - n_bits)))
         ft = jnp.pad(ft, ((0, 0), (0, F - n_bits)))
-        return StreamFeatures(fs=fs.astype(jnp.bfloat16),
-                              ft=ft.astype(jnp.bfloat16),
+        # int8 bit factors: exact, half the HBM bytes of bf16, and s8
+        # matmuls run the MXU at twice the bf16 rate.
+        return StreamFeatures(fs=fs.astype(jnp.int8),
+                              ft=ft.astype(jnp.int8),
                               na=na, nb=nb)
     assert desc_s is not None and desc_t is not None
     D = desc_s.shape[-1]

@@ -108,6 +108,12 @@ def _dummy_stream_features(cap: int, config: GHICPConfig):
     if config.feature == FeatureType.BSC:
         F = -(-config.bsc_total_bits // 128) * 128
         V = config.bsc_num_variants
+        # int8 bit factors — must match make_stream_features' dtype or
+        # the warm compile keys miss.
+        return StreamFeatures(fs=jnp.zeros((V, cap, F), jnp.int8),
+                              ft=jnp.zeros((cap, F), jnp.int8),
+                              na=jnp.zeros((V, cap), jnp.float32),
+                              nb=jnp.zeros((cap,), jnp.float32))
     elif config.feature == FeatureType.FPFH:
         F, V = 128, 1
     elif config.feature == FeatureType.ROPS:
