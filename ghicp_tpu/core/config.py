@@ -243,6 +243,39 @@ class GHICPConfig:
                                           # exceeds multiple GB and the
                                           # factor sweeps win on memory AND
                                           # bandwidth
+    stream_open_cap: int = 2048           # streaming lane: compact the
+                                          # still-open rows into a block of
+                                          # this capacity before each
+                                          # bidding/completion sweep when
+                                          # they fit, so warm sweeps cost
+                                          # O(cap * T) instead of O(S * T)
+                                          # (kept rows never re-bid; their
+                                          # tiles were pure waste).  0
+                                          # disables; full sweeps whenever
+                                          # more rows are open (cold starts)
+    stream_compact_budget: int = 16       # streaming lane: total bidding
+                                          # rounds allowed while the open
+                                          # set fits the compact block
+                                          # (extends auction_max_rounds —
+                                          # a compact sweep costs
+                                          # ~open_cap/S of a full one, so
+                                          # the released rows' price wars
+                                          # resolve through cheap sweeps
+                                          # instead of falling en masse to
+                                          # greedy completion, which is
+                                          # not one-to-one)
+    stream_fast_path: bool = True         # streaming lane: skip sweep-0 in
+                                          # stats-free iterations (BSC past
+                                          # the CD-stats phase of the
+                                          # penalty schedule,
+                                          # ghicp_reg.cpp:279-293) by
+                                          # carrying per-row v1 upper
+                                          # bounds across iterations —
+                                          # prices only rise, so stale v1
+                                          # plus the drift inflation stays
+                                          # a sound keep-test bound.  Warm
+                                          # iterations then touch only
+                                          # CS-violator rows, never S x T
     auction_rel_eps: float = 1.0 / 64.0   # final-eps floor as a fraction of
                                           # the benefit spread: assignment is
                                           # within n*rel_eps*spread of

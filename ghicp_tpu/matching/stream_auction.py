@@ -34,6 +34,7 @@ Array = jax.Array
 
 _NEG = jnp.float32(-3.0e38)
 _SINK = jnp.int32(2**30)
+_DEBUG = False  # gated jax.debug.print of keep/release dynamics
 
 
 class StreamSolveResult(NamedTuple):
@@ -49,6 +50,47 @@ class StreamSolveResult(NamedTuple):
     cd_mean: Array
     cd_std: Array
     ed_max: Array      # drift-bound input for the next warm start
+    v1_next: Array     # [S] per-row bound on max_j (b - p) at this solve's
+                       # bidding-start prices (fresh where observed, the
+                       # inflated carry elsewhere) — next solve's carry
+    b_max_next: Array  # benefit-spread carry for the next solve
+
+
+class StreamCarry(NamedTuple):
+    """Cross-iteration hint carry for the warm fast path.
+
+    ``v1_ub`` upper-bounds each row's best alternative value
+    max_j (b_ij - p_j) at the PREVIOUS solve's bidding-start prices.
+    Prices only rise within a solve, so the stale bound stays sound at any
+    later prices; the next solve inflates it by (benefit drift + price
+    deflation) before use.  When the penalty schedule is stats-free
+    (BSC iterations past the early phase, ghicp_reg.cpp:279-293 takes the
+    rms/fdm branch), the carried bounds replace sweep-0 entirely — the
+    solve touches only CS-violator rows instead of all S x C pairs.
+    """
+
+    ok: Array       # bool: carry fields are valid
+    v1_ub: Array    # [S]
+    b_max: Array    # scalar: benefit max at carry time (epsilon spread)
+    ed_max: Array   # scalar: ED max bound (price-drift input)
+    v1_drift: Array  # scalar: bound on how much any BENEFIT can have RISEN
+                     # since v1_ub was measured.  NOT the price_uncertainty
+                     # drift — that bounds benefit DECREASES (cost rises,
+                     # the direction that over-prices columns); a stale v1
+                     # is invalidated by the opposite direction (wfd decay
+                     # lowers fd-heavy costs by up to dwfd*fd_max, ED
+                     # shrinks as alignment improves).  Without it the keep
+                     # test holds rows whose best alternative improved —
+                     # the matching freezes (measured: matched RMSE 0.67
+                     # -> 1.81 on the 20k-pt parity pair)
+
+
+def carry_init(n_rows: int) -> StreamCarry:
+    """An invalid carry of the right shapes (engine state at iteration 0)."""
+    return StreamCarry(ok=jnp.bool_(False),
+                       v1_ub=jnp.zeros((n_rows,), jnp.float32),
+                       b_max=jnp.float32(0.0), ed_max=jnp.float32(0.0),
+                       v1_drift=jnp.float32(0.0))
 
 
 def _resolve_round(v1, j1, v2, eps_r, sink, state, row_gid, comm: Comm,
@@ -91,7 +133,10 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                  ts: int = 256, tc: int = 512, interpret: bool = False,
                  mult_blend: bool = False, use_kernel: bool = True,
                  sweep_fn: Optional[Callable] = None,
-                 select_fn: Optional[Callable] = None) -> StreamSolveResult:
+                 select_fn: Optional[Callable] = None,
+                 carry: Optional[StreamCarry] = None,
+                 stats_free=False, open_cap: int = 0,
+                 compact_extra_sweeps: int = 0) -> StreamSolveResult:
     """Matrix-free KM-equivalent solve for one engine iteration.
 
     ``penalty_from_stats(cd_mean, cd_std)`` maps the sweep's CD statistics
@@ -112,11 +157,30 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     likewise overrides the matched-pair gathers (the ring keeps target
     factors sharded, so selection reads the replicated packed words
     instead, ring_selected).
+
+    Warm fast path (``carry`` + ``stats_free`` + ``open_cap``):
+
+    * ``carry`` (a :class:`StreamCarry` from the previous solve) with
+      ``stats_free`` true (the penalty schedule doesn't need this sweep's
+      CD statistics) replaces sweep-0 with O(S*F) factor gathers: vsel is
+      computed exactly at the kept columns, v1's role in the keep test is
+      played by the carried upper bound inflated by the drift terms, and
+      the spread/ed_max scalars come from the carry.  Sound because
+      prices only rise within a solve and every inflation term is an
+      upper bound — staleness only makes the keep test conservative.
+    * ``open_cap`` > 0 compacts still-open rows into a fixed-capacity
+      block before each bidding/completion sweep whenever they fit, so
+      those sweeps cost O(open_cap * C) instead of O(S * C) (kept rows
+      don't re-bid; computing their tiles was pure waste).  Falls back to
+      full sweeps when more rows than ``open_cap`` are open (e.g. cold
+      starts).  Requires the default sweep path (``feats``), not the
+      ring's external ``sweep_fn``.
     """
     S = kp_s.shape[0]
     C = kp_t.shape[0]
     rows_total = total_rows if total_rows is not None else S
     row_gid = comm.axis_index() * S + jnp.arange(S, dtype=jnp.int32)
+    external_sweep = sweep_fn is not None
     if sweep_fn is None:
         if use_kernel and S % ts == 0 and C % tc == 0:
             def sweep_fn(p, ac):
@@ -130,6 +194,27 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                                         p, ac, wed, wfd, scale, tc=tc,
                                         mult_blend=mult_blend)
 
+    # Open-row compaction capacity (static).  ts-granular for the kernel;
+    # disabled when it wouldn't shrink the sweep or the sweep is external.
+    cap = min(open_cap, S)
+    cap = (cap // ts) * ts if (use_kernel and S % ts == 0) else cap
+    can_compact = (not external_sweep) and feats is not None \
+        and 0 < cap < S
+
+    def sub_sweep(idx, sub_mask, p, ac_sub):
+        """Sweep over the gathered row subset (same semantics, fewer rows).
+        The factor gather is O(cap*F) — trivia next to a full sweep."""
+        sub = StreamFeatures(fs=feats.fs[:, idx], ft=feats.ft,
+                             na=feats.na[:, idx], nb=feats.nb)
+        kps_sub = kp_s[idx]
+        if use_kernel and cap % ts == 0 and C % tc == 0:
+            return stream_sweep(kps_sub, kp_t, sub, sub_mask, mask_t, p,
+                                ac_sub, wed, wfd, scale, ts=ts, tc=tc,
+                                interpret=interpret, mult_blend=mult_blend)
+        return stream_sweep_ref(kps_sub, kp_t, sub, sub_mask, mask_t, p,
+                                ac_sub, wed, wfd, scale, tc=tc,
+                                mult_blend=mult_blend)
+
     # --- sweep 0: statistics + warm-start hints at mid-deflated prices ---
     real0 = (acol0 >= 0) & (acol0 < C)
     owner0 = jnp.full((C,), -1, jnp.int32).at[
@@ -138,15 +223,48 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     owner0 = comm.pmax(owner0)
     d_pre = jnp.float32(price_uncertainty)
     p_mid = jnp.where(owner0 >= 0, jnp.maximum(p0 - d_pre, 0.0), 0.0)
-    sw0 = sweep_fn(p_mid, acol0)
-    cnt = jnp.maximum(comm.psum(sw0.cnt), 1.0)
-    s1 = comm.psum(sw0.cd_sum)
-    s2 = comm.psum(sw0.cd_sumsq)
-    cd_mean = s1 / cnt
-    cd_std = jnp.sqrt(jnp.maximum(s2 / cnt - cd_mean * cd_mean, 0.0))
-    penalty = penalty_from_stats(cd_mean, cd_std)
-    b_max = comm.pmax(sw0.b_max)
-    ed_max = comm.pmax(sw0.ed_max)
+    jc0 = jnp.where(real0, acol0, 0)
+
+    def _full_sweep0(_):
+        sw0 = sweep_fn(p_mid, acol0)
+        cnt = jnp.maximum(comm.psum(sw0.cnt), 1.0)
+        s1 = comm.psum(sw0.cd_sum)
+        s2 = comm.psum(sw0.cd_sumsq)
+        cd_mean = s1 / cnt
+        cd_std = jnp.sqrt(jnp.maximum(s2 / cnt - cd_mean * cd_mean, 0.0))
+        penalty = penalty_from_stats(cd_mean, cd_std)
+        b_max = comm.pmax(sw0.b_max)
+        ed_max = comm.pmax(sw0.ed_max)
+        # v1 measured fresh at p_mid: only the penalty-drift deflation
+        # (applied below) separates it from the bidding-start prices.
+        return (penalty, cd_mean, cd_std, b_max, ed_max, sw0.v1, sw0.vsel)
+
+    def _carry_sweep0(_):
+        # Stats-free penalty: the schedule ignores (mean, std) here.
+        zero = jnp.float32(0.0)
+        penalty = penalty_from_stats(zero, zero)
+        if select_fn is not None:
+            cd0, _, _ = select_fn(jc0)
+        else:
+            cd0, _, _ = stream_selected(kp_s, kp_t, feats, jc0, wed, wfd,
+                                        scale, mult_blend=mult_blend)
+        vsel = jnp.where(real0 & mask_s & mask_t[jc0],
+                         -cd0 - p_mid[jc0], _NEG)
+        # Carried v1 was measured at the PREVIOUS solve's bidding-start
+        # prices under the previous benefits: inflate by the
+        # benefit-INCREASE bound (v1_drift — a better alternative may have
+        # appeared) plus the price deflation applied since (<= d_pre; the
+        # dpen part is added uniformly below).
+        return (penalty, zero, zero, carry.b_max + carry.v1_drift,
+                carry.ed_max, carry.v1_ub + carry.v1_drift + d_pre, vsel)
+
+    if carry is None:
+        (penalty, cd_mean, cd_std, b_max, ed_max, v1_base,
+         vsel0) = _full_sweep0(None)
+    else:
+        fast = carry.ok & jnp.asarray(stats_free)
+        (penalty, cd_mean, cd_std, b_max, ed_max, v1_base,
+         vsel0) = jax.lax.cond(fast, _carry_sweep0, _full_sweep0, None)
     sink = -penalty
 
     spread = jnp.maximum(b_max - sink, 0.0)
@@ -158,13 +276,18 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     # before the new penalty was known — v1 at the further-deflated start
     # prices is bounded above by v1_mid + dpen, vsel below by vsel_mid.
     dpen = jnp.abs(penalty - jnp.float32(pen_prev))
-    v1_ub = sw0.v1 + dpen
+    v1_ub = v1_base + dpen
     eps0 = jnp.clip(d_pre + dpen, eps, jnp.maximum(spread / 8.0, eps))
-    jc0 = jnp.where(real0, acol0, 0)
     own_ok = real0 & (owner0[jc0] == row_gid)
-    keep = own_ok & (sw0.vsel >= v1_ub - eps0)
+    keep = own_ok & (vsel0 >= v1_ub - eps0)
     stay_sunk = (acol0 == _SINK) & (sink >= v1_ub - eps0)
     rel = own_ok & ~keep
+    if _DEBUG:
+        jax.debug.print(
+            "keep={k} rel={r} sunk={s} dpre={d:.3f} dpen={dp:.3f} "
+            "eps0={e:.3f} eps={ep:.4f} spread={sp:.2f}",
+            k=jnp.sum(keep), r=jnp.sum(rel), s=jnp.sum(stay_sunk),
+            d=d_pre, dp=dpen, e=eps0, ep=eps, sp=spread)
     owner = owner0.at[jnp.where(rel, acol0, C)].set(-1, mode="drop")
     owner = comm.pmin(owner)
     acol = jnp.where(keep, acol0, jnp.where(stay_sunk, _SINK, -1))
@@ -173,34 +296,94 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     p = jnp.where(owner >= 0, jnp.maximum(p_mid - dpen, 0.0), 0.0)
 
     # --- Jacobi bidding sweeps with epsilon escalation ---
+    # A compact sweep costs O(cap/S) of a full one, so rounds where the
+    # open set fits the compact block get extra runway beyond the
+    # full-sweep budget: mass releases (conservative keep tests in the
+    # warm fast path) then re-converge through cheap sweeps instead of
+    # falling en masse to greedy completion (which is not one-to-one and
+    # dilutes the estimator with duplicate columns).
     budget = jnp.int32(max_sweeps)
-    esc_after = jnp.maximum(budget // 4, 1)
+    extend = bool(can_compact and compact_extra_sweeps)
+    budget_ext = (jnp.maximum(budget, jnp.int32(compact_extra_sweeps))
+                  if extend else budget)
+    esc_after = jnp.maximum(budget_ext // 4, 1)
+    neg_s = jnp.full((S,), _NEG, jnp.float32)
+
+    def open_top2(rows_open, p, acol):
+        """Top-2 for the open rows: compacted when they fit in ``cap``,
+        else a full sweep.  Returns full-[S] (v1, j1, v2) with _NEG at
+        untouched rows (only open rows' values are consumed) plus the
+        freshly-observed v1 scatter for the carry."""
+        def full(_):
+            sw = sweep_fn(p, acol)
+            return sw.v1, sw.j1, sw.v2, sw.v1, mask_s
+
+        if not can_compact:
+            return full(None)
+
+        def compact(_):
+            # Stable sort: open rows first, original order preserved.
+            idx = jnp.argsort(~rows_open)[:cap]
+            sub_mask = rows_open[idx] & mask_s[idx]
+            sw = sub_sweep(idx, sub_mask, p, acol[idx])
+            v1 = neg_s.at[idx].set(jnp.where(sub_mask, sw.v1, _NEG))
+            j1 = jnp.zeros((S,), jnp.int32).at[idx].set(sw.j1)
+            v2 = neg_s.at[idx].set(jnp.where(sub_mask, sw.v2, _NEG))
+            obs = jnp.zeros((S,), bool).at[idx].set(sub_mask)
+            return v1, j1, v2, v1, obs
+
+        n_open = jnp.sum(rows_open.astype(jnp.int32))
+        return jax.lax.cond(n_open <= cap, compact, full, None)
 
     def cond(c):
-        owner, acol, p, r = c
-        open_rows = comm.psum(jnp.sum((acol == -1).astype(jnp.int32)))
-        return (open_rows > 0) & (r < budget)
+        owner, acol, p, r, v1_obs, obs = c
+        open_local = jnp.sum((acol == -1).astype(jnp.int32))
+        open_rows = comm.psum(open_local)
+        in_budget = r < budget
+        if extend:
+            # Extra rounds only while EVERY shard's open set fits its
+            # compact block (pmax keeps the loop trip count uniform across
+            # shards — collectives in the body must stay in lockstep).
+            in_budget = in_budget | ((comm.pmax(open_local) <= cap)
+                                     & (r < budget_ext))
+        return (open_rows > 0) & in_budget
 
     def body(c):
-        owner, acol, p, r = c
-        sw = sweep_fn(p, acol)
+        owner, acol, p, r, v1_obs, obs = c
+        rows_open = acol == -1
+        v1, j1, v2, v1_new, touched = open_top2(rows_open, p, acol)
+        # Carry tracking: overwrite with the freshest measurement (prices
+        # only rise, so later observations are the tighter upper bounds).
+        v1_obs = jnp.where(touched, v1_new, v1_obs)
+        obs = obs | touched
         eps_r = eps * jnp.exp2(jnp.maximum(
             r + 1 - esc_after, 0).astype(jnp.float32))
-        owner, acol, p = _resolve_round(sw.v1, sw.j1, sw.v2, eps_r, sink,
+        owner, acol, p = _resolve_round(v1, j1, v2, eps_r, sink,
                                         (owner, acol, p), row_gid, comm, C)
-        return owner, acol, p, r + 1
+        return owner, acol, p, r + 1, v1_obs, obs
 
-    owner, acol, p, rounds = jax.lax.while_loop(
-        cond, body, (owner, acol, p, jnp.int32(0)))
+    if _DEBUG:
+        _body_orig = body
+
+        def body(c, _b=_body_orig):
+            jax.debug.print("round={r} open_before={o}",
+                            r=c[3], o=jnp.sum(c[1] == -1))
+            return _b(c)
+    owner, acol, p, rounds, v1_obs, obs = jax.lax.while_loop(
+        cond, body, (owner, acol, p, jnp.int32(0), neg_s,
+                     jnp.zeros((S,), bool)))
 
     # --- greedy completion at final prices (budget exhaustion) ---
     leftover = acol == -1
     any_left = comm.psum(jnp.sum(leftover.astype(jnp.int32))) > 0
+    if _DEBUG:
+        jax.debug.print("rounds={r} leftover={l}", r=rounds,
+                        l=jnp.sum(leftover))
 
     def complete(acol):
-        sw = sweep_fn(p, acol)
+        v1, j1, _, _, _ = open_top2(leftover, p, acol)
         return jnp.where(leftover,
-                         jnp.where(sw.v1 > sink, sw.j1, _SINK), acol)
+                         jnp.where(v1 > sink, j1, _SINK), acol)
 
     acol = jax.lax.cond(any_left, complete, lambda a: a, acol)
 
@@ -223,7 +406,12 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                         n_matches=cor.astype(jnp.int32))
     eps_used = eps * jnp.exp2(jnp.maximum(
         rounds - esc_after, 0).astype(jnp.float32))
+    # Next-solve carry: fresh observations where a bidding/completion sweep
+    # touched the row (measured at in-solve prices, which only rise), the
+    # inflated keep-test bound elsewhere.
+    v1_next = jnp.where(obs, v1_obs, v1_ub)
     return StreamSolveResult(match=match, prices=p, energy=energy,
                              rounds=rounds, eps_used=eps_used, acol=acol,
                              cd_sel=cd_sel, fd_sel=fd_sel, penalty=penalty,
-                             cd_mean=cd_mean, cd_std=cd_std, ed_max=ed_max)
+                             cd_mean=cd_mean, cd_std=cd_std, ed_max=ed_max,
+                             v1_next=v1_next, b_max_next=b_max)

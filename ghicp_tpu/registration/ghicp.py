@@ -43,6 +43,7 @@ from ghicp_tpu.matching import (auction_match, blend_bsc, blend_fpfh,
                                 blend_none, euclidean_matrix, nn_match,
                                 nnr_match)
 from ghicp_tpu.matching.auction import auction_match_benefits
+from ghicp_tpu.matching.stream_auction import StreamCarry, carry_init
 from ghicp_tpu.registration.estimator import estimate
 
 Array = jax.Array
@@ -103,6 +104,11 @@ class _State(NamedTuple):
                       # init (RANSAC) replaces the feature-driven early
                       # phase — iteration 0's pure-FD matching would throw
                       # a verified pose away (W_ED = 0 at it 0)
+    scarry: tuple     # StreamCarry (ok, v1_ub [S], b_max, ed_max): the
+                      # streaming lane's warm fast-path hint carry — lets
+                      # stats-free iterations skip sweep-0 entirely
+                      # (matching/stream_auction.py).  Zeros + ok=False on
+                      # the non-streaming paths
 
 
 def _matched_stats(src_pts, tgt_pts, fsel, tgt_idx, w, comm: Comm):
@@ -150,7 +156,7 @@ def _initial_state(kp_s: Array, n_target: int, config: GHICPConfig,
         prices=jnp.zeros((n_target,), jnp.float32),
         acol=jnp.full((S,), -1, jnp.int32),
         price_unc=jnp.float32(3.0e38), pen_prev=jnp.float32(0.0),
-        it_shift=jnp.float32(it_shift))
+        it_shift=jnp.float32(it_shift), scarry=carry_init(S))
 
 
 def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
@@ -270,6 +276,14 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
             # own sweep_fn instead.
             use_kernel = (_jax.default_backend() == "tpu"
                           or _STREAM_INTERPRET)
+            # Warm fast path: BSC's penalty schedule is stats-free past
+            # it_eff > 1 (bsc_penalty takes the rms/fdm branch,
+            # ghicp_reg.cpp:279-293) and its price drift bound is finite,
+            # so the carried hints can replace sweep-0.  FPFH/RoPS drift
+            # is unbounded (multiplicative blend) -> carry disabled.
+            use_fast = (config.stream_fast_path
+                        and config.feature == FeatureType.BSC
+                        and not is_ring)
             sres = stream_solve(
                 kps_c, kp_t_c, None if is_ring else stream, mask_s, mask_t,
                 wed, wfd, scale,
@@ -279,7 +293,11 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                 acol0=st.acol, pen_prev=st.pen_prev, comm=comm,
                 total_rows=total_rows, interpret=_STREAM_INTERPRET,
                 mult_blend=mult_blend, use_kernel=use_kernel,
-                sweep_fn=sweep_fn, select_fn=select_fn)
+                sweep_fn=sweep_fn, select_fn=select_fn,
+                carry=st.scarry if use_fast else None,
+                stats_free=(it_eff > 1.0) if use_fast else False,
+                open_cap=0 if is_ring else config.stream_open_cap,
+                compact_extra_sweeps=config.stream_compact_budget)
             match = sres.match
             energy = sres.energy
             rounds = sres.rounds
@@ -495,6 +513,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
         max_disp = comm.pmax(jnp.max(jnp.where(
             mask_s, jnp.linalg.norm(kps_new - st.kps, axis=-1), 0.0)))
         d_ed = scale * max_disp
+        scarry_new = st.scarry
         if config.feature == FeatureType.BSC:
             r = config.weight_changing_rate
             i_eff = i.astype(jnp.float32) + st.it_shift
@@ -505,6 +524,21 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                 ed_max = comm.pmax(jnp.max(jnp.where(
                     mask_s[:, None] & mask_t[None, :], ed, 0.0)))
             drift_next = d_ed + dwfd * (ed_max + d_ed)
+            if use_stream and config.stream_fast_path and not is_ring:
+                # Hint carry for the streaming warm fast path: fresh or
+                # propagated per-row v1 bounds, spread max, and the ED max
+                # inflated by this iteration's keypoint motion (still an
+                # upper bound after the move).  v1_drift bounds benefit
+                # INCREASES over this iteration's transition: wfd decay
+                # lowers fd-heavy costs by <= dwfd * fd_max (fd is a
+                # Hamming distance <= the bit count) and ED can shrink by
+                # <= d_ed as the pose improves.
+                fd_cap = jnp.float32(config.bsc_total_bits)
+                scarry_new = StreamCarry(ok=jnp.bool_(True),
+                                         v1_ub=sres.v1_next,
+                                         b_max=sres.b_max_next,
+                                         ed_max=ed_max + d_ed,
+                                         v1_drift=dwfd * fd_cap + d_ed)
         elif config.feature in (FeatureType.FPFH, FeatureType.ROPS):
             drift_next = jnp.float32(3.0e38)
         else:
@@ -516,7 +550,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
             metrics=metrics, matches=matches, rmse_after=rmse_after,
             prices=prices, acol=acol_new,
             price_unc=drift_next + 2.0 * eps_used,
-            pen_prev=penalty, it_shift=st.it_shift)
+            pen_prev=penalty, it_shift=st.it_shift, scarry=scarry_new)
 
     return body
 

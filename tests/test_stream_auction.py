@@ -158,3 +158,108 @@ def test_stream_solve_production_budget_quality():
     opt = _hungarian_energy(cd, float(res.penalty))
     got = float(res.energy)
     assert (got - opt) / abs(opt) < 0.01, (got, opt)
+
+
+def test_stream_solve_compaction_is_exact():
+    """open_cap compaction (bidding/completion sweeps over only the open
+    rows) is a pure dataflow change: matchings, prices and energy are
+    bit-identical to the full-sweep solve, warm or cold."""
+    kp_s, kp_t, feats, fd = _problem(seed=11)
+    wed, wfd, scale = 0.6, 0.4, 0.1
+
+    def penalty_fn(mean, std):
+        return mean - 1.0 * std
+
+    def run(open_cap, **kw):
+        S, C = kp_s.shape[0], kp_t.shape[0]
+        return stream_solve(
+            jnp.asarray(kp_s), jnp.asarray(kp_t), feats,
+            jnp.ones(S, bool), jnp.ones(C, bool), wed, wfd, scale,
+            penalty_fn, eps_final=0.01, rel_eps=1.0 / 64, max_sweeps=64,
+            p0=kw.get("p0", jnp.zeros(C, jnp.float32)),
+            price_uncertainty=kw.get("unc", 3.0e38),
+            acol0=kw.get("acol0", jnp.full((S,), -1, jnp.int32)),
+            pen_prev=kw.get("pen_prev", 0.0), use_kernel=False, tc=128,
+            open_cap=open_cap)
+
+    cold_full = run(0)
+    cold_cap = run(64)   # 192 rows open at start -> full-sweep fallback,
+                         # compact once the open set shrinks below 64
+    np.testing.assert_array_equal(np.asarray(cold_full.acol),
+                                  np.asarray(cold_cap.acol))
+    np.testing.assert_allclose(float(cold_full.energy),
+                               float(cold_cap.energy), rtol=1e-6)
+    # Warm re-solve on moved keypoints: compaction still exact.
+    rng = np.random.default_rng(1)
+    kp_s2 = kp_s + rng.uniform(-2e-3, 2e-3, kp_s.shape).astype(np.float32)
+    drift = 0.1 * 2e-3 * np.sqrt(3) + 2 * float(cold_full.eps_used)
+    warm_kw = dict(p0=cold_full.prices, unc=drift, acol0=cold_full.acol,
+                   pen_prev=float(cold_full.penalty))
+    kp_s = kp_s2  # noqa: F841  (runs below rebind via closure)
+    w_full = stream_solve(
+        jnp.asarray(kp_s2), jnp.asarray(kp_t), feats,
+        jnp.ones(len(kp_s2), bool), jnp.ones(len(kp_t), bool),
+        wed, wfd, scale, penalty_fn, eps_final=0.01, rel_eps=1.0 / 64,
+        max_sweeps=64, p0=warm_kw["p0"], price_uncertainty=warm_kw["unc"],
+        acol0=warm_kw["acol0"], pen_prev=warm_kw["pen_prev"],
+        use_kernel=False, tc=128, open_cap=0)
+    w_cap = stream_solve(
+        jnp.asarray(kp_s2), jnp.asarray(kp_t), feats,
+        jnp.ones(len(kp_s2), bool), jnp.ones(len(kp_t), bool),
+        wed, wfd, scale, penalty_fn, eps_final=0.01, rel_eps=1.0 / 64,
+        max_sweeps=64, p0=warm_kw["p0"], price_uncertainty=warm_kw["unc"],
+        acol0=warm_kw["acol0"], pen_prev=warm_kw["pen_prev"],
+        use_kernel=False, tc=128, open_cap=64)
+    np.testing.assert_array_equal(np.asarray(w_full.acol),
+                                  np.asarray(w_cap.acol))
+    np.testing.assert_allclose(np.asarray(w_full.prices),
+                               np.asarray(w_cap.prices), atol=1e-6)
+
+
+def test_stream_solve_carry_fast_path_quality():
+    """stats_free + carry (skip sweep-0): the fast-path warm solve reaches
+    the cold solve's energy within the epsilon-CS bound and keeps the
+    KM gate exact."""
+    from ghicp_tpu.matching.stream_auction import StreamCarry
+    kp_s, kp_t, feats, fd = _problem(seed=13)
+    wed, wfd, scale = 0.7, 0.3, 0.1
+    pen_const = 18.0    # stats-free schedule (late-iteration semantics)
+
+    def penalty_fn(mean, std):
+        return jnp.float32(pen_const)
+
+    res1 = _solve(kp_s, kp_t, feats, wed, wfd, scale, penalty_fn,
+                  budget=2000, eps=0.01)
+    rng = np.random.default_rng(2)
+    kp_s2 = kp_s + rng.uniform(-2e-3, 2e-3, kp_s.shape).astype(np.float32)
+    drift = 0.1 * 2e-3 * np.sqrt(3) + 2 * float(res1.eps_used)
+    cold = _solve(kp_s2, kp_t, feats, wed, wfd, scale, penalty_fn,
+                  budget=2000, eps=0.01)
+    S, C = kp_s.shape[0], kp_t.shape[0]
+    # Benefits can RISE by at most the ED shrink bound here (weights are
+    # fixed between the solves, so the wfd-decay term is zero).
+    carry = StreamCarry(ok=jnp.bool_(True), v1_ub=res1.v1_next,
+                        b_max=res1.b_max_next,
+                        ed_max=jnp.float32(0.1 * 60.0),
+                        v1_drift=jnp.float32(0.1 * 2e-3 * np.sqrt(3)))
+    fast = stream_solve(
+        jnp.asarray(kp_s2), jnp.asarray(kp_t), feats,
+        jnp.ones(S, bool), jnp.ones(C, bool), wed, wfd, scale,
+        penalty_fn, eps_final=0.01, rel_eps=0.0, max_sweeps=2000,
+        p0=res1.prices, price_uncertainty=drift, acol0=res1.acol,
+        pen_prev=pen_const, use_kernel=False, tc=128,
+        carry=carry, stats_free=True, open_cap=64)
+    cd = _dense_cd(kp_s2, kp_t, fd, wed, wfd, scale)
+    opt = _hungarian_energy(cd, pen_const)
+    n = max(S, C)
+    bound = n * max(float(cold.eps_used), float(fast.eps_used)) + 1e-2
+    assert float(fast.energy) <= opt + bound, (float(fast.energy), opt)
+    # KM gate still exact on the fast path
+    w = np.asarray(fast.match.w)
+    tj = np.asarray(fast.match.tgt_idx)
+    for i in np.nonzero(w > 0)[0]:
+        assert cd[i, tj[i]] < pen_const
+    real = tj[w > 0]
+    assert len(real) == len(np.unique(real))
+    # And it spends no more sweeps than the cold solve.
+    assert int(fast.rounds) <= int(cold.rounds)
