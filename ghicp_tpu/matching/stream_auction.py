@@ -54,6 +54,10 @@ class StreamSolveResult(NamedTuple):
                        # bidding-start prices (fresh where observed, the
                        # inflated carry elsewhere) — next solve's carry
     b_max_next: Array  # benefit-spread carry for the next solve
+    fd_max: Array      # max FD over valid pairs (fresh on a full sweep-0,
+                       # carried through fast solves; exact forever since
+                       # features are fixed) — tightens the engine's
+                       # benefit-rise drift term dwfd*fd_max
 
 
 class StreamCarry(NamedTuple):
@@ -73,6 +77,7 @@ class StreamCarry(NamedTuple):
     v1_ub: Array    # [S]
     b_max: Array    # scalar: benefit max at carry time (epsilon spread)
     ed_max: Array   # scalar: ED max bound (price-drift input)
+    fd_max: Array   # scalar: max FD over valid pairs (exact, permanent)
     v1_drift: Array  # scalar: bound on how much any BENEFIT can have RISEN
                      # since v1_ub was measured.  NOT the price_uncertainty
                      # drift — that bounds benefit DECREASES (cost rises,
@@ -90,6 +95,7 @@ def carry_init(n_rows: int) -> StreamCarry:
     return StreamCarry(ok=jnp.bool_(False),
                        v1_ub=jnp.zeros((n_rows,), jnp.float32),
                        b_max=jnp.float32(0.0), ed_max=jnp.float32(0.0),
+                       fd_max=jnp.float32(0.0),
                        v1_drift=jnp.float32(0.0))
 
 
@@ -237,7 +243,8 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
         ed_max = comm.pmax(sw0.ed_max)
         # v1 measured fresh at p_mid: only the penalty-drift deflation
         # (applied below) separates it from the bidding-start prices.
-        return (penalty, cd_mean, cd_std, b_max, ed_max, sw0.v1, sw0.vsel)
+        return (penalty, cd_mean, cd_std, b_max, ed_max,
+                comm.pmax(sw0.fd_max), sw0.v1, sw0.vsel)
 
     def _carry_sweep0(_):
         # Stats-free penalty: the schedule ignores (mean, std) here.
@@ -256,14 +263,15 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
         # appeared) plus the price deflation applied since (<= d_pre; the
         # dpen part is added uniformly below).
         return (penalty, zero, zero, carry.b_max + carry.v1_drift,
-                carry.ed_max, carry.v1_ub + carry.v1_drift + d_pre, vsel)
+                carry.ed_max, carry.fd_max,
+                carry.v1_ub + carry.v1_drift + d_pre, vsel)
 
     if carry is None:
-        (penalty, cd_mean, cd_std, b_max, ed_max, v1_base,
+        (penalty, cd_mean, cd_std, b_max, ed_max, fd_max, v1_base,
          vsel0) = _full_sweep0(None)
     else:
         fast = carry.ok & jnp.asarray(stats_free)
-        (penalty, cd_mean, cd_std, b_max, ed_max, v1_base,
+        (penalty, cd_mean, cd_std, b_max, ed_max, fd_max, v1_base,
          vsel0) = jax.lax.cond(fast, _carry_sweep0, _full_sweep0, None)
     sink = -penalty
 
@@ -322,14 +330,26 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
             return full(None)
 
         def compact(_):
-            # Stable sort: open rows first, original order preserved.
-            idx = jnp.argsort(~rows_open)[:cap]
-            sub_mask = rows_open[idx] & mask_s[idx]
+            # Stable compaction without a sort: each open row scatters to
+            # its rank (cumsum), preserving original order.  Unfilled
+            # slots gather row 0 with sub_mask off; scatters back use an
+            # out-of-bounds sentinel so they drop instead of clobbering.
+            rank = jnp.cumsum(rows_open.astype(jnp.int32)) - 1
+            pos = jnp.where(rows_open & (rank < cap), rank, cap)
+            rows = jnp.arange(S, dtype=jnp.int32)
+            idx = jnp.zeros((cap,), jnp.int32).at[pos].set(
+                rows, mode="drop")
+            filled = jnp.zeros((cap,), bool).at[pos].set(
+                rows_open, mode="drop")
+            sub_mask = filled & mask_s[idx]
             sw = sub_sweep(idx, sub_mask, p, acol[idx])
-            v1 = neg_s.at[idx].set(jnp.where(sub_mask, sw.v1, _NEG))
-            j1 = jnp.zeros((S,), jnp.int32).at[idx].set(sw.j1)
-            v2 = neg_s.at[idx].set(jnp.where(sub_mask, sw.v2, _NEG))
-            obs = jnp.zeros((S,), bool).at[idx].set(sub_mask)
+            idx_sc = jnp.where(sub_mask, idx, S)
+            v1 = neg_s.at[idx_sc].set(sw.v1, mode="drop")
+            j1 = jnp.zeros((S,), jnp.int32).at[idx_sc].set(
+                sw.j1, mode="drop")
+            v2 = neg_s.at[idx_sc].set(sw.v2, mode="drop")
+            obs = jnp.zeros((S,), bool).at[idx_sc].set(
+                sub_mask, mode="drop")
             return v1, j1, v2, v1, obs
 
         n_open = jnp.sum(rows_open.astype(jnp.int32))
@@ -414,4 +434,5 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                              rounds=rounds, eps_used=eps_used, acol=acol,
                              cd_sel=cd_sel, fd_sel=fd_sel, penalty=penalty,
                              cd_mean=cd_mean, cd_std=cd_std, ed_max=ed_max,
-                             v1_next=v1_next, b_max_next=b_max)
+                             v1_next=v1_next, b_max_next=b_max,
+                             fd_max=fd_max)

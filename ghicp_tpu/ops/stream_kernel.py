@@ -76,11 +76,19 @@ class SweepResult(NamedTuple):
     cd_max: Array
     ed_max: Array
     b_max: Array   # = -cd_min over valid pairs (epsilon spread source)
+    fd_max: Array  # max FD over valid pairs (0 on the similarity lane).
+                   # Features are fixed for a whole registration, so one
+                   # fresh measurement is a PERMANENT bound — the warm
+                   # fast path's benefit-rise term dwfd*fd_max uses it
+                   # instead of the crude total-bit-count cap
 
 
 def _tile_cd(s8, t8, fs_tile, ft_tile, na_tile, nb_tile, wed, wfd, scale,
              mult_blend: bool):
-    """CD for one (row tile, column tile) from the factor inputs."""
+    """(CD, ED, FD) for one (row tile, column tile) from the factor
+    inputs.  FD is zeros on the multiplicative (similarity) lane — its
+    consumer is the fd_max statistic, which only the additive BSC blend's
+    drift bounds need."""
     d = jax.lax.dot_general(s8, t8, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
@@ -94,6 +102,7 @@ def _tile_cd(s8, t8, fs_tile, ft_tile, na_tile, nb_tile, wed, wfd, scale,
                                   preferred_element_type=jnp.float32)
         sim = jnp.maximum(jnp.abs(dot), 1e-6)
         cd = ed * jnp.exp(-wfd * jnp.log(sim))
+        fd = jnp.zeros_like(ed)
     else:
         V = fs_tile.shape[0]
         int_bits = fs_tile.dtype == jnp.int8
@@ -111,7 +120,7 @@ def _tile_cd(s8, t8, fs_tile, ft_tile, na_tile, nb_tile, wed, wfd, scale,
             ham = na_tile[v][:, None] + nb_tile[None, :] - 2.0 * dot
             fd = ham if fd is None else jnp.minimum(fd, ham)
         cd = wed * ed + wfd * fd
-    return cd, ed
+    return cd, ed, fd
 
 
 def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
@@ -137,9 +146,9 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
         part_out[:, :] = jnp.zeros_like(part_out)
         part_out[5, :] = jnp.full_like(part_out[5, :], _NEG)
 
-    cd, ed = _tile_cd(kps_ref[:, :], kpt_ref[:, :], fs_ref[:, :, :],
-                      ft_ref[:, :], na_ref[:, i, :], nb_ref[0, :],
-                      wed, wfd, scale, mult_blend)
+    cd, ed, fdt = _tile_cd(kps_ref[:, :], kpt_ref[:, :], fs_ref[:, :, :],
+                           ft_ref[:, :], na_ref[:, i, :], nb_ref[0, :],
+                           wed, wfd, scale, mult_blend)
     m = (ms_ref[i, :][:, None] > 0) & (mt_ref[0, :][None, :] > 0)
     off = j * tc
     v = jnp.where(m, -cd - p_ref[0, :][None, :], _NEG)
@@ -182,6 +191,8 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
                                  jnp.max(jnp.where(m, ed, 0.0)))
     part_out[5, :] = jnp.maximum(part_out[5, :],
                                  jnp.max(jnp.where(m, -cd, _NEG)))
+    part_out[6, :] = jnp.maximum(part_out[6, :],
+                                 jnp.max(jnp.where(m, fdt, 0.0)))
 
     @pl.when(j == n_j - 1)
     def _flush():
@@ -283,7 +294,8 @@ def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                        vsel=vsel.reshape(S),
                        cnt=parts[0, 0], cd_sum=parts[1, 0],
                        cd_sumsq=parts[2, 0], cd_max=parts[3, 0],
-                       ed_max=parts[4, 0], b_max=parts[5, 0])
+                       ed_max=parts[4, 0], b_max=parts[5, 0],
+                       fd_max=parts[6, 0])
 
 
 def stream_sweep_ref(kp_s: Array, kp_t: Array, feats: StreamFeatures,
@@ -300,15 +312,16 @@ def stream_sweep_ref(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     acol = acol.astype(jnp.int32)
 
     def step(carry, j):
-        v1, j1, v2, j2, vsel, cnt, s1, s2, cmax, emax, bmax = carry
+        (v1, j1, v2, j2, vsel, cnt, s1, s2, cmax, emax, bmax,
+         fmax) = carry
         off = j * tc
         kpt_blk = jax.lax.dynamic_slice_in_dim(kp_t, off, tc, 0)
         ft_blk = jax.lax.dynamic_slice_in_dim(feats.ft, off, tc, 0)
         nb_blk = jax.lax.dynamic_slice_in_dim(feats.nb, off, tc, 0)
         mt_blk = jax.lax.dynamic_slice_in_dim(mask_t, off, tc, 0)
         p_blk = jax.lax.dynamic_slice_in_dim(prices, off, tc, 0)
-        cd, ed = _tile_cd(kp_s, kpt_blk, feats.fs, ft_blk, feats.na, nb_blk,
-                          wed, wfd, scale, mult_blend)
+        cd, ed, fdt = _tile_cd(kp_s, kpt_blk, feats.fs, ft_blk, feats.na,
+                               nb_blk, wed, wfd, scale, mult_blend)
         m = mask_s[:, None] & mt_blk[None, :]
         v = jnp.where(m, -cd - p_blk[None, :], _NEG)
         cols = off + jnp.arange(tc, dtype=jnp.int32)[None, :]
@@ -331,13 +344,15 @@ def stream_sweep_ref(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                 s1 + jnp.sum(cdm), s2 + jnp.sum(cdm * cd),
                 jnp.maximum(cmax, jnp.max(cdm)),
                 jnp.maximum(emax, jnp.max(jnp.where(m, ed, 0.0))),
-                jnp.maximum(bmax, jnp.max(jnp.where(m, -cd, _NEG)))), None
+                jnp.maximum(bmax, jnp.max(jnp.where(m, -cd, _NEG))),
+                jnp.maximum(fmax, jnp.max(jnp.where(m, fdt, 0.0)))), None
 
     neg = jnp.full((S,), _NEG, jnp.float32)
     zi = jnp.zeros((S,), jnp.int32)
     init = (neg, zi, neg, zi, neg,
             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
-            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(_NEG))
+            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(_NEG),
+            jnp.float32(0.0))
     out, _ = jax.lax.scan(step, init, jnp.arange(n_j))
     return SweepResult(*out)
 
@@ -405,15 +420,16 @@ def ring_sweep(kp_s: Array, kp_t: Array, ring: RingFeatures, mask_s: Array,
     perm = [(i, (i - 1) % n_blocks) for i in range(n_blocks)]
 
     def step(carry, s):
-        (v1, j1, v2, j2, vsel, cnt, s1, s2, cmax, emax, bmax), ft_blk = carry
+        ((v1, j1, v2, j2, vsel, cnt, s1, s2, cmax, emax, bmax,
+          fmax), ft_blk) = carry
         blk = (my + s) % n_blocks
         off = blk * c_blk
         kpt_blk = jax.lax.dynamic_slice_in_dim(kp_t, off, c_blk, 0)
         nb_blk = jax.lax.dynamic_slice_in_dim(ring.nb, off, c_blk, 0)
         mt_blk = jax.lax.dynamic_slice_in_dim(mask_t, off, c_blk, 0)
         p_blk = jax.lax.dynamic_slice_in_dim(prices, off, c_blk, 0)
-        cd, ed = _tile_cd(kp_s, kpt_blk, ring.fs, ft_blk, ring.na, nb_blk,
-                          wed, wfd, scale, mult_blend=False)
+        cd, ed, fdt = _tile_cd(kp_s, kpt_blk, ring.fs, ft_blk, ring.na,
+                               nb_blk, wed, wfd, scale, mult_blend=False)
         m = mask_s[:, None] & mt_blk[None, :]
         v = jnp.where(m, -cd - p_blk[None, :], _NEG)
         cols = off + jnp.arange(c_blk, dtype=jnp.int32)[None, :]
@@ -436,7 +452,8 @@ def ring_sweep(kp_s: Array, kp_t: Array, ring: RingFeatures, mask_s: Array,
                  s1 + jnp.sum(cdm), s2 + jnp.sum(cdm * cd),
                  jnp.maximum(cmax, jnp.max(cdm)),
                  jnp.maximum(emax, jnp.max(jnp.where(m, ed, 0.0))),
-                 jnp.maximum(bmax, jnp.max(jnp.where(m, -cd, _NEG))))
+                 jnp.maximum(bmax, jnp.max(jnp.where(m, -cd, _NEG))),
+                 jnp.maximum(fmax, jnp.max(jnp.where(m, fdt, 0.0))))
         ft_blk = jax.lax.ppermute(ft_blk, axis, perm)
         return ((nv1, nj1, nv2, nj2, nvsel) + nstat, ft_blk), None
 
@@ -444,7 +461,8 @@ def ring_sweep(kp_s: Array, kp_t: Array, ring: RingFeatures, mask_s: Array,
     zi = jnp.zeros((S,), jnp.int32)
     init = ((neg, zi, neg, zi, neg,
              jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
-             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(_NEG)),
+             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(_NEG),
+             jnp.float32(0.0)),
             ring.ft_blk)
     (out, _), _ = jax.lax.scan(step, init, jnp.arange(n_blocks))
     return SweepResult(*out)

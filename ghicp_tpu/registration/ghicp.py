@@ -530,14 +530,16 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                 # inflated by this iteration's keypoint motion (still an
                 # upper bound after the move).  v1_drift bounds benefit
                 # INCREASES over this iteration's transition: wfd decay
-                # lowers fd-heavy costs by <= dwfd * fd_max (fd is a
-                # Hamming distance <= the bit count) and ED can shrink by
-                # <= d_ed as the pose improves.
-                fd_cap = jnp.float32(config.bsc_total_bits)
+                # lowers fd-heavy costs by <= dwfd * fd_max (the sweep's
+                # measured max Hamming FD — exact and permanent, features
+                # never change) and ED can shrink by <= d_ed as the pose
+                # improves.
+                fd_cap = comm.pmax(sres.fd_max)
                 scarry_new = StreamCarry(ok=jnp.bool_(True),
                                          v1_ub=sres.v1_next,
                                          b_max=sres.b_max_next,
                                          ed_max=ed_max + d_ed,
+                                         fd_max=fd_cap,
                                          v1_drift=dwfd * fd_cap + d_ed)
         elif config.feature in (FeatureType.FPFH, FeatureType.ROPS):
             drift_next = jnp.float32(3.0e38)

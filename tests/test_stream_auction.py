@@ -241,6 +241,7 @@ def test_stream_solve_carry_fast_path_quality():
     carry = StreamCarry(ok=jnp.bool_(True), v1_ub=res1.v1_next,
                         b_max=res1.b_max_next,
                         ed_max=jnp.float32(0.1 * 60.0),
+                        fd_max=res1.fd_max,
                         v1_drift=jnp.float32(0.1 * 2e-3 * np.sqrt(3)))
     fast = stream_solve(
         jnp.asarray(kp_s2), jnp.asarray(kp_t), feats,
