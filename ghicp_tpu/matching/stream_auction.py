@@ -244,7 +244,8 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
         # v1 measured fresh at p_mid: only the penalty-drift deflation
         # (applied below) separates it from the bidding-start prices.
         return (penalty, cd_mean, cd_std, b_max, ed_max,
-                comm.pmax(sw0.fd_max), sw0.v1, sw0.vsel)
+                comm.pmax(sw0.fd_max), sw0.v1, sw0.vsel, sw0.j1, sw0.v2,
+                jnp.bool_(True))
 
     def _carry_sweep0(_):
         # Stats-free penalty: the schedule ignores (mean, std) here.
@@ -264,15 +265,18 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
         # dpen part is added uniformly below).
         return (penalty, zero, zero, carry.b_max + carry.v1_drift,
                 carry.ed_max, carry.fd_max,
-                carry.v1_ub + carry.v1_drift + d_pre, vsel)
+                carry.v1_ub + carry.v1_drift + d_pre, vsel,
+                jnp.zeros((S,), jnp.int32), jnp.full((S,), _NEG),
+                jnp.bool_(False))
 
     if carry is None:
         (penalty, cd_mean, cd_std, b_max, ed_max, fd_max, v1_base,
-         vsel0) = _full_sweep0(None)
+         vsel0, sw0_j1, sw0_v2, swept0) = _full_sweep0(None)
     else:
         fast = carry.ok & jnp.asarray(stats_free)
         (penalty, cd_mean, cd_std, b_max, ed_max, fd_max, v1_base,
-         vsel0) = jax.lax.cond(fast, _carry_sweep0, _full_sweep0, None)
+         vsel0, sw0_j1, sw0_v2, swept0) = jax.lax.cond(
+            fast, _carry_sweep0, _full_sweep0, None)
     sink = -penalty
 
     spread = jnp.maximum(b_max - sink, 0.0)
@@ -368,10 +372,19 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                                      & (r < budget_ext))
         return (open_rows > 0) & in_budget
 
+    # Cold solves (no carried assignment: every p_mid and bidding-start
+    # price is zero) can reuse sweep-0's top-2 for the FIRST bidding
+    # round — (b - p) is unchanged, so the round-0 full sweep is free.
+    cold0 = ~jnp.any(owner0 >= 0)
+
     def body(c):
         owner, acol, p, r, v1_obs, obs = c
         rows_open = acol == -1
-        v1, j1, v2, v1_new, touched = open_top2(rows_open, p, acol)
+        reuse = (r == 0) & cold0 & swept0
+        v1, j1, v2, v1_new, touched = jax.lax.cond(
+            reuse,
+            lambda _: (v1_base, sw0_j1, sw0_v2, v1_base, mask_s),
+            lambda _: open_top2(rows_open, p, acol), None)
         # Carry tracking: overwrite with the freshest measurement (prices
         # only rise, so later observations are the tighter upper bounds).
         v1_obs = jnp.where(touched, v1_new, v1_obs)
