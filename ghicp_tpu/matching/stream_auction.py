@@ -142,7 +142,9 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                  select_fn: Optional[Callable] = None,
                  carry: Optional[StreamCarry] = None,
                  stats_free=False, open_cap: int = 0,
-                 compact_extra_sweeps: int = 0) -> StreamSolveResult:
+                 compact_extra_sweeps: int = 0,
+                 sweep_sub_fn: Optional[Callable] = None
+                 ) -> StreamSolveResult:
     """Matrix-free KM-equivalent solve for one engine iteration.
 
     ``penalty_from_stats(cd_mean, cd_std)`` maps the sweep's CD statistics
@@ -201,15 +203,25 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                                         mult_blend=mult_blend)
 
     # Open-row compaction capacity (static).  ts-granular for the kernel;
-    # disabled when it wouldn't shrink the sweep or the sweep is external.
+    # disabled when it wouldn't shrink the sweep or the sweep is external
+    # without a subset hook.  ``sweep_sub_fn(idx, sub_mask, p, ac_sub)``
+    # is that hook: the ring lane gathers its local factor rows and runs
+    # the rotating-block sweep over just the subset.  An external sweep
+    # may contain collectives (ppermute), so with the hook the per-round
+    # compact-vs-full choice must be mesh-uniform (pmax'd open count).
     cap = min(open_cap, S)
-    cap = (cap // ts) * ts if (use_kernel and S % ts == 0) else cap
-    can_compact = (not external_sweep) and feats is not None \
-        and 0 < cap < S
+    if sweep_sub_fn is None:
+        cap = (cap // ts) * ts if (use_kernel and S % ts == 0) else cap
+    can_compact = 0 < cap < S and (
+        sweep_sub_fn is not None
+        or ((not external_sweep) and feats is not None))
+    uniform_compact = sweep_sub_fn is not None
 
     def sub_sweep(idx, sub_mask, p, ac_sub):
         """Sweep over the gathered row subset (same semantics, fewer rows).
         The factor gather is O(cap*F) — trivia next to a full sweep."""
+        if sweep_sub_fn is not None:
+            return sweep_sub_fn(idx, sub_mask, p, ac_sub)
         sub = StreamFeatures(fs=feats.fs[:, idx], ft=feats.ft,
                              na=feats.na[:, idx], nb=feats.nb)
         kps_sub = kp_s[idx]
@@ -357,6 +369,10 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
             return v1, j1, v2, v1, obs
 
         n_open = jnp.sum(rows_open.astype(jnp.int32))
+        if uniform_compact:
+            # The sub sweep carries collectives: every device must take
+            # the same branch.
+            n_open = comm.pmax(n_open)
         return jax.lax.cond(n_open <= cap, compact, full, None)
 
     def cond(c):

@@ -269,8 +269,23 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                 def select_fn(jc):
                     return ring_selected(kps_c, kp_t_c, stream, jc,
                                          wed, wfd, scale)
+
+                def sweep_sub_fn(idx, sub_mask, p, ac_sub):
+                    # Compact ring sweep: the local factor rows gather to
+                    # the open subset; target blocks still rotate the
+                    # full ring (the ppermute traffic is O(C*F) either
+                    # way), but per-step compute is O(cap * C/n).
+                    sub = RingFeatures(fs=stream.fs[:, idx],
+                                       na=stream.na[:, idx],
+                                       ft_blk=stream.ft_blk,
+                                       nb=stream.nb,
+                                       words_s=stream.words_s,
+                                       words_t=stream.words_t)
+                    return ring_sweep(kps_c[idx], kp_t_c, sub, sub_mask,
+                                      mask_t, p, ac_sub, wed, wfd, scale,
+                                      comm.axis)
             else:
-                sweep_fn = select_fn = None
+                sweep_fn = select_fn = sweep_sub_fn = None
             # The streaming sweep kernel also shards cleanly (it only
             # computes local-row reductions); the ring lane supplies its
             # own sweep_fn instead.
@@ -282,8 +297,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
             # so the carried hints can replace sweep-0.  FPFH/RoPS drift
             # is unbounded (multiplicative blend) -> carry disabled.
             use_fast = (config.stream_fast_path
-                        and config.feature == FeatureType.BSC
-                        and not is_ring)
+                        and config.feature == FeatureType.BSC)
             sres = stream_solve(
                 kps_c, kp_t_c, None if is_ring else stream, mask_s, mask_t,
                 wed, wfd, scale,
@@ -296,8 +310,9 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                 sweep_fn=sweep_fn, select_fn=select_fn,
                 carry=st.scarry if use_fast else None,
                 stats_free=(it_eff > 1.0) if use_fast else False,
-                open_cap=0 if is_ring else config.stream_open_cap,
-                compact_extra_sweeps=config.stream_compact_budget)
+                open_cap=config.stream_open_cap,
+                compact_extra_sweeps=config.stream_compact_budget,
+                sweep_sub_fn=sweep_sub_fn)
             match = sres.match
             energy = sres.energy
             rounds = sres.rounds
@@ -524,7 +539,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                 ed_max = comm.pmax(jnp.max(jnp.where(
                     mask_s[:, None] & mask_t[None, :], ed, 0.0)))
             drift_next = d_ed + dwfd * (ed_max + d_ed)
-            if use_stream and config.stream_fast_path and not is_ring:
+            if use_stream and config.stream_fast_path:
                 # Hint carry for the streaming warm fast path: fresh or
                 # propagated per-row v1 bounds, spread max, and the ED max
                 # inflated by this iteration's keypoint motion (still an

@@ -121,9 +121,9 @@ def test_ring_streaming_matches_single_device():
     feats = make_stream_features(packed_s=packed_s, packed_t=packed_t,
                                  n_bits=n_bits)
     mask = jnp.ones(S, bool)
-    # The warm fast path (hint carry) is a single/sharded-lane feature;
-    # pin it off so both sides run identical sweep schedules and the
-    # ring's bit-equality contract stays checkable.
+    # Pin the warm fast path off so both sides run identical full-sweep
+    # schedules and the ring's bit-equality contract stays checkable
+    # (the fast lane's ring parity has its own test below).
     cfg = GHICPConfig(feature=FeatureType.BSC,
                       correspondence=CorrespondenceType.KM,
                       max_iterations=6, auction_max_rounds=64,
@@ -215,3 +215,49 @@ def test_stream_fast_path_pose_parity():
     rot_fs, tr_fs = transform_error(fast.transform, slow.transform)
     assert rot_fs < 1.0 and tr_fs < 0.2, (rot_fs, tr_fs)
     assert fast.success == slow.success
+
+
+def test_ring_streaming_fast_path_matches_single():
+    """The warm fast path now runs on the ring lane too (sweep-0 skip via
+    hint carry; compact ring sweeps via the sweep_sub_fn hook).  Per-row
+    carries and exact vsel gathers are deterministic, so ring-fast still
+    lands the single-device-fast result."""
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from ghicp_tpu.features.bsc import pack_bits
+    from ghicp_tpu.ops.stream_kernel import make_stream_features
+    from ghicp_tpu.registration.ghicp import ghicp_register
+    from ghicp_tpu.shard.spmd import ghicp_register_ring, make_mesh
+
+    rng = np.random.default_rng(17)
+    S = C = 512
+    n_bits = 441
+    kp = rng.uniform(0, 20, (S, 3)).astype(np.float32)
+    kp_s = jnp.asarray(kp + rng.normal(0, 0.3, kp.shape).astype(np.float32))
+    kp_t = jnp.asarray(kp[rng.permutation(S)])
+    packed_s = pack_bits(jnp.asarray(
+        (rng.random((2, S, n_bits)) < 0.3).astype(np.float32)))
+    packed_t = pack_bits(jnp.asarray(
+        (rng.random((1, C, n_bits)) < 0.3).astype(np.float32)))
+    feats = make_stream_features(packed_s=packed_s, packed_t=packed_t,
+                                 n_bits=n_bits)
+    mask = jnp.ones(S, bool)
+    cfg = GHICPConfig(feature=FeatureType.BSC,
+                      correspondence=CorrespondenceType.KM,
+                      max_iterations=6, auction_max_rounds=64,
+                      streaming_cost="on", stream_fast_path=True,
+                      stream_open_cap=256)
+    bbx = jnp.float32(30.0)
+    single = ghicp_register(kp_s, mask, kp_t, mask, None, bbx, cfg,
+                            stream=feats)
+    ring = ghicp_register_ring(kp_s, mask, kp_t, mask, feats, packed_s,
+                               packed_t, bbx, cfg, make_mesh(8))
+    # Early (stats-bearing) iterations see the documented block-order
+    # summation wobble in the penalty; stats-free fast iterations are
+    # exactly deterministic.  Assert agreement at the correspondence and
+    # pose level.
+    cor_r = np.asarray(ring.metrics.cor).astype(float)
+    cor_s = np.asarray(single.metrics.cor).astype(float)
+    assert (np.abs(cor_r - cor_s) <= 0.1 * np.maximum(cor_s, 50)).all()
+    np.testing.assert_allclose(np.asarray(ring.transform),
+                               np.asarray(single.transform), atol=5e-3)
