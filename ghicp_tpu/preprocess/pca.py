@@ -229,29 +229,30 @@ def _pca_query_subset(table: CellTable, qxyz: Array, qmask: Array,
     return PCAFeatures(*(v.reshape((-1,) + v.shape[2:])[:nq] for v in out))
 
 
-def pca_features(cloud: PointCloud, radius: float, k: int = 128,
-                 cell_cap: int = 64, chunk: int = 4096,
-                 max_cells: int = 0, cell_pair: bool = True) -> PCAFeatures:
-    """Per-point PCA features over a fixed-radius (cap-truncated) neighborhood.
-
-    Default path: cell-pair sweep over occupied cells (see
-    :func:`_pca_cell_pair`), with residents that overflowed ``cell_cap`` (or
-    ``max_cells``) — i.e. points absent from the table — handled by the
-    per-query fallback so every valid point still gets features, exactly as
-    the reference computes PCA for every point (pca.h:133-165).  Neighbor
-    truncation semantics (``cell_cap``/``max_cells``) are identical in both
-    paths.
-    """
-    if not cell_pair:
-        return _pca_features_query(cloud, radius=radius, k=k,
-                                   cell_cap=cell_cap, chunk=chunk,
-                                   max_cells=max_cells)
+def pca_begin(cloud: PointCloud, radius: float, cell_cap: int = 64,
+              max_cells: int = 0):
+    """Stage 1 of the cell-pair PCA: build the cell table and dispatch the
+    occupied-cell count.  Returns ``(table, n_cells_dev)`` with the count
+    still on device — callers driving several clouds fetch all counts in
+    ONE paired ``device_get`` instead of one blocking round trip each
+    (remote-transport round trips cost ~26 ms regardless of payload)."""
     if max_cells <= 0:
         max_cells = cloud.capacity
     table = build_cell_table(cloud, cell=radius, max_cells=max_cells,
                              cap=cell_cap)
+    n_cells_dev = jnp.sum(
+        (table.hashes != jnp.int32(2**31 - 1)).astype(jnp.int32))
+    return table, n_cells_dev
+
+
+def pca_dispatch(cloud: PointCloud, table: CellTable, n_cells: int,
+                 radius: float, max_cells: int = 0):
+    """Stage 2: launch the cell-pair sweep (``n_cells`` is the fetched
+    occupied-cell count).  Returns ``(feats, spill_mask, n_spill_dev)``
+    with the spill count still on device (same pairing rationale)."""
+    if max_cells <= 0:
+        max_cells = cloud.capacity
     n = cloud.capacity
-    n_cells = int(jnp.sum(table.hashes != jnp.int32(2**31 - 1)))
     cell_chunk = 256
     n_chunks = max((min(n_cells, max_cells) + cell_chunk - 1) // cell_chunk, 1)
     # Round the chunk count up to 1/8-granular powers of two: n_chunks is
@@ -266,11 +267,16 @@ def pca_features(cloud: PointCloud, radius: float, k: int = 128,
                                  1))
     feats = _pca_cell_pair(table, radius, cell_chunk, n_chunks, n)
     # Spill: valid points not resident in the table (rank >= cap or cell
-    # beyond max_cells).  Rare at sane caps; a scalar count is the only
-    # host sync.
+    # beyond max_cells).  Rare at sane caps.
     in_table = feats.n_neighbors > 0  # residents always count themselves
     spill = cloud.mask & ~in_table
-    n_spill = int(jnp.sum(spill))
+    return feats, spill, jnp.sum(spill.astype(jnp.int32))
+
+
+def pca_finalize(cloud: PointCloud, table: CellTable, feats: PCAFeatures,
+                 spill: Array, n_spill: int, radius: float) -> PCAFeatures:
+    """Stage 3: per-query fallback for spilled points (``n_spill`` is the
+    fetched count; 0 in the common case = no work, no dispatch)."""
     if n_spill == 0:
         return feats
     from ghicp_tpu.core.types import bucket_size
@@ -290,6 +296,48 @@ def pca_features(cloud: PointCloud, radius: float, k: int = 128,
         curvature=merge(feats.curvature, sp.curvature),
         n_neighbors=merge(feats.n_neighbors, sp.n_neighbors),
         valid=merge(feats.valid, sp.valid))
+
+
+def pca_features_pair(cloud_a: PointCloud, cloud_b: PointCloud,
+                      radius: float, cell_cap: int = 64,
+                      max_cells: int = 0):
+    """Cell-pair PCA for TWO clouds with paired host syncs: both tables
+    build (and both sweeps run) back to back, and each of the two scalar
+    syncs fetches both clouds' counts in one ``device_get`` — the
+    pipeline's source/target PCA pays 2 round trips instead of 4, and the
+    device work of one cloud overlaps the other's dispatch latency."""
+    ta, na_dev = pca_begin(cloud_a, radius, cell_cap, max_cells)
+    tb, nb_dev = pca_begin(cloud_b, radius, cell_cap, max_cells)
+    na, nb = (int(x) for x in jax.device_get((na_dev, nb_dev)))
+    fa, spa, nsa_dev = pca_dispatch(cloud_a, ta, na, radius, max_cells)
+    fb, spb, nsb_dev = pca_dispatch(cloud_b, tb, nb, radius, max_cells)
+    nsa, nsb = (int(x) for x in jax.device_get((nsa_dev, nsb_dev)))
+    return (pca_finalize(cloud_a, ta, fa, spa, nsa, radius),
+            pca_finalize(cloud_b, tb, fb, spb, nsb, radius))
+
+
+def pca_features(cloud: PointCloud, radius: float, k: int = 128,
+                 cell_cap: int = 64, chunk: int = 4096,
+                 max_cells: int = 0, cell_pair: bool = True) -> PCAFeatures:
+    """Per-point PCA features over a fixed-radius (cap-truncated) neighborhood.
+
+    Default path: cell-pair sweep over occupied cells (see
+    :func:`_pca_cell_pair`), with residents that overflowed ``cell_cap`` (or
+    ``max_cells``) — i.e. points absent from the table — handled by the
+    per-query fallback so every valid point still gets features, exactly as
+    the reference computes PCA for every point (pca.h:133-165).  Neighbor
+    truncation semantics (``cell_cap``/``max_cells``) are identical in both
+    paths.
+    """
+    if not cell_pair:
+        return _pca_features_query(cloud, radius=radius, k=k,
+                                   cell_cap=cell_cap, chunk=chunk,
+                                   max_cells=max_cells)
+    table, n_cells_dev = pca_begin(cloud, radius, cell_cap, max_cells)
+    feats, spill, n_spill_dev = pca_dispatch(
+        cloud, table, int(n_cells_dev), radius, max_cells)
+    return pca_finalize(cloud, table, feats, spill, int(n_spill_dev),
+                        radius)
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "k", "cell_cap",

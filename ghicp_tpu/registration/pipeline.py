@@ -255,15 +255,10 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
         rs = adaptive_detect(ds, config)
         rt = adaptive_detect(dt, config)
     else:
-        from ghicp_tpu.preprocess import pca_features
-        fs_pca = pca_features(ds, radius=config.neighborhood_radius,
-                              k=config.neighbor_k,
-                              cell_cap=config.pca_cell_cap,
-                              max_cells=config.pca_max_cells)
-        ft_pca = pca_features(dt, radius=config.neighborhood_radius,
-                              k=config.neighbor_k,
-                              cell_cap=config.pca_cell_cap,
-                              max_cells=config.pca_max_cells)
+        from ghicp_tpu.preprocess.pca import pca_features_pair
+        fs_pca, ft_pca = pca_features_pair(
+            ds, dt, radius=config.neighborhood_radius,
+            cell_cap=config.pca_cell_cap, max_cells=config.pca_max_cells)
         rs = detect_keypoints(ds, config, fs_pca)
         rt = detect_keypoints(dt, config, ft_pca)
     # One paired fetch of both keypoint masks (vs two round trips).
