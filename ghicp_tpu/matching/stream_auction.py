@@ -78,16 +78,25 @@ class StreamCarry(NamedTuple):
     b_max: Array    # scalar: benefit max at carry time (epsilon spread)
     ed_max: Array   # scalar: ED max bound (price-drift input)
     fd_max: Array   # scalar: max FD over valid pairs (exact, permanent)
-    v1_drift: Array  # scalar: bound on how much any BENEFIT can have RISEN
-                     # since v1_ub was measured.  NOT the price_uncertainty
-                     # drift — that bounds benefit DECREASES (cost rises,
-                     # the direction that over-prices columns); a stale v1
-                     # is invalidated by the opposite direction (wfd decay
-                     # lowers fd-heavy costs by up to dwfd*fd_max, ED
-                     # shrinks as alignment improves).  Without it the keep
-                     # test holds rows whose best alternative improved —
-                     # the matching freezes (measured: matched RMSE 0.67
-                     # -> 1.81 on the 20k-pt parity pair)
+    v1_drift: Array  # scalar: ADDITIVE benefit-rise bound excluding the
+                     # wfd-decay term (keypoint motion: ED can shrink by
+                     # <= d_ed as the pose improves).  Benefit-rise bounds
+                     # are NOT the price_uncertainty drift — that covers
+                     # benefit DECREASES (the direction that over-prices
+                     # columns); a stale v1 is invalidated by the opposite
+                     # direction.  Without rise bounds the keep test holds
+                     # rows whose best alternative improved — the matching
+                     # freezes (measured: matched RMSE 0.67 -> 1.81)
+    fd_term: Array   # scalar: dwfd * fd_max — the GLOBAL additive bound on
+                     # the wfd-decay benefit rise (fallback lane)
+    decay_ratio: Array  # scalar r = dwfd / wfd_next.  Enables the tight
+                     # self-referential decay bound: the new argmax pair
+                     # satisfies fd <= cd/wfd_next <= -v1_new/wfd_next, so
+                     # v1_new <= A + r*max(-v1_new, 0) with A the additive
+                     # bound — i.e. v1_new <= A/(1+r) for negative A.  For
+                     # converged rows |v1| is small, so this inflates by
+                     # ~|v1| * r instead of dwfd*fd_max (which dwarfs
+                     # inter-pair margins for the first ~25 iterations)
 
 
 def carry_init(n_rows: int) -> StreamCarry:
@@ -96,7 +105,9 @@ def carry_init(n_rows: int) -> StreamCarry:
                        v1_ub=jnp.zeros((n_rows,), jnp.float32),
                        b_max=jnp.float32(0.0), ed_max=jnp.float32(0.0),
                        fd_max=jnp.float32(0.0),
-                       v1_drift=jnp.float32(0.0))
+                       v1_drift=jnp.float32(0.0),
+                       fd_term=jnp.float32(0.0),
+                       decay_ratio=jnp.float32(0.0))
 
 
 def _resolve_round(v1, j1, v2, eps_r, sink, state, row_gid, comm: Comm,
@@ -271,13 +282,25 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
         vsel = jnp.where(real0 & mask_s & mask_t[jc0],
                          -cd0 - p_mid[jc0], _NEG)
         # Carried v1 was measured at the PREVIOUS solve's bidding-start
-        # prices under the previous benefits: inflate by the
-        # benefit-INCREASE bound (v1_drift — a better alternative may have
-        # appeared) plus the price deflation applied since (<= d_pre; the
-        # dpen part is added uniformly below).
-        return (penalty, zero, zero, carry.b_max + carry.v1_drift,
+        # prices under the previous benefits.  Additive inflations: ED
+        # motion (v1_drift), price deflation applied since (<= d_pre),
+        # and the penalty shift dp (known here).  The wfd-decay rise is
+        # the tighter of (a) the global dwfd*fd_max term and (b) the
+        # self-referential bound v1_new <= A + r*max(-v1_new, 0), i.e.
+        # A/(1+r) for negative A — for converged rows |v1| is small and
+        # (b) beats (a) by orders of magnitude.
+        dp = jnp.abs(penalty - jnp.float32(pen_prev))
+        A = carry.v1_ub + carry.v1_drift + d_pre + dp
+        tight = jnp.where(A > 0, A, A / (1.0 + carry.decay_ratio))
+        bound = jnp.minimum(A + carry.fd_term, tight)
+        # Downstream adds dpen uniformly; pre-subtract so the final
+        # v1_ub equals the bound computed here.
+        # b = -cd <= 0 always: clamping the carried spread max at zero
+        # stops the fd_term accumulation from inflating epsilon forever.
+        return (penalty, zero, zero,
+                jnp.minimum(carry.b_max + carry.fd_term, 0.0),
                 carry.ed_max, carry.fd_max,
-                carry.v1_ub + carry.v1_drift + d_pre, vsel,
+                bound - dp, vsel,
                 jnp.zeros((S,), jnp.int32), jnp.full((S,), _NEG),
                 jnp.bool_(False))
 
@@ -299,9 +322,15 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     # moved by |d penalty|, and sweep-0's hints were computed at p_mid
     # before the new penalty was known — v1 at the further-deflated start
     # prices is bounded above by v1_mid + dpen, vsel below by vsel_mid.
+    # The keep SLACK stays at the solve's own CS tolerance (~2x the base
+    # epsilon, the terminal escalated value) plus the dpen measurement
+    # slop; price-drift uncertainty belongs on the v1 bound, not here —
+    # as extra slack it let rows keep assignments ~d_pre-suboptimal,
+    # freezing the matching at several times the auction's epsilon
+    # (measured: matched RMSE 0.54 -> 1.58 on one warm-heavy seed).
     dpen = jnp.abs(penalty - jnp.float32(pen_prev))
     v1_ub = v1_base + dpen
-    eps0 = jnp.clip(d_pre + dpen, eps, jnp.maximum(spread / 8.0, eps))
+    eps0 = jnp.clip(dpen + 2.0 * eps, eps, jnp.maximum(spread / 8.0, eps))
     own_ok = real0 & (owner0[jc0] == row_gid)
     keep = own_ok & (vsel0 >= v1_ub - eps0)
     stay_sunk = (acol0 == _SINK) & (sink >= v1_ub - eps0)
@@ -330,7 +359,18 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     extend = bool(can_compact and compact_extra_sweeps)
     budget_ext = (jnp.maximum(budget, jnp.int32(compact_extra_sweeps))
                   if extend else budget)
-    esc_after = jnp.maximum(budget_ext // 4, 1)
+    # Epsilon escalation follows the BASE budget's schedule and freezes
+    # beyond it: the extended compact rounds are ~free, so they war at
+    # fine epsilon instead of hammer-escalating.  (Escalating through the
+    # extension poisons the next warm start: eps_used feeds price_unc,
+    # and 2^12 x eps dwarfed the benefit spread — measured keep=0 forever
+    # with dpre growing 2 -> 1203 -> 1417 across iterations.)
+    esc_after = jnp.maximum(budget // 4, 1)
+
+    def esc_eps(r):
+        return eps * jnp.exp2(jnp.maximum(
+            jnp.minimum(r, budget) - esc_after, 0).astype(jnp.float32))
+
     neg_s = jnp.full((S,), _NEG, jnp.float32)
 
     def open_top2(rows_open, p, acol):
@@ -405,8 +445,7 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
         # only rise, so later observations are the tighter upper bounds).
         v1_obs = jnp.where(touched, v1_new, v1_obs)
         obs = obs | touched
-        eps_r = eps * jnp.exp2(jnp.maximum(
-            r + 1 - esc_after, 0).astype(jnp.float32))
+        eps_r = esc_eps(r + 1)
         owner, acol, p = _resolve_round(v1, j1, v2, eps_r, sink,
                                         (owner, acol, p), row_gid, comm, C)
         return owner, acol, p, r + 1, v1_obs, obs
@@ -453,8 +492,7 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     energy = matched_cd + penalty * (n_sq - cor)
     match = MatchResult(tgt_idx=jc.astype(jnp.int32), w=w,
                         n_matches=cor.astype(jnp.int32))
-    eps_used = eps * jnp.exp2(jnp.maximum(
-        rounds - esc_after, 0).astype(jnp.float32))
+    eps_used = esc_eps(rounds)
     # Next-solve carry: fresh observations where a bidding/completion sweep
     # touched the row (measured at in-solve prices, which only rise), the
     # inflated keep-test bound elsewhere.

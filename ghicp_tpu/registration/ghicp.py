@@ -55,6 +55,9 @@ _FUSED_INTERPRET = False
 # Test hook: same for the matrix-free streaming sweep kernel.
 _STREAM_INTERPRET = False
 
+# Debug hook: print the warm-start drift-bound components per iteration.
+_DEBUG_DRIFT = False
+
 
 class IterationMetrics(NamedTuple):
     """Per-iteration history (reference vectors energy/rmse/..,
@@ -539,23 +542,34 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                 ed_max = comm.pmax(jnp.max(jnp.where(
                     mask_s[:, None] & mask_t[None, :], ed, 0.0)))
             drift_next = d_ed + dwfd * (ed_max + d_ed)
+            if _DEBUG_DRIFT:
+                jax.debug.print(
+                    "drift: d_ed={d:.3f} dwfd={w:.4f} ed_max={e:.2f} "
+                    "eps_used={u:.3f} -> unc={x:.3f}",
+                    d=d_ed, w=dwfd, e=ed_max, u=eps_used,
+                    x=drift_next + 2.0 * eps_used)
             if use_stream and config.stream_fast_path:
                 # Hint carry for the streaming warm fast path: fresh or
                 # propagated per-row v1 bounds, spread max, and the ED max
                 # inflated by this iteration's keypoint motion (still an
-                # upper bound after the move).  v1_drift bounds benefit
-                # INCREASES over this iteration's transition: wfd decay
-                # lowers fd-heavy costs by <= dwfd * fd_max (the sweep's
-                # measured max Hamming FD — exact and permanent, features
-                # never change) and ED can shrink by <= d_ed as the pose
-                # improves.
+                # upper bound after the move).  Benefit-rise bounds for
+                # the i -> i+1 transition: ED can shrink by <= d_ed
+                # (additive v1_drift); the wfd-decay rise is carried both
+                # as the global dwfd*fd_max term (fd_term; fd_max is the
+                # sweep's measured max Hamming FD — exact and permanent)
+                # and as the decay ratio r = dwfd/wfd_next for the
+                # per-row self-referential bound (StreamCarry docs).
                 fd_cap = comm.pmax(sres.fd_max)
-                scarry_new = StreamCarry(ok=jnp.bool_(True),
-                                         v1_ub=sres.v1_next,
-                                         b_max=sres.b_max_next,
-                                         ed_max=ed_max + d_ed,
-                                         fd_max=fd_cap,
-                                         v1_drift=dwfd * fd_cap + d_ed)
+                wfd_next = jnp.exp(-(i_eff + 1.0) / r)
+                scarry_new = StreamCarry(
+                    ok=jnp.bool_(True),
+                    v1_ub=sres.v1_next,
+                    b_max=sres.b_max_next,
+                    ed_max=ed_max + d_ed,
+                    fd_max=fd_cap,
+                    v1_drift=d_ed,
+                    fd_term=dwfd * fd_cap,
+                    decay_ratio=dwfd / jnp.maximum(wfd_next, 1e-30))
         elif config.feature in (FeatureType.FPFH, FeatureType.ROPS):
             drift_next = jnp.float32(3.0e38)
         else:

@@ -242,7 +242,9 @@ def test_stream_solve_carry_fast_path_quality():
                         b_max=res1.b_max_next,
                         ed_max=jnp.float32(0.1 * 60.0),
                         fd_max=res1.fd_max,
-                        v1_drift=jnp.float32(0.1 * 2e-3 * np.sqrt(3)))
+                        v1_drift=jnp.float32(0.1 * 2e-3 * np.sqrt(3)),
+                        fd_term=jnp.float32(0.0),
+                        decay_ratio=jnp.float32(0.0))
     fast = stream_solve(
         jnp.asarray(kp_s2), jnp.asarray(kp_t), feats,
         jnp.ones(S, bool), jnp.ones(C, bool), wed, wfd, scale,
