@@ -107,7 +107,8 @@ class _State(NamedTuple):
                       # init (RANSAC) replaces the feature-driven early
                       # phase — iteration 0's pure-FD matching would throw
                       # a verified pose away (W_ED = 0 at it 0)
-    scarry: tuple     # StreamCarry (ok, v1_ub [S], b_max, ed_max): the
+    scarry: tuple     # StreamCarry (ok, v1_ub [S], b_max, ed_max,
+                      # fd_max, v1_drift, fd_term, decay_ratio): the
                       # streaming lane's warm fast-path hint carry — lets
                       # stats-free iterations skip sweep-0 entirely
                       # (matching/stream_auction.py).  Zeros + ok=False on
