@@ -266,3 +266,38 @@ def test_stream_solve_carry_fast_path_quality():
     assert len(real) == len(np.unique(real))
     # And it spends no more sweeps than the cold solve.
     assert int(fast.rounds) <= int(cold.rounds)
+
+
+def test_extended_compact_rounds_do_not_escalate_epsilon():
+    """Regression guard for the epsilon-poisoning trap: bidding rounds in
+    the compact extension beyond the base budget must war at FINE epsilon
+    (the escalation schedule freezes at the base budget), because
+    eps_used feeds the next warm start's price uncertainty — 2^12 x eps
+    once destroyed every subsequent keep test."""
+    kp_s, kp_t, feats, fd = _problem(S=192, C=256, seed=31)
+    wed, wfd, scale = 0.6, 0.4, 0.1
+
+    def penalty_fn(mean, std):
+        return mean - 1.0 * std
+
+    S, C = kp_s.shape[0], kp_t.shape[0]
+
+    def run(extra):
+        return stream_solve(
+            jnp.asarray(kp_s), jnp.asarray(kp_t), feats,
+            jnp.ones(S, bool), jnp.ones(C, bool), wed, wfd, scale,
+            penalty_fn, eps_final=0.01, rel_eps=1.0 / 64, max_sweeps=2,
+            p0=jnp.zeros(C, jnp.float32), price_uncertainty=3.0e38,
+            acol0=jnp.full((S,), -1, jnp.int32), pen_prev=0.0,
+            use_kernel=False, tc=128, open_cap=64,
+            compact_extra_sweeps=extra)
+
+    base = run(0)
+    ext = run(24)
+    # The extension runs MORE rounds but never a coarser epsilon than the
+    # base schedule's ceiling.
+    assert int(ext.rounds) >= int(base.rounds)
+    assert float(ext.eps_used) <= float(base.eps_used) * 1.001, (
+        float(ext.eps_used), float(base.eps_used))
+    # (No energy-monotonicity claim: greedy completion after different
+    # price trajectories shuffles ties either way within the eps bound.)
