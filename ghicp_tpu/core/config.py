@@ -252,7 +252,39 @@ class GHICPConfig:
                                           # (kept rows never re-bid; their
                                           # tiles were pure waste).  0
                                           # disables; full sweeps whenever
-                                          # more rows are open (cold starts)
+                                          # more rows are open (cold starts).
+                                          # On the TPU kernel path the cap is
+                                          # rounded UP to the sweep kernel's
+                                          # row-tile granularity (256), so
+                                          # sub-tile caps still engage
+    stream_refresh_every: int = 32        # force a full observation sweep-0
+                                          # every N engine iterations on the
+                                          # warm fast path (0 = never): the
+                                          # carried v1/spread bounds grow by
+                                          # the drift terms every stats-free
+                                          # solve and are only re-anchored by
+                                          # a full sweep — a periodic refresh
+                                          # bounds the looseness (and the
+                                          # epsilon inflation it feeds) over
+                                          # long fast streaks
+    dense_fast_path: bool = True          # dense (<streaming_threshold) KM
+                                          # lane: in stats-free iterations
+                                          # with few expected CS violators,
+                                          # skip the full fused-benefit sweep
+                                          # + GS kernel entirely — the same
+                                          # carry economics as the streaming
+                                          # fast path, with benefits for the
+                                          # open subset recomputed from FD
+                                          # row gathers (matching/
+                                          # stream_auction.py::stream_solve
+                                          # over dense-FD sweep closures).
+                                          # BSC+KM only
+    dense_open_cap: int = 512             # dense fast path: compact-block
+                                          # capacity (counterpart of
+                                          # stream_open_cap) AND the gate —
+                                          # iterations whose keep test would
+                                          # leave more rows open run the
+                                          # full fused+GS path instead
     stream_compact_budget: int = 16       # streaming lane: total bidding
                                           # rounds allowed while the open
                                           # set fits the compact block

@@ -34,7 +34,6 @@ Array = jax.Array
 
 _NEG = jnp.float32(-3.0e38)
 _SINK = jnp.int32(2**30)
-_DEBUG = False  # gated jax.debug.print of keep/release dynamics
 
 
 class StreamSolveResult(NamedTuple):
@@ -154,8 +153,8 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                  carry: Optional[StreamCarry] = None,
                  stats_free=False, open_cap: int = 0,
                  compact_extra_sweeps: int = 0,
-                 sweep_sub_fn: Optional[Callable] = None
-                 ) -> StreamSolveResult:
+                 sweep_sub_fn: Optional[Callable] = None,
+                 no_features: bool = False) -> StreamSolveResult:
     """Matrix-free KM-equivalent solve for one engine iteration.
 
     ``penalty_from_stats(cd_mean, cd_std)`` maps the sweep's CD statistics
@@ -206,12 +205,14 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                 return stream_sweep(kp_s, kp_t, feats, mask_s, mask_t, p,
                                     ac, wed, wfd, scale, ts=ts, tc=tc,
                                     interpret=interpret,
-                                    mult_blend=mult_blend)
+                                    mult_blend=mult_blend,
+                                    no_features=no_features)
         else:
             def sweep_fn(p, ac):
                 return stream_sweep_ref(kp_s, kp_t, feats, mask_s, mask_t,
                                         p, ac, wed, wfd, scale, tc=tc,
-                                        mult_blend=mult_blend)
+                                        mult_blend=mult_blend,
+                                        no_features=no_features)
 
     # Open-row compaction capacity (static).  ts-granular for the kernel;
     # disabled when it wouldn't shrink the sweep or the sweep is external
@@ -221,8 +222,12 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     # may contain collectives (ppermute), so with the hook the per-round
     # compact-vs-full choice must be mesh-uniform (pmax'd open count).
     cap = min(open_cap, S)
-    if sweep_sub_fn is None:
-        cap = (cap // ts) * ts if (use_kernel and S % ts == 0) else cap
+    if sweep_sub_fn is None and use_kernel and S % ts == 0:
+        # The sweep kernel needs ts-granular row blocks: round UP so caps
+        # below ts still engage compaction on the kernel path (rounding
+        # down silently disabled it on TPU while working on the reference
+        # path — a per-backend behavior difference).
+        cap = min(-(-cap // ts) * ts, S)
     can_compact = 0 < cap < S and (
         sweep_sub_fn is not None
         or ((not external_sweep) and feats is not None))
@@ -239,10 +244,12 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
         if use_kernel and cap % ts == 0 and C % tc == 0:
             return stream_sweep(kps_sub, kp_t, sub, sub_mask, mask_t, p,
                                 ac_sub, wed, wfd, scale, ts=ts, tc=tc,
-                                interpret=interpret, mult_blend=mult_blend)
+                                interpret=interpret, mult_blend=mult_blend,
+                                no_features=no_features)
         return stream_sweep_ref(kps_sub, kp_t, sub, sub_mask, mask_t, p,
                                 ac_sub, wed, wfd, scale, tc=tc,
-                                mult_blend=mult_blend)
+                                mult_blend=mult_blend,
+                                no_features=no_features)
 
     # --- sweep 0: statistics + warm-start hints at mid-deflated prices ---
     real0 = (acol0 >= 0) & (acol0 < C)
@@ -278,7 +285,8 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
             cd0, _, _ = select_fn(jc0)
         else:
             cd0, _, _ = stream_selected(kp_s, kp_t, feats, jc0, wed, wfd,
-                                        scale, mult_blend=mult_blend)
+                                        scale, mult_blend=mult_blend,
+                                        no_features=no_features)
         vsel = jnp.where(real0 & mask_s & mask_t[jc0],
                          -cd0 - p_mid[jc0], _NEG)
         # Carried v1 was measured at the PREVIOUS solve's bidding-start
@@ -335,12 +343,6 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     keep = own_ok & (vsel0 >= v1_ub - eps0)
     stay_sunk = (acol0 == _SINK) & (sink >= v1_ub - eps0)
     rel = own_ok & ~keep
-    if _DEBUG:
-        jax.debug.print(
-            "keep={k} rel={r} sunk={s} dpre={d:.3f} dpen={dp:.3f} "
-            "eps0={e:.3f} eps={ep:.4f} spread={sp:.2f}",
-            k=jnp.sum(keep), r=jnp.sum(rel), s=jnp.sum(stay_sunk),
-            d=d_pre, dp=dpen, e=eps0, ep=eps, sp=spread)
     owner = owner0.at[jnp.where(rel, acol0, C)].set(-1, mode="drop")
     owner = comm.pmin(owner)
     acol = jnp.where(keep, acol0, jnp.where(stay_sunk, _SINK, -1))
@@ -450,30 +452,26 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                                         (owner, acol, p), row_gid, comm, C)
         return owner, acol, p, r + 1, v1_obs, obs
 
-    if _DEBUG:
-        _body_orig = body
-
-        def body(c, _b=_body_orig):
-            jax.debug.print("round={r} open_before={o}",
-                            r=c[3], o=jnp.sum(c[1] == -1))
-            return _b(c)
     owner, acol, p, rounds, v1_obs, obs = jax.lax.while_loop(
         cond, body, (owner, acol, p, jnp.int32(0), neg_s,
                      jnp.zeros((S,), bool)))
 
     # --- greedy completion at final prices (budget exhaustion) ---
+    # The completion sweep's fresh per-row observations feed the carry too
+    # (v1_obs/obs): completed rows would otherwise re-enter the next keep
+    # test with the inflated bound and be released again immediately.
     leftover = acol == -1
     any_left = comm.psum(jnp.sum(leftover.astype(jnp.int32))) > 0
-    if _DEBUG:
-        jax.debug.print("rounds={r} leftover={l}", r=rounds,
-                        l=jnp.sum(leftover))
 
-    def complete(acol):
-        v1, j1, _, _, _ = open_top2(leftover, p, acol)
-        return jnp.where(leftover,
+    def complete(c):
+        acol, v1_obs, obs = c
+        v1, j1, _, v1_new, touched = open_top2(leftover, p, acol)
+        acol = jnp.where(leftover,
                          jnp.where(v1 > sink, j1, _SINK), acol)
+        return acol, jnp.where(touched, v1_new, v1_obs), obs | touched
 
-    acol = jax.lax.cond(any_left, complete, lambda a: a, acol)
+    acol, v1_obs, obs = jax.lax.cond(any_left, complete, lambda c: c,
+                                     (acol, v1_obs, obs))
 
     # --- selection, gate, energy (matrix-free gathers) ---
     matched = (acol >= 0) & (acol < C)
@@ -483,7 +481,8 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     else:
         cd_sel, ed_sel, fd_sel = stream_selected(kp_s, kp_t, feats, jc,
                                                  wed, wfd, scale,
-                                                 mult_blend=mult_blend)
+                                                 mult_blend=mult_blend,
+                                                 no_features=no_features)
     real = mask_s & matched & mask_t[jc] & (cd_sel < penalty)
     w = real.astype(jnp.float32)
     cor = comm.psum(jnp.sum(w))

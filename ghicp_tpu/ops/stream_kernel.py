@@ -84,11 +84,14 @@ class SweepResult(NamedTuple):
 
 
 def _tile_cd(s8, t8, fs_tile, ft_tile, na_tile, nb_tile, wed, wfd, scale,
-             mult_blend: bool):
+             mult_blend: bool, no_features: bool = False):
     """(CD, ED, FD) for one (row tile, column tile) from the factor
     inputs.  FD is zeros on the multiplicative (similarity) lane — its
     consumer is the fd_max statistic, which only the additive BSC blend's
-    drift bounds need."""
+    drift bounds need.  ``no_features`` (the feature-"none" streaming
+    lane, calCD_NF semantics ghicp_reg.cpp:216-243) skips the factor
+    matmuls entirely — the zero bit-factor payload otherwise multiplied
+    zeros on the MXU every sweep to add a known-zero FD."""
     d = jax.lax.dot_general(s8, t8, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
@@ -96,7 +99,10 @@ def _tile_cd(s8, t8, fs_tile, ft_tile, na_tile, nb_tile, wed, wfd, scale,
     t2 = jnp.sum(t8 * t8, axis=1)
     d2 = jnp.maximum(s2[:, None] + t2[None, :] - 2.0 * d, 0.0)
     ed = scale * jnp.sqrt(d2)
-    if mult_blend:
+    if no_features:
+        fd = jnp.zeros_like(ed)
+        cd = wed * ed
+    elif mult_blend:
         dot = jax.lax.dot_general(fs_tile[0], ft_tile,
                                   (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
@@ -126,7 +132,8 @@ def _tile_cd(s8, t8, fs_tile, ft_tile, na_tile, nb_tile, wed, wfd, scale,
 def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
             ms_ref, mt_ref, p_ref, ac_ref,
             v1_out, j1_out, v2_out, j2_out, vsel_out, part_out,
-            s_v1, s_j1, s_v2, s_j2, s_vsel, *, tc: int, mult_blend: bool):
+            s_v1, s_j1, s_v2, s_j2, s_vsel, *, tc: int, mult_blend: bool,
+            no_features: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
@@ -148,7 +155,7 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
 
     cd, ed, fdt = _tile_cd(kps_ref[:, :], kpt_ref[:, :], fs_ref[:, :, :],
                            ft_ref[:, :], na_ref[:, i, :], nb_ref[0, :],
-                           wed, wfd, scale, mult_blend)
+                           wed, wfd, scale, mult_blend, no_features)
     m = (ms_ref[i, :][:, None] > 0) & (mt_ref[0, :][None, :] > 0)
     off = j * tc
     v = jnp.where(m, -cd - p_ref[0, :][None, :], _NEG)
@@ -204,12 +211,13 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("ts", "tc", "interpret",
-                                             "mult_blend"))
+                                             "mult_blend", "no_features"))
 def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                  mask_s: Array, mask_t: Array, prices: Array, acol: Array,
                  wed, wfd, scale, ts: int = 256, tc: int = 512,
                  interpret: bool = False,
-                 mult_blend: bool = False) -> SweepResult:
+                 mult_blend: bool = False,
+                 no_features: bool = False) -> SweepResult:
     """One matrix-free sweep: top-2 of (b - p) per row + CD statistics.
 
     kp_s [S,3] / kp_t [C,3] f32 (center by a common offset first — same
@@ -227,7 +235,8 @@ def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                       jnp.asarray(wfd, jnp.float32),
                       jnp.asarray(scale, jnp.float32)])
     v1, j1, v2, j2, vsel, parts = pl.pallas_call(
-        functools.partial(_kernel, tc=tc, mult_blend=mult_blend),
+        functools.partial(_kernel, tc=tc, mult_blend=mult_blend,
+                          no_features=no_features),
         grid=(n_i, n_j),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),               # scalars
@@ -301,7 +310,8 @@ def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
 def stream_sweep_ref(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                      mask_s: Array, mask_t: Array, prices: Array,
                      acol: Array, wed, wfd, scale, tc: int = 512,
-                     mult_blend: bool = False) -> SweepResult:
+                     mult_blend: bool = False,
+                     no_features: bool = False) -> SweepResult:
     """Column-blocked lax.scan with identical outputs (CPU / parity / the
     per-step body of the distributed ring in shard/stream_shard.py)."""
     S = kp_s.shape[0]
@@ -321,7 +331,8 @@ def stream_sweep_ref(kp_s: Array, kp_t: Array, feats: StreamFeatures,
         mt_blk = jax.lax.dynamic_slice_in_dim(mask_t, off, tc, 0)
         p_blk = jax.lax.dynamic_slice_in_dim(prices, off, tc, 0)
         cd, ed, fdt = _tile_cd(kp_s, kpt_blk, feats.fs, ft_blk, feats.na,
-                               nb_blk, wed, wfd, scale, mult_blend)
+                               nb_blk, wed, wfd, scale, mult_blend,
+                               no_features)
         m = mask_s[:, None] & mt_blk[None, :]
         v = jnp.where(m, -cd - p_blk[None, :], _NEG)
         cols = off + jnp.arange(tc, dtype=jnp.int32)[None, :]
@@ -359,13 +370,16 @@ def stream_sweep_ref(kp_s: Array, kp_t: Array, feats: StreamFeatures,
 
 def stream_selected(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                     tgt_idx: Array, wed, wfd, scale,
-                    mult_blend: bool = False):
+                    mult_blend: bool = False, no_features: bool = False):
     """(cd_sel, ed_sel, fd_sel) at matched pairs — the matrix-free
     replacement for the dense row gathers fd[rows, tgt_idx]
     (matched-stats inputs, ghicp_reg.cpp:546-567).  O(S*F) gathers."""
     t = kp_t[tgt_idx]
     ed = jnp.asarray(scale, jnp.float32) * jnp.linalg.norm(
         kp_s - t, axis=-1)
+    if no_features:
+        fd = jnp.zeros_like(ed)
+        return wed * ed, ed, fd
     ft_sel = feats.ft[tgt_idx]                         # [S, F]
     if mult_blend:
         dot = jnp.sum(feats.fs[0].astype(jnp.float32)

@@ -55,9 +55,6 @@ _FUSED_INTERPRET = False
 # Test hook: same for the matrix-free streaming sweep kernel.
 _STREAM_INTERPRET = False
 
-# Debug hook: print the warm-start drift-bound components per iteration.
-_DEBUG_DRIFT = False
-
 
 class IterationMetrics(NamedTuple):
     """Per-iteration history (reference vectors energy/rmse/..,
@@ -302,6 +299,12 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
             # is unbounded (multiplicative blend) -> carry disabled.
             use_fast = (config.stream_fast_path
                         and config.feature == FeatureType.BSC)
+            # Periodic re-anchor: the carried v1/spread bounds inflate by
+            # the drift terms every fast solve; a full sweep-0 every
+            # stream_refresh_every iterations re-measures them exactly.
+            sf = it_eff > 1.0
+            if config.stream_refresh_every > 0:
+                sf = sf & (st.it % config.stream_refresh_every != 0)
             sres = stream_solve(
                 kps_c, kp_t_c, None if is_ring else stream, mask_s, mask_t,
                 wed, wfd, scale,
@@ -313,10 +316,11 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                 mult_blend=mult_blend, use_kernel=use_kernel,
                 sweep_fn=sweep_fn, select_fn=select_fn,
                 carry=st.scarry if use_fast else None,
-                stats_free=(it_eff > 1.0) if use_fast else False,
+                stats_free=sf if use_fast else False,
                 open_cap=config.stream_open_cap,
                 compact_extra_sweeps=config.stream_compact_budget,
-                sweep_sub_fn=sweep_sub_fn)
+                sweep_sub_fn=sweep_sub_fn,
+                no_features=(config.feature == FeatureType.NONE))
             match = sres.match
             energy = sres.energy
             rounds = sres.rounds
@@ -543,12 +547,6 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                 ed_max = comm.pmax(jnp.max(jnp.where(
                     mask_s[:, None] & mask_t[None, :], ed, 0.0)))
             drift_next = d_ed + dwfd * (ed_max + d_ed)
-            if _DEBUG_DRIFT:
-                jax.debug.print(
-                    "drift: d_ed={d:.3f} dwfd={w:.4f} ed_max={e:.2f} "
-                    "eps_used={u:.3f} -> unc={x:.3f}",
-                    d=d_ed, w=dwfd, e=ed_max, u=eps_used,
-                    x=drift_next + 2.0 * eps_used)
             if use_stream and config.stream_fast_path:
                 # Hint carry for the streaming warm fast path: fresh or
                 # propagated per-row v1 bounds, spread max, and the ED max
