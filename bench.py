@@ -78,12 +78,48 @@ def baseline_iteration_time(ns, nt, n_rep=3, seed=1):
     return min(times)
 
 
+def seed_cache():
+    """Pre-seed the persistent XLA cache with every executable the bench
+    (and the matching production buckets) needs: run once after install —
+    ``python bench.py --seed-cache`` — and the next bench/production run
+    at these scales starts warm (see also ghicp_tpu/cli/warmup.py for
+    arbitrary-scale seeding)."""
+    from ghicp_tpu.cli import warmup
+    for nms in ("1.0", "0.5"):
+        warmup.main(["--points", "800000", "--feature", "B",
+                     "--corres", "K", "--voxel", "0.1", "--radius", "0.5",
+                     "--nms", nms])
+    # The identity-start throughput configuration compiles a different
+    # engine executable (convergence off, chunk 128) — seed it too, via
+    # one real (tiny-budget) bench-shaped run.
+    import dataclasses
+
+    from ghicp_tpu.core.config import (CorrespondenceType, FeatureType,
+                                       GHICPConfig)
+    from ghicp_tpu.registration.pipeline import register_pair
+    src, tgt, _ = make_bench_pair()
+    cfg = GHICPConfig(feature=FeatureType.BSC,
+                      correspondence=CorrespondenceType.KM,
+                      voxel_size=0.1, neighborhood_radius=0.5,
+                      non_max_radius=0.5, min_neighbors=15,
+                      bsc_neighbor_k=256, pca_cell_cap=40,
+                      pca_max_cells=65536, estimated_overlap=0.8,
+                      coarse_init="none", converge_translation=0.0,
+                      converge_rotation=0.0, max_iterations=120,
+                      engine_chunk=128)
+    register_pair(src, tgt, cfg)
+    log("seed-cache: all bench executables compiled")
+
+
 def main():
     import jax
     # Persistent XLA cache: axon remote compiles are minutes-long; cached
     # executables make repeat bench runs compile-free.
     jax.config.update("jax_compilation_cache_dir", "/root/.ghicp_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if "--seed-cache" in sys.argv:
+        seed_cache()
+        return
     import jax.numpy as jnp
     from ghicp_tpu.core.config import (CorrespondenceType, FeatureType,
                                        GHICPConfig)
@@ -100,34 +136,39 @@ def main():
                       pca_cell_cap=40,  # ~25 pts/cell at this density
                       pca_max_cells=65536,  # >= occupied 0.5m cells at 25m
                       estimated_overlap=0.8, max_iterations=60)
+    import dataclasses
+
+    # PRIMARY accuracy verdict — the reference's own TLS parameterization:
+    # NMS 1.0-1.5 m (script/run.sh:13-14), where the success criterion
+    # RMSE_after < 1.5*NMS (ghicp_reg.cpp:918-924) is meaningful.  (At the
+    # dense-keypoint NMS 0.5 below, the matched RMSE of ANY complete
+    # matching is dominated by keypoint-repeatability spacing, not pose
+    # quality — that config is the THROUGHPUT workload, this one is the
+    # verdict/parity workload.)
+    cfg_ref = dataclasses.replace(cfg, non_max_radius=1.0)
+    t0 = time.perf_counter()
+    out_ref = register_pair(src, tgt, cfg_ref)
+    total_ref = time.perf_counter() - t0
+    rot_ref, tr_ref = transform_error(out_ref.transform, T_gt)
+    log(f"pair (reference params, NMS 1.0): {len(src)} x {len(tgt)} pts, "
+        f"kps={out_ref.n_source_keypoints}/{out_ref.n_target_keypoints}, "
+        f"iters={max(int(out_ref.result.iterations), 1)}, "
+        f"rmse={out_ref.final_rmse:.3f} (bound 1.5), "
+        f"rot_err={rot_ref:.2f}deg, t_err={tr_ref:.2f}m, "
+        f"success={out_ref.success}, total={total_ref:.1f}s")
+
+    # Dense-keypoint throughput configuration (NMS 0.5 -> ~6.6k keypoints).
     t0 = time.perf_counter()
     out = register_pair(src, tgt, cfg)
     total = time.perf_counter() - t0
     iters = max(int(out.result.iterations), 1)
     rot, tr = transform_error(out.transform, T_gt)
-    log(f"pair: {len(src)} x {len(tgt)} pts, "
+    log(f"throughput config (NMS 0.5): "
         f"kps={out.n_source_keypoints}/{out.n_target_keypoints}, "
-        f"iters={iters}, rmse={out.final_rmse:.3f}, "
-        f"rot_err={rot:.2f}deg, t_err={tr:.2f}m, success={out.success}")
+        f"iters={iters}, matched-rmse={out.final_rmse:.3f}, "
+        f"rot_err={rot:.2f}deg, t_err={tr:.2f}m")
     log(f"timings: { {k: round(v, 2) for k, v in out.timings.items()} }, "
         f"total={total:.1f}s")
-
-    # Reference-parameterization verdict: the reference's own TLS setup
-    # runs NMS 1.0-1.5 m (script/run.sh:13-14), where its success
-    # criterion RMSE_after < 1.5*NMS (ghicp_reg.cpp:918-924) is
-    # meaningful.  (At NMS 0.5 the matched RMSE of ANY complete matching
-    # is dominated by keypoint-repeatability spacing, not pose quality —
-    # the dense-keypoint config above is the throughput workload, this
-    # one is the verdict/parity workload.)
-    import dataclasses
-    cfg_ref = dataclasses.replace(cfg, non_max_radius=1.0)
-    out_ref = register_pair(src, tgt, cfg_ref)
-    rot_ref, tr_ref = transform_error(out_ref.transform, T_gt)
-    log(f"reference-params (NMS 1.0): "
-        f"kps={out_ref.n_source_keypoints}/{out_ref.n_target_keypoints}, "
-        f"rmse={out_ref.final_rmse:.3f} (bound 1.5), "
-        f"rot_err={rot_ref:.2f}deg, t_err={tr_ref:.2f}m, "
-        f"success={out_ref.success}")
 
     # Warm pipeline: rerun the (now compiled) full pipeline.
     t0 = time.perf_counter()

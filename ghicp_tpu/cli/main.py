@@ -66,6 +66,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "registered source coordinates (the Corres.txt "
                         "surface, km.cpp:144-162); a .npz PATH stores "
                         "arrays (rows, cols, src_xyz, tgt_xyz) instead")
+    p.add_argument("--export-every-k", type=int, metavar="K", default=0,
+                   help="export the MOVING source keypoints and the current "
+                        "correspondences every K engine iterations as "
+                        "OUTPUT_iterNNN_source.txt / _corres.txt — the "
+                        "intermediate-state surface replacing the "
+                        "reference's per-iteration viewer refresh and "
+                        "Corres.txt dumps (cloud_viewer.hpp:165-249, "
+                        "km.cpp:148)")
     p.add_argument("--json", action="store_true",
                    help="print a single JSON result line")
     p.add_argument("--jax-cache", default="/root/.ghicp_jax_cache",
@@ -116,7 +124,18 @@ def main(argv=None) -> int:
     print(f"[io] target {len(tgt)} pts, source {len(src)} pts "
           f"({time.perf_counter() - t0:.1f}s)")
 
-    out = register_pair(src, tgt, config)
+    snapshots = []
+    cb = None
+    if args.export_every_k > 0:
+        # Chunk boundary = export cadence; snapshots are written after the
+        # run (the valid-keypoint count and target coordinates are only
+        # known then).
+        import dataclasses
+        config = dataclasses.replace(config,
+                                     engine_chunk=args.export_every_k)
+        cb = lambda it, kps, matches: snapshots.append((it, kps, matches))
+
+    out = register_pair(src, tgt, config, iteration_callback=cb)
     it = int(out.result.iterations)
     m = out.result.metrics
     cor, rmse, iou, pen = (np.asarray(m.cor), np.asarray(m.rmse),
@@ -157,6 +176,22 @@ def main(argv=None) -> int:
                        fmt="%d %d %.6f %.6f %.6f %.6f %.6f %.6f")
         print(f"[io] wrote {args.save_correspondences} "
               f"({len(corres)} correspondences)")
+
+    if snapshots:
+        base = args.output.rsplit(".", 1)[0]
+        ns = len(out.keypoints_source)
+        kp_t_arr = out.keypoints_target
+        for it_k, kps, matches in snapshots:
+            np.savetxt(f"{base}_iter{it_k:03d}_source.txt", kps[:ns],
+                       fmt="%.6f")
+            rows = np.nonzero(matches[:ns] >= 0)[0]
+            cols = matches[rows]
+            corres = np.column_stack([rows, cols, kps[rows],
+                                      kp_t_arr[cols]])
+            np.savetxt(f"{base}_iter{it_k:03d}_corres.txt", corres,
+                       fmt="%d %d %.6f %.6f %.6f %.6f %.6f %.6f")
+        print(f"[io] wrote {len(snapshots)} intermediate-state snapshot(s) "
+              f"({base}_iterNNN_source.txt / _corres.txt)")
 
     if args.viewer:
         base = args.output.rsplit(".", 1)[0]

@@ -35,6 +35,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ghicp_tpu.core import transform as tf
 from ghicp_tpu.core.comm import LOCAL, Comm
@@ -643,7 +644,8 @@ def ghicp_register_chunked(kp_s: Array, mask_s: Array, kp_t: Array,
                            config: GHICPConfig, chunk: int = 8,
                            init_transform: Optional[Array] = None,
                            it_shift: float = 0.0,
-                           stream=None) -> GHICPResult:
+                           stream=None,
+                           iteration_callback=None) -> GHICPResult:
     """Host-stepped GH-ICP: the same loop dispatched ``chunk`` iterations at
     a time.
 
@@ -651,7 +653,16 @@ def ghicp_register_chunked(kp_s: Array, mask_s: Array, kp_t: Array,
     for large keypoint sets where one device dispatch would run for minutes
     (remote-TPU transports impose execution deadlines), and doubles as the
     observability hook — the host sees state between chunks.
+
+    ``iteration_callback(it, kps, matches)`` (optional) is invoked at every
+    chunk boundary with the iteration count, the CURRENT moving source
+    keypoints [S, 3] and the current per-row target matches [S] (all host
+    numpy) — the registration-state export surface replacing the
+    reference's per-iteration viewer refresh + Corres.txt dumps
+    (cloud_viewer.hpp:165-249, km.cpp:148; SURVEY.md §5 substitution).
+    Set ``chunk=k`` for an every-k-iterations cadence.
     """
+    from ghicp_tpu.core.types import fetch_xyz
     state = _initial_state(kp_s, kp_t.shape[0], config, init_transform,
                            it_shift)
     while True:
@@ -663,6 +674,9 @@ def ghicp_register_chunked(kp_s: Array, mask_s: Array, kp_t: Array,
         # (~26ms through the tunnel).
         conv, it = jax.device_get(jnp.stack(
             [state.converged.astype(jnp.int32), state.it]))
+        if iteration_callback is not None:
+            iteration_callback(int(it), fetch_xyz(state.kps),
+                               np.asarray(state.matches))
         if bool(conv) or int(it) >= config.max_iterations:
             break
     success = state.rmse_after < 1.5 * config.non_max_radius

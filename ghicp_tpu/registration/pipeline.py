@@ -209,7 +209,8 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
                   config: GHICPConfig,
                   keypoint_capacity: Optional[int] = None,
                   initial_transform: Optional[np.ndarray] = None,
-                  profile_dir: Optional[str] = None) -> RegistrationOutput:
+                  profile_dir: Optional[str] = None,
+                  iteration_callback=None) -> RegistrationOutput:
     """Register ``source`` onto ``target`` (both raw [n,3] float arrays).
 
     Follows ghicp_main.cpp's stage order; returns the final [4,4] transform
@@ -220,7 +221,8 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
     if profile_dir is not None:
         with jax.profiler.trace(profile_dir):
             return register_pair(source_pts, target_pts, config,
-                                 keypoint_capacity, initial_transform, None)
+                                 keypoint_capacity, initial_transform, None,
+                                 iteration_callback)
     timings: Dict[str, float] = {}
     t0 = time.perf_counter()
     cs = PointCloud.from_points(source_pts)
@@ -438,7 +440,8 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
                                     jnp.float32(bbx), config,
                                     chunk=config.engine_chunk,
                                     init_transform=T0, it_shift=it_shift,
-                                    stream=stream_feats)
+                                    stream=stream_feats,
+                                    iteration_callback=iteration_callback)
     jax.block_until_ready(result.transform)
     timings["register"] = time.perf_counter() - t0
 

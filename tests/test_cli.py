@@ -83,3 +83,30 @@ def test_cli_flagship_4dof(tmp_path, capsys):
     assert rc == 0
     assert "Registration Succeed" in capsys.readouterr().out
     _check_overlay(op, tgt)
+
+
+def test_cli_export_every_k(tmp_path, capsys):
+    """--export-every-k writes intermediate moving-source keypoint states
+    and correspondences per k iterations (the viewer/Corres.txt
+    substitution completed, cloud_viewer.hpp:165-249, km.cpp:148)."""
+    sp, tp, op, src, tgt = _cli_pair(tmp_path, seed=5, n=12000, extent=9.0)
+    rc = main([tp, sp, op, "N", "N", "0.15", "0.5", "1.0", "1.1", "0.1",
+               "6", "0.9", "0", "--max-iterations", "12", "--jax-cache", "",
+               "--coarse-init", "none", "--export-every-k", "4"])
+    assert rc == 0
+    snaps = sorted(tmp_path.glob("out_iter*_source.txt"))
+    corrs = sorted(tmp_path.glob("out_iter*_corres.txt"))
+    assert len(snaps) >= 2 and len(corrs) == len(snaps)
+    first = np.loadtxt(snaps[0])
+    assert first.ndim == 2 and first.shape[1] == 3
+    # The snapshots are MOVING source keypoints: by the first snapshot the
+    # source has been transformed off its raw pose (0.6m offset pair).
+    raw, _ = read_cloud(sp)
+    from scipy.spatial import cKDTree
+    d_raw, _ = cKDTree(raw).query(first[::5])
+    assert np.median(d_raw) > 0.05
+    c = np.loadtxt(corrs[-1])
+    assert c.ndim == 2 and c.shape[1] == 8 and len(c) > 10
+    # Matched pairs near their targets by the last snapshot.
+    d = np.linalg.norm(c[:, 2:5] - c[:, 5:8], axis=1)
+    assert np.median(d) < 1.0
