@@ -279,12 +279,21 @@ class GHICPConfig:
                                           # stream_auction.py::stream_solve
                                           # over dense-FD sweep closures).
                                           # BSC+KM only
-    dense_open_cap: int = 512             # dense fast path: compact-block
+    dense_open_cap: int = 1024            # dense-lane compact capacity, used
+                                          # twice: (a) inside the auction's
+                                          # kernel path — when the exact
+                                          # warm-start keep test leaves at
+                                          # most this many rows open, they
+                                          # re-bid via Jacobi rounds over
+                                          # GATHERED benefit rows instead of
+                                          # the whole-phase GS kernel (the
+                                          # released rows are scattered, so
+                                          # tile-granular kernel skipping
+                                          # never engages); (b) as the
+                                          # dense_fast_path gate/compact
                                           # capacity (counterpart of
-                                          # stream_open_cap) AND the gate —
-                                          # iterations whose keep test would
-                                          # leave more rows open run the
-                                          # full fused+GS path instead
+                                          # stream_open_cap).  0 disables
+                                          # both
     stream_compact_budget: int = 16       # streaming lane: total bidding
                                           # rounds allowed while the open
                                           # set fits the compact block

@@ -163,7 +163,8 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
                    b_max: Optional[Array] = None,
                    acol0: Optional[Array] = None,
                    hint_v1: Optional[Array] = None,
-                   hint_vsel: Optional[Array] = None):
+                   hint_vsel: Optional[Array] = None,
+                   compact_cap: int = 0, compact_budget: int = 0):
     """Assignment on a benefit matrix b [R, C] (maximization) with an
     outside option at ``sink_value`` per row, via epsilon scaling with
     *kept assignments*.
@@ -374,76 +375,162 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
                 col_ids, mode="drop")
             return jnp.where((sunk == 1) & (acol < 0), _SINK, acol)
 
-        owner = owner_init
-        sunk = (acol_init == _SINK).astype(jnp.int32)
-        open_ = (acol_init == -1).astype(jnp.int32)
-        p = p_init
-        eps_now = eps0
-        remaining = jnp.int32(max_rounds)
-        spent = jnp.int32(0)
-        esc_after = esc_period = jnp.int32(1)
-        r = jnp.int32(0)
-        # Geometric epsilon ladder from eps0 down to EXACTLY eps_final in
-        # n_phases rungs.  (The XLA path's fixed /eps_scaling ladder
-        # iterates until it reaches eps_final; a python-unrolled loop must
-        # land there by construction, or the final assignment carries a
-        # much looser epsilon bound than requested.)
-        if n_phases > 1:
-            ratio = jnp.minimum(
-                (eps_final / jnp.maximum(eps0, 1e-30))
-                ** (1.0 / (n_phases - 1)), 1.0)
-        for k in range(n_phases):
-            eps_now = (eps_final if k == n_phases - 1
-                       else jnp.maximum(eps0 * ratio**k, eps_final))
-            # Epsilon escalation from a quarter of this phase's budget:
-            # cross-tile price wars otherwise burn the whole budget at
-            # eps_final and the tail rows fall to flat greedy completion at
-            # half-baked prices (measured: identity-start trajectories then
-            # flip basins on a knife edge).  Escalating early/fast enough
-            # that the phase CONVERGES within its budget keeps the price
-            # structure — late assignments degrade geometrically instead.
-            esc_after = jnp.maximum(remaining // 4, 1)
-            esc_period = jnp.maximum(remaining // 16, 1)
-            # inner_cap=1: tile-local quiescence OFF.  Measured on the bench
-            # matrices: tie-heavy FD wars need ~1e5 bid exchanges (~10us
-            # each) to true eps-CS convergence; grinding them in-VMEM is
-            # 100x slower than the budget truncation + greedy completion,
-            # which costs nothing measurable in pose accuracy (NOTES.md).
-            # The final phase greedy-completes leftover open rows in-kernel
-            # (streams only still-open tiles, usually none) so the caller's
-            # full-matrix `complete` pass is skipped.
-            p, owner, sunk, r, gcol = auction_phase_gs_pallas(
-                b, p, owner, sunk, open_, eps_now, jnp.float32(sink_value),
-                remaining, ts=ts, inner_cap=1,
-                esc_after=esc_after, esc_period=esc_period,
-                complete_open=1 if k == n_phases - 1 else 0,
-                interpret=_KERNEL_INTERPRET)
-            remaining = remaining - r
-            spent = spent + r
-            if k < n_phases - 1:
-                eps_next = jnp.maximum(eps0 * ratio**(k + 1), eps_final)
-                acol = derive_acol(owner, sunk)
-                # (An outer cond "skip repair when the ladder is flat" was
-                # measured SLOWER: the penalty drifts every iteration, so
-                # the ladder is almost always active and the cond only adds
-                # [R]-state copies.  The inner cascade cond in
-                # reopen_violators is the one that pays.)
-                owner, acol, p = reopen_violators((owner, acol, p),
-                                                  eps_now, eps_next)
-                sunk = (acol == _SINK).astype(jnp.int32)
-                open_ = (acol == -1).astype(jnp.int32)
-        acol = derive_acol(owner, sunk)
-        # Merge the final phase's in-kernel greedy completion (duplicates
-        # allowed, owners/prices untouched — same semantics as the callers'
-        # XLA `complete` pass, which then sees no leftovers and skips).
-        acol = jnp.where((acol == -1) & (gcol >= 0),
-                         jnp.where(gcol < C, gcol, _SINK), acol)
-        # Price-overshoot bound for warm starts: a column won at sweep r of
-        # the final phase carries up to the escalated epsilon of that sweep.
-        eps_bound = eps_final * jnp.exp2(
-            jnp.maximum(r - esc_after, 0).astype(jnp.float32)
-            / esc_period.astype(jnp.float32))
-        return acol, p, spent, eps_bound
+        # --- compact fast resolve -------------------------------------
+        # The warm-start keep test above is EXACT (same-iteration hints),
+        # but the rows it releases are SCATTERED over the row range, so
+        # the tile-granular GS kernel still streams essentially the whole
+        # benefit matrix to re-bid a few hundred rows (any tile with one
+        # open row is an active tile).  When the open count fits
+        # ``compact_cap``, resolve them instead with Jacobi rounds over
+        # GATHERED benefit rows: each round compacts the open set, gathers
+        # its [cap, C] benefit block, takes a top-2 and resolves winners —
+        # O(cap * C) per round instead of O(R * C) of kernel streaming.
+        # Rows evicted mid-bidding re-enter the compact set next round;
+        # leftovers at budget exhaustion fall through to the callers'
+        # greedy completion like every other path.  Single-phase only (the
+        # multi-phase ladder interleaves full-matrix CS repairs anyway).
+        if (compact_cap and 0 < compact_cap < R and n_phases == 1
+                and acol0 is not None):
+            from ghicp_tpu.matching.stream_auction import _resolve_round
+            from ghicp_tpu.ops.top2 import top2_rows
+            # max_rounds is traced — keep the max in jnp.
+            cbudget = jnp.maximum(jnp.int32(compact_budget),
+                                  jnp.asarray(max_rounds, jnp.int32))
+            cesc_after = jnp.maximum(cbudget // 4, 1)
+
+            def _cesc(rr):
+                return eps_final * jnp.exp2(jnp.maximum(
+                    rr - cesc_after, 0).astype(jnp.float32))
+
+            def _compact(st):
+                owner, acol, p = st
+                rows_ar = jnp.arange(R, dtype=jnp.int32)
+                sinkv = jnp.float32(sink_value)
+
+                def cond_c(c):
+                    owner, acol, p, rr = c
+                    n_open = jnp.sum((acol == -1).astype(jnp.int32))
+                    return (n_open > 0) & (rr < cbudget)
+
+                def body_c(c):
+                    owner, acol, p, rr = c
+                    rows_open = acol == -1
+                    # Stable sort-free compaction (stream_auction scheme):
+                    # each open row scatters to its rank; overflow rows
+                    # (rank >= cap) simply wait for the next round.
+                    rank = jnp.cumsum(rows_open.astype(jnp.int32)) - 1
+                    pos = jnp.where(rows_open & (rank < compact_cap),
+                                    rank, compact_cap)
+                    idx = jnp.zeros((compact_cap,), jnp.int32).at[pos].set(
+                        rows_ar, mode="drop")
+                    filled = jnp.zeros((compact_cap,), bool).at[pos].set(
+                        rows_open, mode="drop")
+                    bsub = b[idx].astype(jnp.float32)
+                    v1s, j1s, v2s = top2_rows(
+                        bsub, p, use_pallas=jax.default_backend() == "tpu")
+                    idx_sc = jnp.where(filled, idx, R)
+                    v1 = jnp.full((R,), _NEG).at[idx_sc].set(
+                        v1s, mode="drop")
+                    j1 = jnp.zeros((R,), jnp.int32).at[idx_sc].set(
+                        j1s, mode="drop")
+                    v2 = jnp.full((R,), _NEG).at[idx_sc].set(
+                        v2s, mode="drop")
+                    owner, acol, p = _resolve_round(
+                        v1, j1, v2, _cesc(rr + 1), sinkv,
+                        (owner, acol, p), row_gid, comm, C)
+                    return owner, acol, p, rr + 1
+
+                owner, acol, p, rr = jax.lax.while_loop(
+                    cond_c, body_c,
+                    (owner, acol, p, jnp.int32(0)))
+                return acol, p, rr, _cesc(rr)
+
+            n_open0 = jnp.sum((acol_init == -1).astype(jnp.int32))
+        else:
+            n_open0 = None
+
+        def _run_gs_phases(owner, acol_in, p):
+            sunk = (acol_in == _SINK).astype(jnp.int32)
+            open_ = (acol_in == -1).astype(jnp.int32)
+            eps_now = eps0
+            remaining = jnp.int32(max_rounds)
+            spent = jnp.int32(0)
+            esc_after = esc_period = jnp.int32(1)
+            r = jnp.int32(0)
+            # Geometric epsilon ladder from eps0 down to EXACTLY eps_final
+            # in n_phases rungs.  (The XLA path's fixed /eps_scaling ladder
+            # iterates until it reaches eps_final; a python-unrolled loop
+            # must land there by construction, or the final assignment
+            # carries a much looser epsilon bound than requested.)
+            if n_phases > 1:
+                ratio = jnp.minimum(
+                    (eps_final / jnp.maximum(eps0, 1e-30))
+                    ** (1.0 / (n_phases - 1)), 1.0)
+            for k in range(n_phases):
+                eps_now = (eps_final if k == n_phases - 1
+                           else jnp.maximum(eps0 * ratio**k, eps_final))
+                # Epsilon escalation from a quarter of this phase's budget:
+                # cross-tile price wars otherwise burn the whole budget at
+                # eps_final and the tail rows fall to flat greedy completion
+                # at half-baked prices (measured: identity-start
+                # trajectories then flip basins on a knife edge).
+                # Escalating early/fast enough that the phase CONVERGES
+                # within its budget keeps the price structure — late
+                # assignments degrade geometrically instead.
+                esc_after = jnp.maximum(remaining // 4, 1)
+                esc_period = jnp.maximum(remaining // 16, 1)
+                # inner_cap=1: tile-local quiescence OFF.  Measured on the
+                # bench matrices: tie-heavy FD wars need ~1e5 bid exchanges
+                # (~10us each) to true eps-CS convergence; grinding them
+                # in-VMEM is 100x slower than the budget truncation +
+                # greedy completion, which costs nothing measurable in pose
+                # accuracy (NOTES.md).  The final phase greedy-completes
+                # leftover open rows in-kernel (streams only still-open
+                # tiles, usually none) so the caller's full-matrix
+                # `complete` pass is skipped.
+                p, owner, sunk, r, gcol = auction_phase_gs_pallas(
+                    b, p, owner, sunk, open_, eps_now,
+                    jnp.float32(sink_value),
+                    remaining, ts=ts, inner_cap=1,
+                    esc_after=esc_after, esc_period=esc_period,
+                    complete_open=1 if k == n_phases - 1 else 0,
+                    interpret=_KERNEL_INTERPRET)
+                remaining = remaining - r
+                spent = spent + r
+                if k < n_phases - 1:
+                    eps_next = jnp.maximum(eps0 * ratio**(k + 1), eps_final)
+                    acol = derive_acol(owner, sunk)
+                    # (An outer cond "skip repair when the ladder is flat"
+                    # was measured SLOWER: the penalty drifts every
+                    # iteration, so the ladder is almost always active and
+                    # the cond only adds [R]-state copies.  The inner
+                    # cascade cond in reopen_violators is the one that
+                    # pays.)
+                    owner, acol, p = reopen_violators((owner, acol, p),
+                                                      eps_now, eps_next)
+                    sunk = (acol == _SINK).astype(jnp.int32)
+                    open_ = (acol == -1).astype(jnp.int32)
+            acol = derive_acol(owner, sunk)
+            # Merge the final phase's in-kernel greedy completion
+            # (duplicates allowed, owners/prices untouched — same semantics
+            # as the callers' XLA `complete` pass, which then sees no
+            # leftovers and skips).
+            acol = jnp.where((acol == -1) & (gcol >= 0),
+                             jnp.where(gcol < C, gcol, _SINK), acol)
+            # Price-overshoot bound for warm starts: a column won at sweep
+            # r of the final phase carries up to the escalated epsilon of
+            # that sweep.
+            eps_bound = eps_final * jnp.exp2(
+                jnp.maximum(r - esc_after, 0).astype(jnp.float32)
+                / esc_period.astype(jnp.float32))
+            return acol, p, spent, eps_bound
+
+        if n_open0 is not None:
+            return jax.lax.cond(
+                n_open0 <= compact_cap, _compact,
+                lambda st: _run_gs_phases(st[0], st[1], st[2]),
+                (owner_init, acol_init, p_init))
+        return _run_gs_phases(owner_init, acol_init, p_init)
 
     def cond(c):
         return ~c[0]
@@ -471,7 +558,9 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
 
 @functools.partial(jax.jit, static_argnames=("eps_final",
                                              "comm", "total_rows", "rel_eps",
-                                             "use_round_kernel", "n_phases"))
+                                             "use_round_kernel", "n_phases",
+                                             "compact_cap",
+                                             "compact_budget"))
 def auction_match_benefits(b: Array, penalty: Array, mask_s: Array,
                            mask_t: Array, eps_final: float = 0.01,
                            max_rounds=8000, comm: Comm = LOCAL,
@@ -483,7 +572,9 @@ def auction_match_benefits(b: Array, penalty: Array, mask_s: Array,
                            b_max: Optional[Array] = None,
                            acol0: Optional[Array] = None,
                            hint_v1: Optional[Array] = None,
-                           hint_vsel: Optional[Array] = None
+                           hint_vsel: Optional[Array] = None,
+                           compact_cap: int = 0,
+                           compact_budget: int = 0
                            ) -> AuctionResult:
     """Auction on a PREBUILT benefit matrix (e.g. from the fused cost
     kernel, ops/cost_kernel.py).
@@ -502,7 +593,8 @@ def auction_match_benefits(b: Array, penalty: Array, mask_s: Array,
         b, -penalty, eps_final, max_rounds, comm, rel_eps=rel_eps,
         p0=p0, price_uncertainty=price_uncertainty,
         use_round_kernel=use_round_kernel, n_phases=n_phases, b_max=b_max,
-        acol0=acol0, hint_v1=hint_v1, hint_vsel=hint_vsel)
+        acol0=acol0, hint_v1=hint_v1, hint_vsel=hint_vsel,
+        compact_cap=compact_cap, compact_budget=compact_budget)
     # Greedy completion at budget exhaustion (see auction_match) — under a
     # cond: when the auction converged (no -1 rows, the common case with
     # in-kernel epsilon escalation) the full-matrix top-1 pass is skipped.

@@ -44,7 +44,8 @@ from ghicp_tpu.matching import (auction_match, blend_bsc, blend_fpfh,
                                 blend_none, euclidean_matrix, nn_match,
                                 nnr_match)
 from ghicp_tpu.matching.auction import auction_match_benefits
-from ghicp_tpu.matching.stream_auction import StreamCarry, carry_init
+from ghicp_tpu.matching.stream_auction import (_SINK, StreamCarry,
+                                               carry_init)
 from ghicp_tpu.registration.estimator import estimate
 
 Array = jax.Array
@@ -199,14 +200,27 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                                axis=0))
         mid = comm.pmax(mid)   # replicate identical offset across shards
         kp_t_c = jnp.where(mask_t[:, None], kp_t - mid[None, :], 0.0)
-    if use_fused:
+    # Dense-lane warm fast path (GHICPConfig.dense_fast_path): the
+    # streaming lane's carry economics applied to the materialized-FD
+    # lane — stats-free iterations whose keep test leaves few rows open
+    # skip the full benefit sweep AND the solver's full-matrix bidding,
+    # re-bidding only the open subset over FD row gathers.  Lane-level,
+    # not kernel-level: it applies to BOTH the fused-kernel path and the
+    # unfused XLA path (small row shards fall below the fused kernel's
+    # tile granularity but warm economics still hold).
+    dense_fast = ((not use_stream) and config.dense_fast_path
+                  and config.feature == FeatureType.BSC
+                  and config.correspondence == CorrespondenceType.KM
+                  and config.dense_open_cap > 0)
+    if use_fused or dense_fast:
         # All computed once, before the while_loop traces the body: center
-        # both keypoint sets by a common offset so the fused kernel's
+        # both keypoint sets by a common offset so the kernels'/closures'
         # norm-expansion ED stays f32-accurate at 100m-scale coordinates.
         mid = 0.5 * (jnp.min(jnp.where(mask_t[:, None], kp_t, 3e38), axis=0)
                      + jnp.max(jnp.where(mask_t[:, None], kp_t, -3e38),
                                axis=0))
         kp_t_c = jnp.where(mask_t[:, None], kp_t - mid[None, :], 0.0)
+    if use_fused:
         # Benefit-store precision follows auction_bf16 (same knob as the
         # unfused path's quantize_bf16); f32 keeps full ED resolution at
         # double the sweep traffic.
@@ -219,6 +233,15 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
     # bf16's ~2^-9 relative rounding of integer Hamming distances is far
     # below the schedule's own sensitivity.)
     fd_stats = fd_b if (use_fused and config.auction_bf16) else fd
+    if dense_fast:
+        dcap = min(config.dense_open_cap, S)
+        # The routing gate compares the GLOBAL open count against a GLOBAL
+        # capacity so the warm/full branch choice is identical for any
+        # device layout of the same problem (bit-parity single vs sharded).
+        dcap_gate = min(config.dense_open_cap, total_rows)
+        fd_max_static = comm.pmax(jnp.max(jnp.where(
+            mask_s[:, None] & mask_t[None, :],
+            fd_stats.astype(jnp.float32), 0.0)))
 
     def body(st: _State) -> _State:
         it_eff = st.it.astype(jnp.float32) + st.it_shift
@@ -237,6 +260,141 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
         budget = jnp.int32(config.auction_max_rounds)
         ed_max_fused = None
         fsel = None
+        if use_fused or dense_fast:
+            from ghicp_tpu.matching.cost import bsc_penalty
+            from ghicp_tpu.matching.matchers import MatchResult
+            from ghicp_tpu.ops.top2 import top2_rows
+            kps_c = st.kps - mid[None, :]
+            rows = jnp.arange(S)
+            real0 = (st.acol >= 0) & (st.acol < T)
+            row_gid = comm.axis_index() * S + jnp.arange(S, dtype=jnp.int32)
+            owner0 = jnp.full((T,), -1, jnp.int32).at[
+                jnp.where(real0, st.acol, T)].max(
+                jnp.where(real0, row_gid, -1), mode="drop")
+            owner0 = comm.pmax(owner0)
+            p_mid = jnp.where(owner0 >= 0,
+                              jnp.maximum(st.prices - st.price_unc, 0.0),
+                              0.0)
+            use_pallas_t2 = _jax.default_backend() == "tpu"
+        if dense_fast:
+            # --- dense-FD sweep closures for the warm fast path ---------
+            # The same stream_solve machinery as the matrix-free lane, with
+            # FD read from the static materialized matrix instead of
+            # recomputed from factors: full sweeps build [S, T] benefits
+            # in XLA (rare — only mid-bidding spills past the compact
+            # cap), compact sweeps gather the open rows' FD ([cap, T]) and
+            # selection is O(S) gathers.
+            def dense_select(jc):
+                t_sel = kp_t_c[jc]
+                eds = scale * jnp.linalg.norm(kps_c - t_sel, axis=-1)
+                fds = fd_stats[rows, jc].astype(jnp.float32)
+                return wed * eds + wfd * fds, eds, fds
+
+            def _dense_sweep_result(b_m, p, ac, m_sub, eds, fds):
+                from ghicp_tpu.ops.stream_kernel import SweepResult
+                R_ = b_m.shape[0]
+                v1, j1, v2 = top2_rows(b_m, p, use_pallas=use_pallas_t2)
+                rr = jnp.arange(R_)
+                realc = (ac >= 0) & (ac < T)
+                jcc = jnp.where(realc, ac, 0)
+                vsel = jnp.where(realc, b_m[rr, jcc] - p[jcc],
+                                 jnp.float32(-3.0e38))
+                cdm = jnp.where(m_sub, -b_m, 0.0)
+                return SweepResult(
+                    v1=v1, j1=j1, v2=v2, j2=jnp.zeros((R_,), jnp.int32),
+                    vsel=vsel, cnt=jnp.sum(m_sub.astype(jnp.float32)),
+                    cd_sum=jnp.sum(cdm), cd_sumsq=jnp.sum(cdm * cdm),
+                    cd_max=jnp.max(cdm),
+                    ed_max=jnp.max(jnp.where(m_sub, eds, 0.0)),
+                    b_max=jnp.max(jnp.where(m_sub, b_m,
+                                            jnp.float32(-3.0e38))),
+                    fd_max=jnp.max(jnp.where(m_sub, fds, 0.0)))
+
+            def dense_full_sweep(p, ac):
+                eds = euclidean_matrix(kps_c, kp_t_c, scale)
+                fds = fd_stats.astype(jnp.float32)
+                cds = wed * eds + wfd * fds
+                m_sub = mask_s[:, None] & mask_t[None, :]
+                b_m = jnp.where(m_sub, -cds, jnp.float32(-3.0e38))
+                return _dense_sweep_result(b_m, p, ac, m_sub, eds, fds)
+
+            def dense_sub_sweep(idx, sub_mask, p, ac_sub):
+                kss = kps_c[idx]
+                fds = fd_stats[idx].astype(jnp.float32)
+                d = jnp.matmul(kss, kp_t_c.T,
+                               precision=_jax.lax.Precision.HIGHEST)
+                d2 = jnp.maximum(
+                    jnp.sum(kss * kss, axis=1)[:, None]
+                    + jnp.sum(kp_t_c * kp_t_c, axis=1)[None, :]
+                    - 2.0 * d, 0.0)
+                eds = scale * jnp.sqrt(d2)
+                cds = wed * eds + wfd * fds
+                m_sub = sub_mask[:, None] & mask_t[None, :]
+                b_m = jnp.where(m_sub, -cds, jnp.float32(-3.0e38))
+                return _dense_sweep_result(b_m, p, ac_sub, m_sub, eds, fds)
+
+            def _warm_solve(_):
+                from ghicp_tpu.matching.stream_auction import stream_solve
+
+                def penalty_fn(mean, std):
+                    return bsc_penalty(mean, std, it_eff, st.rms, st.fdm,
+                                       st.fdstd, st.para1, st.para2, scale,
+                                       wed, wfd, config.penalty_initial)
+
+                sres = stream_solve(
+                    kps_c, kp_t_c, None, mask_s, mask_t, wed, wfd, scale,
+                    penalty_fn, eps_final=config.km_eps,
+                    rel_eps=config.auction_rel_eps, max_sweeps=budget,
+                    p0=st.prices, price_uncertainty=st.price_unc,
+                    acol0=st.acol, pen_prev=st.pen_prev, comm=comm,
+                    total_rows=total_rows, use_kernel=False,
+                    sweep_fn=dense_full_sweep, select_fn=dense_select,
+                    carry=st.scarry, stats_free=True, open_cap=dcap,
+                    compact_extra_sweeps=config.stream_compact_budget,
+                    sweep_sub_fn=dense_sub_sweep)
+                return (sres.match.tgt_idx, sres.match.w,
+                        sres.match.n_matches, sres.energy, sres.rounds,
+                        sres.prices, sres.eps_used, sres.acol, sres.cd_sel,
+                        sres.penalty, sres.v1_next, sres.b_max_next,
+                        sres.ed_max)
+
+            # Routing gate: replicate stream_solve's carry keep test
+            # (O(S) gathers + vector math) to count the rows the warm
+            # solve would leave open.  Overestimates only reroute to the
+            # full path — never wrong, just slower.
+            zero = jnp.float32(0.0)
+            pen_w = bsc_penalty(zero, zero, it_eff, st.rms, st.fdm,
+                                st.fdstd, st.para1, st.para2, scale,
+                                wed, wfd, config.penalty_initial)
+            jc0 = jnp.where(real0, st.acol, 0)
+            cd0, _, _ = dense_select(jc0)
+            vsel0 = jnp.where(real0 & mask_s & mask_t[jc0],
+                              -cd0 - p_mid[jc0], jnp.float32(-3.0e38))
+            dp_w = jnp.abs(pen_w - st.pen_prev)
+            car = st.scarry
+            A = car.v1_ub + car.v1_drift + st.price_unc + dp_w
+            tight = jnp.where(A > 0, A, A / (1.0 + car.decay_ratio))
+            bound = jnp.minimum(A + car.fd_term, tight)
+            sink_w = -pen_w
+            spread_w = jnp.maximum(
+                jnp.minimum(car.b_max + car.fd_term, 0.0) - sink_w, 0.0)
+            eps_w = jnp.maximum(jnp.float32(config.km_eps),
+                                config.auction_rel_eps * spread_w)
+            eps0_w = jnp.clip(dp_w + 2.0 * eps_w, eps_w,
+                              jnp.maximum(spread_w / 8.0, eps_w))
+            own_ok0 = real0 & (owner0[jc0] == row_gid)
+            keep_w = own_ok0 & (vsel0 >= bound - eps0_w)
+            sunk_w = (st.acol == _SINK) & (sink_w >= bound - eps0_w)
+            # psum: the branch choice must be mesh-uniform (the warm solve
+            # contains collectives), and the count is compared against a
+            # GLOBAL capacity so the choice is layout-independent.
+            n_open = comm.psum(jnp.sum(
+                (~(keep_w | sunk_w)).astype(jnp.int32)))
+            import os as _os
+            _dbg_gate = bool(_os.environ.get("GHICP_DEBUG_GATE"))
+            fast_g = car.ok & (it_eff > 1.0) & (n_open <= dcap_gate)
+            if config.stream_refresh_every > 0:
+                fast_g = fast_g & (st.it % config.stream_refresh_every != 0)
         if use_stream:
             from ghicp_tpu.matching.cost import bsc_penalty
             from ghicp_tpu.matching.stream_auction import stream_solve
@@ -333,64 +491,128 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
             penalty = sres.penalty
             ed_max_fused = sres.ed_max
         elif use_fused:
-            from ghicp_tpu.matching.cost import bsc_penalty
             from ghicp_tpu.ops.cost_kernel import fused_benefit
-            kps_c = st.kps - mid[None, :]
-            # Warm-start CS hints come out of the SAME sweep that builds the
-            # benefit matrix: deflate the carried prices by the pre-penalty
-            # drift bound (the penalty component isn't known until this
-            # kernel's stats), zero unowned columns, and let the kernel
-            # compute v1/vsel against those mid prices.  The remaining
-            # penalty-drift component is added to v1 afterwards — an upper
-            # bound, so the keep test stays conservative (sound).
-            real0 = (st.acol >= 0) & (st.acol < T)
-            row_gid = comm.axis_index() * S + jnp.arange(S, dtype=jnp.int32)
-            owner0 = jnp.full((T,), -1, jnp.int32).at[
-                jnp.where(real0, st.acol, T)].max(
-                jnp.where(real0, row_gid, -1), mode="drop")
-            owner0 = comm.pmax(owner0)
-            p_mid = jnp.where(owner0 >= 0,
-                              jnp.maximum(st.prices - st.price_unc, 0.0),
-                              0.0)
-            b, cnt, s1, s2, _, ed_max_fused, b_max, v1_mid, vsel_mid = (
-                fused_benefit(
-                    kps_c, kp_t_c, fd_b, mask_s, mask_t, wed, wfd, scale,
-                    ts=128, interpret=_FUSED_INTERPRET, out_dtype=b_dtype,
-                    p_defl=p_mid, acol0=st.acol, mult_blend=mult_blend))
-            b_max = comm.pmax(b_max)
-            n_valid = jnp.maximum(comm.psum(cnt), 1.0)
-            mean = comm.psum(s1) / n_valid
-            std = jnp.sqrt(jnp.maximum(
-                comm.psum(s2) / n_valid - mean * mean, 0.0))
-            if config.feature == FeatureType.BSC:
-                penalty = bsc_penalty(mean, std, it_eff, st.rms, st.fdm,
-                                      st.fdstd, st.para1, st.para2, scale,
-                                      wed, wfd, config.penalty_initial)
-            elif mult_blend:
-                # blend_fpfh penalty schedule (ghicp_reg.cpp:327-335)
-                pen_late = st.rms * st.para1 * scale * st.para2
-                pen_early = mean / config.penalty_initial
-                penalty = jnp.where(it_eff > 1, pen_late, pen_early)
+
+            def _full_solve(_):
+                # Full fused+GS iteration.  Warm-start CS hints come out of
+                # the SAME sweep that builds the benefit matrix: deflate the
+                # carried prices by the pre-penalty drift bound (the penalty
+                # component isn't known until this kernel's stats), zero
+                # unowned columns, and let the kernel compute v1/vsel
+                # against those mid prices.  The remaining penalty-drift
+                # component is added to v1 afterwards — an upper bound, so
+                # the keep test stays conservative (sound).
+                b, cnt, s1, s2, _cm, ed_max_f, b_max, v1_mid, vsel_mid = (
+                    fused_benefit(
+                        kps_c, kp_t_c, fd_b, mask_s, mask_t, wed, wfd,
+                        scale, ts=128, interpret=_FUSED_INTERPRET,
+                        out_dtype=b_dtype, p_defl=p_mid, acol0=st.acol,
+                        mult_blend=mult_blend))
+                b_max = comm.pmax(b_max)
+                n_valid = jnp.maximum(comm.psum(cnt), 1.0)
+                mean = comm.psum(s1) / n_valid
+                std = jnp.sqrt(jnp.maximum(
+                    comm.psum(s2) / n_valid - mean * mean, 0.0))
+                if config.feature == FeatureType.BSC:
+                    penalty = bsc_penalty(mean, std, it_eff, st.rms,
+                                          st.fdm, st.fdstd, st.para1,
+                                          st.para2, scale, wed, wfd,
+                                          config.penalty_initial)
+                elif mult_blend:
+                    # blend_fpfh penalty schedule (ghicp_reg.cpp:327-335)
+                    pen_late = st.rms * st.para1 * scale * st.para2
+                    pen_early = mean / config.penalty_initial
+                    penalty = jnp.where(it_eff > 1, pen_late, pen_early)
+                else:
+                    penalty = jnp.maximum(mean, 1.0)  # blend_none semantics
+                dpen = jnp.abs(penalty - st.pen_prev)
+                drift = st.price_unc + dpen
+                ares = auction_match_benefits(
+                    b, penalty, mask_s, mask_t, eps_final=config.km_eps,
+                    max_rounds=budget,
+                    comm=comm, total_rows=total_rows,
+                    rel_eps=config.auction_rel_eps,
+                    p0=st.prices, price_uncertainty=drift,
+                    use_round_kernel=config.auction_round_kernel,
+                    n_phases=config.auction_phases, b_max=b_max,
+                    acol0=st.acol, hint_v1=v1_mid + dpen,
+                    hint_vsel=vsel_mid,
+                    compact_cap=config.dense_open_cap,
+                    compact_budget=config.stream_compact_budget)
+                # Carry for the dense fast path: v1 re-measured at the
+                # FINAL prices (one fused rowmax pass over the benefit
+                # matrix already in HBM).  The GS kernel emits no per-row
+                # in-solve observations, and v1 at pre-solve prices is
+                # uselessly loose once the bidding raised prices by more
+                # than the keep slack — measured at bench scale: keeps
+                # never engaged (n_open ~6400/6620 at convergence) off the
+                # pre-solve bound, while the final-price measurement is
+                # exactly the stream lane's "freshest observation" (prices
+                # only rise; the next solve inflates by its own deflation
+                # depth + benefit drift, same soundness argument).
+                if dense_fast:
+                    v1_carry = jnp.max(b.astype(jnp.float32)
+                                       - ares.prices[None, :], axis=1)
+                else:
+                    v1_carry = v1_mid + dpen
+                return (ares.match.tgt_idx, ares.match.w,
+                        ares.match.n_matches, ares.energy, ares.rounds,
+                        ares.prices, ares.eps_used, ares.acol, ares.cd_sel,
+                        penalty, v1_carry, b_max, comm.pmax(ed_max_f))
+
+            if dense_fast:
+                outs = jax.lax.cond(fast_g, _warm_solve, _full_solve, None)
             else:
-                penalty = jnp.maximum(mean, 1.0)   # blend_none semantics
-            dpen = jnp.abs(penalty - st.pen_prev)
-            drift = st.price_unc + dpen
-            ares = auction_match_benefits(
-                b, penalty, mask_s, mask_t, eps_final=config.km_eps,
-                max_rounds=budget,
-                comm=comm, total_rows=total_rows,
-                rel_eps=config.auction_rel_eps,
-                p0=st.prices, price_uncertainty=drift,
-                use_round_kernel=config.auction_round_kernel,
-                n_phases=config.auction_phases, b_max=b_max,
-                acol0=st.acol, hint_v1=v1_mid + dpen, hint_vsel=vsel_mid)
-            match = ares.match
-            energy = ares.energy
-            rounds = ares.rounds
-            prices = ares.prices
-            eps_used = ares.eps_used
-            acol_new = ares.acol
-            cd_sel = ares.cd_sel
+                outs = _full_solve(None)
+            (tgt_i, w_i, nm_i, energy, rounds, prices, eps_used, acol_new,
+             cd_sel, penalty, v1_next_c, b_max_c, ed_max_c) = outs
+            match = MatchResult(tgt_idx=tgt_i, w=w_i, n_matches=nm_i)
+            ed_max_fused = ed_max_c
+        elif dense_fast:
+            # Unfused XLA lane WITH the warm fast path (BSC+KM by the
+            # dense_fast predicate — e.g. row shards below the fused
+            # kernel's tile granularity).  The ED/blend full-matrix passes
+            # move inside the full-solve branch so warm iterations skip
+            # them entirely.
+            def _full_solve_x(_):
+                ed_l = euclidean_matrix(st.kps, kp_t, scale)
+                cost = blend_bsc(ed_l, fd, mask_s, mask_t, it_eff, st.rms,
+                                 st.fdm, st.fdstd, st.para1, st.para2,
+                                 scale, config.weight_changing_rate,
+                                 config.penalty_initial, comm)
+                penalty_l = cost.penalty
+                dpen = jnp.abs(penalty_l - st.pen_prev)
+                drift = st.price_unc + dpen
+                ares = auction_match(cost.cd, penalty_l, mask_s, mask_t,
+                                     eps_final=config.km_eps,
+                                     max_rounds=budget,
+                                     comm=comm, total_rows=total_rows,
+                                     rel_eps=config.auction_rel_eps,
+                                     p0=st.prices, price_uncertainty=drift,
+                                     quantize_bf16=config.auction_bf16,
+                                     use_round_kernel=(
+                                         config.auction_round_kernel),
+                                     n_phases=config.auction_phases,
+                                     acol0=st.acol)
+                # Carry hints (one fused rowmax pass): v1 measured at the
+                # FINAL prices — tight, like the fused branch (v1 at
+                # pre-solve prices is loose by the whole in-solve price
+                # rise and the keep test then never engages).
+                m_full = mask_s[:, None] & mask_t[None, :]
+                b_l = jnp.where(m_full, -cost.cd, jnp.float32(-3.0e38))
+                v1_end = jnp.max(b_l - ares.prices[None, :], axis=1)
+                b_max_l = comm.pmax(jnp.max(b_l))
+                ed_max_l = comm.pmax(jnp.max(jnp.where(m_full, ed_l, 0.0)))
+                return (ares.match.tgt_idx, ares.match.w,
+                        ares.match.n_matches, ares.energy, ares.rounds,
+                        ares.prices, ares.eps_used, ares.acol, ares.cd_sel,
+                        penalty_l, v1_end, b_max_l, ed_max_l)
+
+            outs = jax.lax.cond(fast_g, _warm_solve, _full_solve_x, None)
+            (tgt_i, w_i, nm_i, energy, rounds, prices, eps_used, acol_new,
+             cd_sel, penalty, v1_next_c, b_max_c, ed_max_c) = outs
+            match = MatchResult(tgt_idx=tgt_i, w=w_i, n_matches=nm_i)
+            ed_max_fused = ed_max_c
         else:
             ed = euclidean_matrix(st.kps, kp_t, scale)
             if config.feature == FeatureType.BSC:
@@ -515,6 +737,15 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
 
         m = st.metrics
         i = st.it
+        if dense_fast and _dbg_gate:
+            # Diagnostic lane (axon has no debug callbacks): stash the
+            # gate's open count, the ownership-failure count, and the
+            # median keep margin in informational metric slots.
+            energy = n_open.astype(jnp.float32)
+            iou = jnp.sum((real0 & ~own_ok0).astype(jnp.float32))
+            margin_dbg = jnp.where(own_ok0, vsel0 - (bound - eps0_w),
+                                   jnp.nan)
+            rmse_after = jnp.nanmedian(margin_dbg)
         metrics = IterationMetrics(
             energy=m.energy.at[i].set(energy),
             rmse=m.rmse.at[i].set(rmse),
@@ -569,6 +800,20 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                     fd_max=fd_cap,
                     v1_drift=d_ed,
                     fd_term=dwfd * fd_cap,
+                    decay_ratio=dwfd / jnp.maximum(wfd_next, 1e-30))
+            elif dense_fast:
+                # Dense fast path's carry: same structure as the streaming
+                # lane, with the FD max known exactly (static matrix,
+                # measured once before the loop).
+                wfd_next = jnp.exp(-(i_eff + 1.0) / r)
+                scarry_new = StreamCarry(
+                    ok=jnp.bool_(True),
+                    v1_ub=v1_next_c,
+                    b_max=b_max_c,
+                    ed_max=ed_max + d_ed,
+                    fd_max=fd_max_static,
+                    v1_drift=d_ed,
+                    fd_term=dwfd * fd_max_static,
                     decay_ratio=dwfd / jnp.maximum(wfd_next, 1e-30))
         elif config.feature in (FeatureType.FPFH, FeatureType.ROPS):
             drift_next = jnp.float32(3.0e38)
@@ -720,8 +965,11 @@ def ghicp_register_batched(kp_s: Array, mask_s: Array, kp_t: Array,
     cleanly and are fast at station-graph keypoint capacities.
     """
     import dataclasses as _dc
+    # dense_fast_path also off: vmap lowers lax.cond to select, which
+    # executes BOTH the warm and the full solve for every pair — the fast
+    # path would cost extra instead of saving.
     cfg = _dc.replace(config, fused_cost_kernel=False,
-                      auction_round_kernel=False)
+                      auction_round_kernel=False, dense_fast_path=False)
     if init_transform is None:
         fn = jax.vmap(lambda a, b, c, d, e, f: ghicp_loop(
             a, b, c, d, e, f, cfg, LOCAL))
