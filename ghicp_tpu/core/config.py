@@ -189,6 +189,15 @@ class GHICPConfig:
                                           # rows mid-trajectory).  Raise
                                           # toward 2000+ for exact-KM-
                                           # parity studies
+    auction_warm_rounds: int = 1          # when > 0, the per-solve sweep
+                                          # budget drops to this value once
+                                          # it_eff > auction_warm_after (the
+                                          # warm-start carries the matching;
+                                          # fewer full-matrix GS sweeps per
+                                          # iteration).  0 = single budget
+                                          # for the whole run
+    auction_warm_after: float = 8.0       # it_eff threshold for the warm
+                                          # budget
     auction_phases: int = 1               # epsilon-scaling phases in the
                                           # whole-phase kernel path (python-
                                           # unrolled launches).  Each phase
@@ -233,9 +242,14 @@ class GHICPConfig:
                                           # exceeds streaming_threshold
                                           # (dense-matrix HBM and sweep
                                           # traffic stop paying for
-                                          # themselves) and the solver is
-                                          # KM.  KM-only; NN/NNR always use
-                                          # the dense path
+                                          # themselves).  All three
+                                          # correspondence modes: KM via the
+                                          # streaming auction; NN/NNR via a
+                                          # single sweep per iteration
+                                          # (row-wise top-1 + column-side
+                                          # min/argmin for the reciprocal
+                                          # test).  The ring lane stays
+                                          # KM-only
     streaming_threshold: int = 16384      # "auto" cutover capacity: below
                                           # it the fused dense kernels win
                                           # (benefit matrix ~0.5GB bf16 at
@@ -267,7 +281,7 @@ class GHICPConfig:
                                           # bounds the looseness (and the
                                           # epsilon inflation it feeds) over
                                           # long fast streaks
-    dense_fast_path: bool = True          # dense (<streaming_threshold) KM
+    dense_fast_path: bool = False         # dense (<streaming_threshold) KM
                                           # lane: in stats-free iterations
                                           # with few expected CS violators,
                                           # skip the full fused-benefit sweep
@@ -278,8 +292,24 @@ class GHICPConfig:
                                           # row gathers (matching/
                                           # stream_auction.py::stream_solve
                                           # over dense-FD sweep closures).
-                                          # BSC+KM only
-    dense_open_cap: int = 1024            # dense-lane compact capacity, used
+                                          # BSC+KM only.  OFF by default:
+                                          # measured at TLS bench scale, the
+                                          # cross-iteration carry bounds
+                                          # cannot certify keeps (every
+                                          # inflation term is O(eps_final)
+                                          # and the stack of them exceeds
+                                          # the keep slack), so the gate
+                                          # never routes warm and the branch
+                                          # only costs compile time + a
+                                          # per-iteration gate.  The
+                                          # in-solve compact resolve
+                                          # (dense_open_cap) captures the
+                                          # win from the EXACT keep test
+                                          # instead.  Enable for
+                                          # small/high-precision problems
+                                          # where eps_final is far below the
+                                          # inter-pair margins
+    dense_open_cap: int = 0               # dense-lane compact capacity, used
                                           # twice: (a) inside the auction's
                                           # kernel path — when the exact
                                           # warm-start keep test leaves at
@@ -292,9 +322,18 @@ class GHICPConfig:
                                           # never engages); (b) as the
                                           # dense_fast_path gate/compact
                                           # capacity (counterpart of
-                                          # stream_open_cap).  0 disables
-                                          # both
-    stream_compact_budget: int = 16       # streaming lane: total bidding
+                                          # stream_open_cap).  0 (default)
+                                          # disables both; must be a
+                                          # multiple of 256 (the subset-GS
+                                          # kernel's row-tile height) to
+                                          # engage (a).  Default off:
+                                          # measured at TLS bench scale,
+                                          # kept-row eviction cascades force
+                                          # many outer gather+launch rounds
+                                          # and the subset-GS loses to one
+                                          # full GS launch despite dup
+                                          # resolution (124 vs 410 it/s)
+    stream_compact_budget: int = 48       # compact-resolve lanes: total bidding
                                           # rounds allowed while the open
                                           # set fits the compact block
                                           # (extends auction_max_rounds —

@@ -60,6 +60,12 @@ class AuctionResult(NamedTuple):
                        # column; callers reuse it instead of re-gathering
                        # the [rows, cols] matrix — row gathers cost ~0.14ms
                        # at 8k rows on this backend)
+    punc: Array        # [cols] per-column price uncertainty at return:
+                       # the deflation depth the NEXT warm start needs for
+                       # each column (won columns carry the eps overshoot,
+                       # keep-test-certified columns only the keep slack).
+                       # Feed back (plus the inter-solve benefit-drift
+                       # bound) as ``price_uncertainty``
 
 
 _SINK = jnp.int32(2**30)  # "unmatched" pseudo-column (infinite capacity)
@@ -164,7 +170,8 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
                    acol0: Optional[Array] = None,
                    hint_v1: Optional[Array] = None,
                    hint_vsel: Optional[Array] = None,
-                   compact_cap: int = 0, compact_budget: int = 0):
+                   compact_cap: int = 0, compact_budget: int = 0,
+                   keep_slack_extra=None):
     """Assignment on a benefit matrix b [R, C] (maximization) with an
     outside option at ``sink_value`` per row, via epsilon scaling with
     *kept assignments*.
@@ -233,8 +240,13 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
         eps0 = cold_eps0
         p_init = jnp.zeros((C,), jnp.float32)
     else:
-        d = jnp.float32(price_uncertainty)
-        eps0 = jnp.clip(d, eps_final, cold_eps0)
+        # price_uncertainty may be a PER-COLUMN vector [C] (the engine's
+        # re-certification scheme: columns won last solve carry the eps
+        # overshoot, untouched-but-certified columns only the keep slack)
+        # or a scalar (legacy).  The bidding-start epsilon heuristic uses
+        # its max.
+        d = jnp.asarray(price_uncertainty, jnp.float32)
+        eps0 = jnp.clip(jnp.max(d), eps_final, cold_eps0)
         p_init = jnp.maximum(p0 - d, 0.0)
 
     rows = jnp.arange(R)
@@ -270,9 +282,28 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
         else:
             v1 = jnp.max(b.astype(jnp.float32) - p_init[None, :], axis=1)
             vsel = b[rows, jc0].astype(jnp.float32) - p_init[jc0]
+        # Keep slack: the CS certification tolerance.  When the caller
+        # supplies ``keep_slack_extra`` (the penalty drift dpen), the
+        # slack is the stream-lane form dpen + 2*eps_final, upper-bounded
+        # by spread/8 — NOT by cold_eps0, which equals eps_final in
+        # single-phase mode and silently collapsed the slack BELOW the
+        # solve's own escalated terminal epsilon (~2*eps_final at a
+        # 2-sweep budget): assignments the previous solve certified at
+        # 2*eps were then re-tested against a 1*eps slack and ~20-30% of
+        # all rows mass-released every iteration by construction.  The
+        # re-certification scheme records this (small) value as the kept
+        # columns' price uncertainty instead of the drift-sized eps0,
+        # which would spiral.  Legacy callers (None) keep the eps0 slack.
+        if keep_slack_extra is not None:
+            eps_keep = jnp.clip(jnp.asarray(keep_slack_extra, jnp.float32)
+                                + 2.0 * eps_final, eps_final,
+                                jnp.maximum(spread / 8.0, eps_final))
+        else:
+            eps_keep = eps0
         own_ok = real0 & (owner_init[jc0] == row_gid)
-        keep = own_ok & (vsel >= v1 - eps0)
-        stay_sunk = (acol0 == _SINK) & (jnp.float32(sink_value) >= v1 - eps0)
+        keep = own_ok & (vsel >= v1 - eps_keep)
+        stay_sunk = ((acol0 == _SINK)
+                     & (jnp.float32(sink_value) >= v1 - eps_keep))
         # CS violators release their columns (prices stay — they were bid-
         # supported a moment ago and are deflated by the drift bound).
         rel = own_ok & ~keep
@@ -343,6 +374,20 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
             lambda s: s, st1)
         return owner, acol, p
 
+    def _punc(p_final, eps_bound):
+        """Per-column price uncertainty at return (re-certification): a
+        price CHANGED this solve was auction-set (CS-supported + at most
+        the escalated-eps overshoot -> 2*eps_bound, keeping the legacy
+        safety factor); an unchanged price was either re-certified by this
+        solve's keep test (its slack) or is zero/unowned.  Returned so the
+        caller can deflate each column by ITS OWN staleness next time —
+        the scalar scheme deflated every column by the worst case every
+        iteration, monotonically leaking prices toward zero on warm
+        streaks (kept columns never re-bid, so nothing restored them) and
+        the warm-start keep test then never engaged."""
+        cert = eps_keep if acol0 is not None else jnp.float32(0.0)
+        return jnp.where(p_final != p_init, 2.0 * eps_bound, cert)
+
     # Row-tile height: the kernel's VMEM footprint is ~5 x ts x C x 4B
     # (double-buffered benefit stripe + the [ts, C] f32 round intermediates)
     # against the raised scoped-VMEM budget — shrink ts as columns grow.
@@ -390,34 +435,37 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
         # greedy completion like every other path.  Single-phase only (the
         # multi-phase ladder interleaves full-matrix CS repairs anyway).
         if (compact_cap and 0 < compact_cap < R and n_phases == 1
-                and acol0 is not None):
-            from ghicp_tpu.matching.stream_auction import _resolve_round
-            from ghicp_tpu.ops.top2 import top2_rows
-            # max_rounds is traced — keep the max in jnp.
+                and acol0 is not None and compact_cap % 256 == 0):
+            # Subset-GS compact resolve: the warm-start keep test's released
+            # rows are SCATTERED, so the full GS kernel's active-tile
+            # skipping never engages (one open row activates a 256-row
+            # tile).  Gather the open rows into a contiguous [cap, C]
+            # block and run the SAME whole-phase GS kernel on it — the
+            # in-VMEM Gauss-Seidel rounds keep their efficiency while the
+            # sweep streams cap/R of the matrix.  Kept rows evicted by
+            # subset winners re-open and are picked up by the next OUTER
+            # gather round (the in-kernel reopen one-hot only spans the
+            # subset); 2-3 outer rounds settle in practice.
+            cts = 256
             cbudget = jnp.maximum(jnp.int32(compact_budget),
                                   jnp.asarray(max_rounds, jnp.int32))
-            cesc_after = jnp.maximum(cbudget // 4, 1)
-
-            def _cesc(rr):
-                return eps_final * jnp.exp2(jnp.maximum(
-                    rr - cesc_after, 0).astype(jnp.float32))
+            SENT = jnp.int32(compact_cap)   # local owner id for kept rows
 
             def _compact(st):
+                from ghicp_tpu.ops.auction_rounds import \
+                    auction_phase_gs_pallas
                 owner, acol, p = st
                 rows_ar = jnp.arange(R, dtype=jnp.int32)
-                sinkv = jnp.float32(sink_value)
+                col_ids_c = jnp.arange(C, dtype=jnp.int32)
 
                 def cond_c(c):
-                    owner, acol, p, rr = c
+                    owner, acol, p, spent, epsb = c
                     n_open = jnp.sum((acol == -1).astype(jnp.int32))
-                    return (n_open > 0) & (rr < cbudget)
+                    return (n_open > 0) & (spent < cbudget)
 
                 def body_c(c):
-                    owner, acol, p, rr = c
+                    owner, acol, p, spent, epsb = c
                     rows_open = acol == -1
-                    # Stable sort-free compaction (stream_auction scheme):
-                    # each open row scatters to its rank; overflow rows
-                    # (rank >= cap) simply wait for the next round.
                     rank = jnp.cumsum(rows_open.astype(jnp.int32)) - 1
                     pos = jnp.where(rows_open & (rank < compact_cap),
                                     rank, compact_cap)
@@ -425,25 +473,54 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
                         rows_ar, mode="drop")
                     filled = jnp.zeros((compact_cap,), bool).at[pos].set(
                         rows_open, mode="drop")
-                    bsub = b[idx].astype(jnp.float32)
-                    v1s, j1s, v2s = top2_rows(
-                        bsub, p, use_pallas=jax.default_backend() == "tpu")
-                    idx_sc = jnp.where(filled, idx, R)
-                    v1 = jnp.full((R,), _NEG).at[idx_sc].set(
-                        v1s, mode="drop")
-                    j1 = jnp.zeros((R,), jnp.int32).at[idx_sc].set(
-                        j1s, mode="drop")
-                    v2 = jnp.full((R,), _NEG).at[idx_sc].set(
-                        v2s, mode="drop")
-                    owner, acol, p = _resolve_round(
-                        v1, j1, v2, _cesc(rr + 1), sinkv,
-                        (owner, acol, p), row_gid, comm, C)
-                    return owner, acol, p, rr + 1
+                    b_sub = b[idx]
+                    # Kept-row owners become an out-of-range sentinel: they
+                    # must stay "owned" (a subset winner must evict them
+                    # through the price mechanism, not silently reuse the
+                    # column) but must never collide with subset-local ids.
+                    owner_sub = jnp.where(owner >= 0, SENT, -1)
+                    remaining_c = jnp.maximum(cbudget - spent, 1)
+                    p2, owner_o, sunk_o, r_c, _g = auction_phase_gs_pallas(
+                        b_sub, p, owner_sub,
+                        jnp.zeros((compact_cap,), jnp.int32),
+                        filled.astype(jnp.int32),
+                        eps_final, jnp.float32(sink_value),
+                        remaining_c, ts=cts, inner_cap=1,
+                        esc_after=jnp.maximum(remaining_c // 4, 1),
+                        esc_period=jnp.maximum(remaining_c // 16, 1),
+                        complete_open=0, interpret=_KERNEL_INTERPRET)
+                    epsb_c = eps_final * jnp.exp2(jnp.maximum(
+                        r_c - jnp.maximum(remaining_c // 4, 1), 0
+                    ).astype(jnp.float32)
+                        / jnp.maximum(remaining_c // 16, 1
+                                      ).astype(jnp.float32))
+                    # Map subset-local owners back to global row ids;
+                    # sentinel columns keep their original (kept) owner.
+                    won = (owner_o >= 0) & (owner_o < compact_cap)
+                    owner_n = jnp.where(
+                        won, idx[jnp.where(won, owner_o, 0)],
+                        jnp.where(owner_o == SENT, owner, -1))
+                    # Rebuild assignments: owner pointers are authoritative
+                    # (kept rows evicted by subset winners drop to -1 and
+                    # re-enter the next outer gather).
+                    acol_n = jnp.full((R,), -1, jnp.int32).at[
+                        jnp.where(owner_n >= 0, owner_n, R)].set(
+                        col_ids_c, mode="drop")
+                    acol_n = jnp.where(acol == _SINK, _SINK, acol_n)
+                    idx_sc = jnp.where(filled & (sunk_o == 1), idx, R)
+                    acol_n = acol_n.at[idx_sc].set(_SINK, mode="drop")
+                    return (owner_n, acol_n, p2, spent + r_c,
+                            jnp.maximum(epsb, epsb_c))
 
-                owner, acol, p, rr = jax.lax.while_loop(
+                owner, acol, p, spent, epsb = jax.lax.while_loop(
                     cond_c, body_c,
-                    (owner, acol, p, jnp.int32(0)))
-                return acol, p, rr, _cesc(rr)
+                    (owner, acol, p, jnp.int32(0), eps_final))
+                import os as _os
+                if _os.environ.get("GHICP_DEBUG_GATE"):
+                    # diagnostic: open-count at entry + compact marker
+                    spent = (100000 + n_open0 * 100
+                             + jnp.minimum(spent, 99))
+                return acol, p, spent, epsb
 
             n_open0 = jnp.sum((acol_init == -1).astype(jnp.int32))
         else:
@@ -526,11 +603,20 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
             return acol, p, spent, eps_bound
 
         if n_open0 is not None:
-            return jax.lax.cond(
+            acol_k, p_k, spent_k, epsb_k = jax.lax.cond(
                 n_open0 <= compact_cap, _compact,
                 lambda st: _run_gs_phases(st[0], st[1], st[2]),
                 (owner_init, acol_init, p_init))
-        return _run_gs_phases(owner_init, acol_init, p_init)
+            import os as _os
+            if _os.environ.get("GHICP_DEBUG_GATE"):
+                # diagnostic: GS-taken solves report n_open0*100 + spent
+                spent_k = jnp.where(spent_k >= 100000, spent_k,
+                                    n_open0 * 100 + jnp.minimum(spent_k,
+                                                                99))
+        else:
+            acol_k, p_k, spent_k, epsb_k = _run_gs_phases(
+                owner_init, acol_init, p_init)
+        return acol_k, p_k, spent_k, epsb_k, _punc(p_k, epsb_k)
 
     def cond(c):
         return ~c[0]
@@ -553,7 +639,7 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
     st0 = (owner_init, acol_init, p_init)
     _, _, (owner, acol, p), rounds = jax.lax.while_loop(
         cond, body, (jnp.bool_(False), eps0, st0, jnp.int32(0)))
-    return acol, p, rounds, eps_final
+    return acol, p, rounds, eps_final, _punc(p, eps_final)
 
 
 @functools.partial(jax.jit, static_argnames=("eps_final",
@@ -574,7 +660,8 @@ def auction_match_benefits(b: Array, penalty: Array, mask_s: Array,
                            hint_v1: Optional[Array] = None,
                            hint_vsel: Optional[Array] = None,
                            compact_cap: int = 0,
-                           compact_budget: int = 0
+                           compact_budget: int = 0,
+                           keep_slack_extra=None
                            ) -> AuctionResult:
     """Auction on a PREBUILT benefit matrix (e.g. from the fused cost
     kernel, ops/cost_kernel.py).
@@ -589,12 +676,13 @@ def auction_match_benefits(b: Array, penalty: Array, mask_s: Array,
     """
     S, T = b.shape
     rows_total = total_rows if total_rows is not None else S
-    acol, p, rounds, eps_used = auction_assign(
+    acol, p, rounds, eps_used, punc = auction_assign(
         b, -penalty, eps_final, max_rounds, comm, rel_eps=rel_eps,
         p0=p0, price_uncertainty=price_uncertainty,
         use_round_kernel=use_round_kernel, n_phases=n_phases, b_max=b_max,
         acol0=acol0, hint_v1=hint_v1, hint_vsel=hint_vsel,
-        compact_cap=compact_cap, compact_budget=compact_budget)
+        compact_cap=compact_cap, compact_budget=compact_budget,
+        keep_slack_extra=keep_slack_extra)
     # Greedy completion at budget exhaustion (see auction_match) — under a
     # cond: when the auction converged (no -1 rows, the common case with
     # in-kernel epsilon escalation) the full-matrix top-1 pass is skipped.
@@ -623,7 +711,8 @@ def auction_match_benefits(b: Array, penalty: Array, mask_s: Array,
     match = MatchResult(tgt_idx=jc.astype(jnp.int32), w=w,
                         n_matches=cor.astype(jnp.int32))
     return AuctionResult(match=match, prices=p, energy=energy, rounds=rounds,
-                         eps_used=eps_used, acol=acol, cd_sel=-bsel)
+                         eps_used=eps_used, acol=acol, cd_sel=-bsel,
+                         punc=punc)
 
 
 @functools.partial(jax.jit, static_argnames=("eps_final",
@@ -638,7 +727,8 @@ def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
                   quantize_bf16: bool = False,
                   use_round_kernel: bool = False,
                   n_phases: int = 4,
-                  acol0: Optional[Array] = None) -> AuctionResult:
+                  acol0: Optional[Array] = None,
+                  keep_slack_extra=None) -> AuctionResult:
     """Global-optimal correspondence via auction (KM equivalent).
 
     cd: [S, T] blended cost (+inf at invalid pairs); S may be a local row
@@ -664,10 +754,11 @@ def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
         # optimal matching by less than the epsilon already tolerated.
         b = b.astype(jnp.bfloat16)
 
-    acol, p, rounds, eps_used = auction_assign(
+    acol, p, rounds, eps_used, punc = auction_assign(
         b, -penalty, eps_final, max_rounds, comm, rel_eps=rel_eps,
         p0=p0, price_uncertainty=price_uncertainty,
-        use_round_kernel=use_round_kernel, n_phases=n_phases, acol0=acol0)
+        use_round_kernel=use_round_kernel, n_phases=n_phases, acol0=acol0,
+        keep_slack_extra=keep_slack_extra)
     # Greedy completion at budget exhaustion: rows still unassigned when the
     # TOTAL rounds budget binds (acol == -1) take their best column at the
     # current prices (duplicates allowed), or the sink if the sink rule says
@@ -704,4 +795,5 @@ def auction_match(cd: Array, penalty: Array, mask_s: Array, mask_t: Array,
     match = MatchResult(tgt_idx=jc.astype(jnp.int32), w=w,
                         n_matches=cor.astype(jnp.int32))
     return AuctionResult(match=match, prices=p, energy=energy, rounds=rounds,
-                         eps_used=eps_used, acol=acol, cd_sel=cd_sel)
+                         eps_used=eps_used, acol=acol, cd_sel=cd_sel,
+                         punc=punc)

@@ -57,6 +57,12 @@ class StreamSolveResult(NamedTuple):
                        # carried through fast solves; exact forever since
                        # features are fixed) — tightens the engine's
                        # benefit-rise drift term dwfd*fd_max
+    punc: Array        # [C] per-column price uncertainty at return (won
+                       # columns: the eps overshoot; keep-certified
+                       # columns: the keep slack) — the next warm start
+                       # deflates each column by ITS OWN staleness instead
+                       # of a global worst case (which leaked prices to
+                       # zero over warm streaks and killed the keep test)
 
 
 class StreamCarry(NamedTuple):
@@ -257,7 +263,10 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
         jnp.where(real0, acol0, C)].max(
         jnp.where(real0, row_gid, -1), mode="drop")
     owner0 = comm.pmax(owner0)
-    d_pre = jnp.float32(price_uncertainty)
+    # price_uncertainty: per-column vector [C] (re-certification scheme)
+    # or scalar (legacy); scalar consumers below use its max.
+    d_pre = jnp.asarray(price_uncertainty, jnp.float32)
+    d_pre_max = jnp.max(d_pre)
     p_mid = jnp.where(owner0 >= 0, jnp.maximum(p0 - d_pre, 0.0), 0.0)
     jc0 = jnp.where(real0, acol0, 0)
 
@@ -298,7 +307,7 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
         # A/(1+r) for negative A — for converged rows |v1| is small and
         # (b) beats (a) by orders of magnitude.
         dp = jnp.abs(penalty - jnp.float32(pen_prev))
-        A = carry.v1_ub + carry.v1_drift + d_pre + dp
+        A = carry.v1_ub + carry.v1_drift + d_pre_max + dp
         tight = jnp.where(A > 0, A, A / (1.0 + carry.decay_ratio))
         bound = jnp.minimum(A + carry.fd_term, tight)
         # Downstream adds dpen uniformly; pre-subtract so the final
@@ -349,6 +358,7 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     # Prices deflated for bidding (drift + penalty shift); a price is only
     # meaningful while an owner supports it.
     p = jnp.where(owner >= 0, jnp.maximum(p_mid - dpen, 0.0), 0.0)
+    p_bid0 = p
 
     # --- Jacobi bidding sweeps with epsilon escalation ---
     # A compact sweep costs O(cap/S) of a full one, so rounds where the
@@ -496,9 +506,13 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     # touched the row (measured at in-solve prices, which only rise), the
     # inflated keep-test bound elsewhere.
     v1_next = jnp.where(obs, v1_obs, v1_ub)
+    # Per-column re-certification (StreamSolveResult.punc): won columns
+    # carry the (escalated) bid overshoot, unchanged columns only the
+    # keep-test slack they were certified at.
+    punc = jnp.where(p != p_bid0, 2.0 * eps_used, eps0)
     return StreamSolveResult(match=match, prices=p, energy=energy,
                              rounds=rounds, eps_used=eps_used, acol=acol,
                              cd_sel=cd_sel, fd_sel=fd_sel, penalty=penalty,
                              cd_mean=cd_mean, cd_std=cd_std, ed_max=ed_max,
                              v1_next=v1_next, b_max_next=b_max,
-                             fd_max=fd_max)
+                             fd_max=fd_max, punc=punc)

@@ -40,7 +40,7 @@ _NEG = -3.0e38
 
 def _kernel(scal_ref, kps_ref, kpt_ref, fd_ref, ms_ref, mt_ref, p_ref,
             ac_ref, b_out, part_out, v1_out, vsel_out, *, ts: int,
-            mult_blend: bool):
+            mult_blend: bool, with_stats: bool = True):
     i = pl.program_id(0)
     wed = scal_ref[0]
     wfd = scal_ref[1]
@@ -88,12 +88,16 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fd_ref, ms_ref, mt_ref, p_ref,
     vsel_out[i, :] = jnp.max(jnp.where(keep_oh, v, _NEG), axis=1)
     # (Scalar VMEM stores are unsupported — each stat occupies a full
     # broadcast row of the [8, 128] accumulator; callers read lane 0.)
-    cnt = jnp.sum(m.astype(jnp.float32))
-    cdm = jnp.where(m, cd, 0.0)
-    part_out[0, :] = part_out[0, :] + cnt
-    part_out[1, :] = part_out[1, :] + jnp.sum(cdm)
-    part_out[2, :] = part_out[2, :] + jnp.sum(cdm * cd)
-    part_out[3, :] = jnp.maximum(part_out[3, :], jnp.max(cdm))
+    if with_stats:
+        # Penalty-schedule statistics — only consumed while the schedule
+        # is in its CD-stats phase (iterations 0-1, ghicp_reg.cpp:279-293);
+        # the stats-free variant skips these ~5 VPU passes per tile.
+        cnt = jnp.sum(m.astype(jnp.float32))
+        cdm = jnp.where(m, cd, 0.0)
+        part_out[0, :] = part_out[0, :] + cnt
+        part_out[1, :] = part_out[1, :] + jnp.sum(cdm)
+        part_out[2, :] = part_out[2, :] + jnp.sum(cdm * cd)
+        part_out[3, :] = jnp.maximum(part_out[3, :], jnp.max(cdm))
     part_out[4, :] = jnp.maximum(part_out[4, :],
                                  jnp.max(jnp.where(m, ed, 0.0)))
     # cd_min over valid pairs (negated so the zero-initialized accumulator
@@ -104,13 +108,13 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fd_ref, ms_ref, mt_ref, p_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("ts", "interpret", "out_dtype",
-                                             "mult_blend"))
+                                             "mult_blend", "with_stats"))
 def fused_benefit(kp_s: Array, kp_t: Array, fd: Array, mask_s: Array,
                   mask_t: Array, wed, wfd, scale, ts: int = 256,
                   interpret: bool = False, out_dtype=jnp.bfloat16,
                   p_defl: Optional[Array] = None,
                   acol0: Optional[Array] = None,
-                  mult_blend: bool = False):
+                  mult_blend: bool = False, with_stats: bool = True):
     """One-sweep benefit matrix + CD statistics + warm-start CS hints.
 
     kp_s [S,3], kp_t [C,3] f32 (center them by a common offset first);
@@ -141,7 +145,8 @@ def fused_benefit(kp_s: Array, kp_t: Array, fd: Array, mask_s: Array,
     if acol0 is None:
         acol0 = jnp.full((S,), -1, jnp.int32)
     b, parts, v1, vsel = pl.pallas_call(
-        functools.partial(_kernel, ts=ts, mult_blend=mult_blend),
+        functools.partial(_kernel, ts=ts, mult_blend=mult_blend,
+                          with_stats=with_stats),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),              # scalars [3]

@@ -81,6 +81,12 @@ class SweepResult(NamedTuple):
                    # fresh measurement is a PERMANENT bound — the warm
                    # fast path's benefit-rise term dwfd*fd_max uses it
                    # instead of the crude total-bit-count cap
+    cmin: Optional[Array] = None   # [C] per-column min CD over valid rows
+                   # (only with ``col_side=True`` — the reciprocal-NN
+                   # matcher's column-side reduction, ghicp_reg.cpp:605-698)
+    crow: Optional[Array] = None   # [C] LOCAL row index achieving cmin
+                   # (lowest row on ties, matching the reference's serial
+                   # first-hit scan); 2**30 where no valid row
 
 
 def _tile_cd(s8, t8, fs_tile, ft_tile, na_tile, nb_tile, wed, wfd, scale,
@@ -132,8 +138,9 @@ def _tile_cd(s8, t8, fs_tile, ft_tile, na_tile, nb_tile, wed, wfd, scale,
 def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
             ms_ref, mt_ref, p_ref, ac_ref,
             v1_out, j1_out, v2_out, j2_out, vsel_out, part_out,
+            cmin_out, crow_out,
             s_v1, s_j1, s_v2, s_j2, s_vsel, *, tc: int, mult_blend: bool,
-            no_features: bool):
+            no_features: bool, col_side: bool):
     i = pl.program_id(0)
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
@@ -182,6 +189,20 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
                         jnp.where(v1 >= m2, j1, a2),
                         jnp.where(m1 > v2, a1, j2))
 
+    if col_side:
+        # Column-side min/argmin per (row tile, col tile) — each output
+        # block written exactly once; the host-side reduce over row tiles
+        # is O(n_i * C).  Row ids are LOCAL tile-offset ids (the matcher
+        # layer adds the shard offset).
+        ts_rows = jax.lax.broadcasted_iota(jnp.int32, (ts, tc), 0)
+        cdc = jnp.where(m, cd, jnp.float32(3.0e38))
+        cmin_out[0, :] = jnp.min(cdc, axis=0)
+        at_min = cdc == cmin_out[0, :][None, :]
+        crow_out[0, :] = jnp.where(
+            cmin_out[0, :] < 3.0e38,
+            jnp.min(jnp.where(at_min, ts_rows + i * ts, 2**30), axis=0),
+            2**30)
+
     # --- warm-start keep value at the kept column (one-hot in its tile) ---
     acv = ac_ref[i, :]
     keep_oh = cols == acv[:, None]      # acol outside [off, off+tc) no hit
@@ -211,13 +232,15 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("ts", "tc", "interpret",
-                                             "mult_blend", "no_features"))
+                                             "mult_blend", "no_features",
+                                             "col_side"))
 def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                  mask_s: Array, mask_t: Array, prices: Array, acol: Array,
                  wed, wfd, scale, ts: int = 256, tc: int = 512,
                  interpret: bool = False,
                  mult_blend: bool = False,
-                 no_features: bool = False) -> SweepResult:
+                 no_features: bool = False,
+                 col_side: bool = False) -> SweepResult:
     """One matrix-free sweep: top-2 of (b - p) per row + CD statistics.
 
     kp_s [S,3] / kp_t [C,3] f32 (center by a common offset first — same
@@ -234,9 +257,9 @@ def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     scal = jnp.stack([jnp.asarray(wed, jnp.float32),
                       jnp.asarray(wfd, jnp.float32),
                       jnp.asarray(scale, jnp.float32)])
-    v1, j1, v2, j2, vsel, parts = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_kernel, tc=tc, mult_blend=mult_blend,
-                          no_features=no_features),
+                          no_features=no_features, col_side=col_side),
         grid=(n_i, n_j),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),               # scalars
@@ -274,6 +297,10 @@ def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_i, ts), jnp.float32),
@@ -282,6 +309,8 @@ def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
             jax.ShapeDtypeStruct((n_i, ts), jnp.int32),
             jax.ShapeDtypeStruct((n_i, ts), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_i, C), jnp.float32),
+            jax.ShapeDtypeStruct((n_i, C), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((ts,), jnp.float32),
@@ -298,20 +327,33 @@ def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
       mask_s.astype(jnp.int32).reshape(n_i, ts),
       mask_t.astype(jnp.int32).reshape(1, C),
       prices.reshape(1, C), acol.astype(jnp.int32).reshape(n_i, ts))
+    v1, j1, v2, j2, vsel, parts, cmin_p, crow_p = outs
+    if col_side:
+        # Reduce the per-row-tile column partials; argmin's first-hit on
+        # ties keeps the lowest tile (and within a tile the kernel already
+        # chose the lowest row) — matching the dense matcher's serial-scan
+        # tie-break.
+        k = jnp.argmin(cmin_p, axis=0)
+        cols = jnp.arange(C)
+        cmin = cmin_p[k, cols]
+        crow = crow_p[k, cols]
+    else:
+        cmin = crow = None
     return SweepResult(v1=v1.reshape(S), j1=j1.reshape(S),
                        v2=v2.reshape(S), j2=j2.reshape(S),
                        vsel=vsel.reshape(S),
                        cnt=parts[0, 0], cd_sum=parts[1, 0],
                        cd_sumsq=parts[2, 0], cd_max=parts[3, 0],
                        ed_max=parts[4, 0], b_max=parts[5, 0],
-                       fd_max=parts[6, 0])
+                       fd_max=parts[6, 0], cmin=cmin, crow=crow)
 
 
 def stream_sweep_ref(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                      mask_s: Array, mask_t: Array, prices: Array,
                      acol: Array, wed, wfd, scale, tc: int = 512,
                      mult_blend: bool = False,
-                     no_features: bool = False) -> SweepResult:
+                     no_features: bool = False,
+                     col_side: bool = False) -> SweepResult:
     """Column-blocked lax.scan with identical outputs (CPU / parity / the
     per-step body of the distributed ring in shard/stream_shard.py)."""
     S = kp_s.shape[0]
@@ -350,13 +392,26 @@ def stream_sweep_ref(kp_s: Array, kp_t: Array, feats: StreamFeatures,
         nvsel = jnp.maximum(vsel, jnp.max(
             jnp.where(cols == acol[:, None], v, _NEG), axis=1))
         cdm = jnp.where(m, cd, 0.0)
+        if col_side:
+            # Column-side min + lowest-row argmin for this column block.
+            cdc = jnp.where(m, cd, jnp.float32(3.0e38))
+            cmin_blk = jnp.min(cdc, axis=0)
+            rows_i = jnp.arange(S, dtype=jnp.int32)
+            crow_blk = jnp.where(
+                cmin_blk < 3.0e38,
+                jnp.min(jnp.where(cdc == cmin_blk[None, :],
+                                  rows_i[:, None], 2**30), axis=0),
+                2**30)
+            col_out = (cmin_blk, crow_blk)
+        else:
+            col_out = None
         return (nv1, nj1, nv2, nj2, nvsel,
                 cnt + jnp.sum(m.astype(jnp.float32)),
                 s1 + jnp.sum(cdm), s2 + jnp.sum(cdm * cd),
                 jnp.maximum(cmax, jnp.max(cdm)),
                 jnp.maximum(emax, jnp.max(jnp.where(m, ed, 0.0))),
                 jnp.maximum(bmax, jnp.max(jnp.where(m, -cd, _NEG))),
-                jnp.maximum(fmax, jnp.max(jnp.where(m, fdt, 0.0)))), None
+                jnp.maximum(fmax, jnp.max(jnp.where(m, fdt, 0.0)))), col_out
 
     neg = jnp.full((S,), _NEG, jnp.float32)
     zi = jnp.zeros((S,), jnp.int32)
@@ -364,7 +419,11 @@ def stream_sweep_ref(kp_s: Array, kp_t: Array, feats: StreamFeatures,
             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
             jnp.float32(0.0), jnp.float32(0.0), jnp.float32(_NEG),
             jnp.float32(0.0))
-    out, _ = jax.lax.scan(step, init, jnp.arange(n_j))
+    out, col_stk = jax.lax.scan(step, init, jnp.arange(n_j))
+    if col_side:
+        cmin = col_stk[0].reshape(C)
+        crow = col_stk[1].reshape(C)
+        return SweepResult(*out, cmin=cmin, crow=crow)
     return SweepResult(*out)
 
 

@@ -99,7 +99,14 @@ class _State(NamedTuple):
                       # across iterations: warm-starts the next solve so
                       # only eps-CS violators re-bid (the full first-sweep
                       # top-2 over [S,T] was the dominant engine cost)
-    price_unc: Array  # scalar bound on benefit drift since `prices` was set
+    price_unc: Array  # [T] PER-COLUMN deflation depth for the next warm
+                      # start: each column's price staleness (bid overshoot
+                      # for won columns, keep-certification slack for
+                      # untouched ones) + the scalar benefit-drift bound.
+                      # A scalar worst case here leaked every price toward
+                      # zero across warm streaks (kept columns never
+                      # re-bid, so nothing restored them) and the warm keep
+                      # tests never engaged
     pen_prev: Array   # previous iteration's penalty (drift component)
     it_shift: Array   # f32 schedule offset: W_FD decays from
                       # exp(-it_shift/rate).  Nonzero when a trusted coarse
@@ -158,7 +165,8 @@ def _initial_state(kp_s: Array, n_target: int, config: GHICPConfig,
         rmse_after=jnp.float32(jnp.inf),
         prices=jnp.zeros((n_target,), jnp.float32),
         acol=jnp.full((S,), -1, jnp.int32),
-        price_unc=jnp.float32(3.0e38), pen_prev=jnp.float32(0.0),
+        price_unc=jnp.full((n_target,), 3.0e38, jnp.float32),
+        pen_prev=jnp.float32(0.0),
         it_shift=jnp.float32(it_shift), scarry=carry_init(S))
 
 
@@ -181,7 +189,9 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
     T = kp_t.shape[0]
     use_stream = stream is not None
     if use_stream and config.correspondence != CorrespondenceType.KM:
-        raise ValueError("streaming cost path supports KM only")
+        from ghicp_tpu.ops.stream_kernel import RingFeatures as _RF
+        if isinstance(stream, _RF):
+            raise ValueError("ring streaming supports KM only")
     # The fused benefit kernel shards cleanly: it runs per device on the
     # local row shard and its statistics are psum'd below (the GS round
     # kernel stays single-device — auction_assign's internal gate falls
@@ -258,6 +268,17 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
             wed = jnp.float32(1.0)
 
         budget = jnp.int32(config.auction_max_rounds)
+        if config.auction_warm_rounds > 0 and not use_stream:
+            # Warm-phase sweep budget: once the assignment+price warm start
+            # carries most of the matching (past the feature-dominant early
+            # schedule), fewer full-matrix bidding sweeps per solve suffice
+            # — budget is a traced scalar, so this costs no recompile.
+            # Dense lanes only: the streaming lane's compact-extension
+            # economics differ and budget 1 measurably nudges its matched
+            # RMSE at the success threshold.
+            budget = jnp.where(it_eff > config.auction_warm_after,
+                               jnp.int32(config.auction_warm_rounds),
+                               budget)
         ed_max_fused = None
         fsel = None
         if use_fused or dense_fast:
@@ -356,7 +377,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                         sres.match.n_matches, sres.energy, sres.rounds,
                         sres.prices, sres.eps_used, sres.acol, sres.cd_sel,
                         sres.penalty, sres.v1_next, sres.b_max_next,
-                        sres.ed_max)
+                        sres.ed_max, sres.punc)
 
             # Routing gate: replicate stream_solve's carry keep test
             # (O(S) gathers + vector math) to count the rows the warm
@@ -372,7 +393,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                               -cd0 - p_mid[jc0], jnp.float32(-3.0e38))
             dp_w = jnp.abs(pen_w - st.pen_prev)
             car = st.scarry
-            A = car.v1_ub + car.v1_drift + st.price_unc + dp_w
+            A = car.v1_ub + car.v1_drift + jnp.max(st.price_unc) + dp_w
             tight = jnp.where(A > 0, A, A / (1.0 + car.decay_ratio))
             bound = jnp.minimum(A + car.fd_term, tight)
             sink_w = -pen_w
@@ -412,84 +433,157 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
             else:
                 def penalty_fn(mean, std):
                     return jnp.maximum(mean, 1.0)
-            from ghicp_tpu.ops.stream_kernel import (RingFeatures,
-                                                     ring_selected,
-                                                     ring_sweep)
-            is_ring = isinstance(stream, RingFeatures)
-            if is_ring:
-                if mult_blend:
-                    raise ValueError("ring streaming supports the BSC "
-                                     "(hamming) lane only")
-
-                def sweep_fn(p, ac):
-                    return ring_sweep(kps_c, kp_t_c, stream, mask_s,
-                                      mask_t, p, ac, wed, wfd, scale,
-                                      comm.axis)
-
-                def select_fn(jc):
-                    return ring_selected(kps_c, kp_t_c, stream, jc,
-                                         wed, wfd, scale)
-
-                def sweep_sub_fn(idx, sub_mask, p, ac_sub):
-                    # Compact ring sweep: the local factor rows gather to
-                    # the open subset; target blocks still rotate the
-                    # full ring (the ppermute traffic is O(C*F) either
-                    # way), but per-step compute is O(cap * C/n).
-                    sub = RingFeatures(fs=stream.fs[:, idx],
-                                       na=stream.na[:, idx],
-                                       ft_blk=stream.ft_blk,
-                                       nb=stream.nb,
-                                       words_s=stream.words_s,
-                                       words_t=stream.words_t)
-                    return ring_sweep(kps_c[idx], kp_t_c, sub, sub_mask,
-                                      mask_t, p, ac_sub, wed, wfd, scale,
-                                      comm.axis)
+            if config.correspondence != CorrespondenceType.KM:
+                # --- matrix-free NN / reciprocal-NN -----------------------
+                # One sweep per iteration: the row-wise top-1 over the
+                # never-materialized cost field is the NN matcher
+                # (ghicp_reg.cpp:700-769), and with ``col_side`` the same
+                # sweep emits the per-column min/argmin the reciprocal
+                # test needs (ghicp_reg.cpp:605-698).  Lifts the KM-only
+                # restriction of the streaming lane: NN/NNR now run at any
+                # keypoint count without re-materializing the dense [S,T]
+                # FD the streaming lane exists to avoid.
+                from ghicp_tpu.matching.matchers import MatchResult
+                from ghicp_tpu.ops.stream_kernel import (stream_selected,
+                                                         stream_sweep,
+                                                         stream_sweep_ref)
+                no_feat = config.feature == FeatureType.NONE
+                col = config.correspondence == CorrespondenceType.NNR
+                zp = jnp.zeros((T,), jnp.float32)
+                zac = jnp.full((S,), -1, jnp.int32)
+                use_k = (_jax.default_backend() == "tpu"
+                         or _STREAM_INTERPRET)
+                if use_k and S % 256 == 0 and T % 512 == 0:
+                    sw = stream_sweep(kps_c, kp_t_c, stream, mask_s,
+                                      mask_t, zp, zac, wed, wfd, scale,
+                                      interpret=_STREAM_INTERPRET,
+                                      mult_blend=mult_blend,
+                                      no_features=no_feat, col_side=col)
+                else:
+                    sw = stream_sweep_ref(kps_c, kp_t_c, stream, mask_s,
+                                          mask_t, zp, zac, wed, wfd,
+                                          scale, mult_blend=mult_blend,
+                                          no_features=no_feat,
+                                          col_side=col)
+                n_valid = jnp.maximum(comm.psum(sw.cnt), 1.0)
+                mean = comm.psum(sw.cd_sum) / n_valid
+                std = jnp.sqrt(jnp.maximum(
+                    comm.psum(sw.cd_sumsq) / n_valid - mean * mean, 0.0))
+                penalty = penalty_fn(mean, std)
+                mincd = -sw.v1            # prices are zero: v1 = -min CD
+                valid_row = mask_s & (sw.v1 > jnp.float32(-1.0e38))
+                if col:
+                    # Reciprocal test with global row ids (the dense
+                    # nnr_match semantics, lowest row id on ties).
+                    row_gid_nn = (comm.axis_index() * S
+                                  + jnp.arange(S, dtype=jnp.int32))
+                    cmin_g = comm.pmin(sw.cmin)
+                    big = jnp.int32(2**30)
+                    crow_gid = jnp.where(sw.crow < big,
+                                         sw.crow + comm.axis_index() * S,
+                                         big)
+                    tv = comm.pmin(jnp.where(sw.cmin <= cmin_g,
+                                             crow_gid, big))
+                    mutual = tv[sw.j1] == row_gid_nn
+                    ok = valid_row & mutual
+                else:
+                    ok = valid_row & (mincd < penalty)
+                w_nn = ok.astype(jnp.float32)
+                match = MatchResult(
+                    tgt_idx=sw.j1.astype(jnp.int32), w=w_nn,
+                    n_matches=comm.psum(jnp.sum(w_nn)).astype(jnp.int32))
+                cd_sel = mincd
+                _, _, fsel = stream_selected(kps_c, kp_t_c, stream,
+                                             sw.j1, wed, wfd, scale,
+                                             mult_blend=mult_blend,
+                                             no_features=no_feat)
+                energy = jnp.float32(0.0)
+                rounds = jnp.int32(0)
+                prices = st.prices
+                eps_used = jnp.float32(0.0)
+                acol_new = st.acol
+                punc_new = jnp.zeros((T,), jnp.float32)
+                ed_max_fused = comm.pmax(sw.ed_max)
             else:
-                sweep_fn = select_fn = sweep_sub_fn = None
-            # The streaming sweep kernel also shards cleanly (it only
-            # computes local-row reductions); the ring lane supplies its
-            # own sweep_fn instead.
-            use_kernel = (_jax.default_backend() == "tpu"
-                          or _STREAM_INTERPRET)
-            # Warm fast path: BSC's penalty schedule is stats-free past
-            # it_eff > 1 (bsc_penalty takes the rms/fdm branch,
-            # ghicp_reg.cpp:279-293) and its price drift bound is finite,
-            # so the carried hints can replace sweep-0.  FPFH/RoPS drift
-            # is unbounded (multiplicative blend) -> carry disabled.
-            use_fast = (config.stream_fast_path
-                        and config.feature == FeatureType.BSC)
-            # Periodic re-anchor: the carried v1/spread bounds inflate by
-            # the drift terms every fast solve; a full sweep-0 every
-            # stream_refresh_every iterations re-measures them exactly.
-            sf = it_eff > 1.0
-            if config.stream_refresh_every > 0:
-                sf = sf & (st.it % config.stream_refresh_every != 0)
-            sres = stream_solve(
-                kps_c, kp_t_c, None if is_ring else stream, mask_s, mask_t,
-                wed, wfd, scale,
-                penalty_fn, eps_final=config.km_eps,
-                rel_eps=config.auction_rel_eps, max_sweeps=budget,
-                p0=st.prices, price_uncertainty=st.price_unc,
-                acol0=st.acol, pen_prev=st.pen_prev, comm=comm,
-                total_rows=total_rows, interpret=_STREAM_INTERPRET,
-                mult_blend=mult_blend, use_kernel=use_kernel,
-                sweep_fn=sweep_fn, select_fn=select_fn,
-                carry=st.scarry if use_fast else None,
-                stats_free=sf if use_fast else False,
-                open_cap=config.stream_open_cap,
-                compact_extra_sweeps=config.stream_compact_budget,
-                sweep_sub_fn=sweep_sub_fn,
-                no_features=(config.feature == FeatureType.NONE))
-            match = sres.match
-            energy = sres.energy
-            rounds = sres.rounds
-            prices = sres.prices
-            eps_used = sres.eps_used
-            acol_new = sres.acol
-            cd_sel = sres.cd_sel
-            fsel = sres.fd_sel
-            penalty = sres.penalty
-            ed_max_fused = sres.ed_max
+                from ghicp_tpu.ops.stream_kernel import (RingFeatures,
+                                                         ring_selected,
+                                                         ring_sweep)
+                is_ring = isinstance(stream, RingFeatures)
+                if is_ring:
+                    if mult_blend:
+                        raise ValueError("ring streaming supports the BSC "
+                                         "(hamming) lane only")
+
+                    def sweep_fn(p, ac):
+                        return ring_sweep(kps_c, kp_t_c, stream, mask_s,
+                                          mask_t, p, ac, wed, wfd, scale,
+                                          comm.axis)
+
+                    def select_fn(jc):
+                        return ring_selected(kps_c, kp_t_c, stream, jc,
+                                             wed, wfd, scale)
+
+                    def sweep_sub_fn(idx, sub_mask, p, ac_sub):
+                        # Compact ring sweep: the local factor rows gather to
+                        # the open subset; target blocks still rotate the
+                        # full ring (the ppermute traffic is O(C*F) either
+                        # way), but per-step compute is O(cap * C/n).
+                        sub = RingFeatures(fs=stream.fs[:, idx],
+                                           na=stream.na[:, idx],
+                                           ft_blk=stream.ft_blk,
+                                           nb=stream.nb,
+                                           words_s=stream.words_s,
+                                           words_t=stream.words_t)
+                        return ring_sweep(kps_c[idx], kp_t_c, sub, sub_mask,
+                                          mask_t, p, ac_sub, wed, wfd, scale,
+                                          comm.axis)
+                else:
+                    sweep_fn = select_fn = sweep_sub_fn = None
+                # The streaming sweep kernel also shards cleanly (it only
+                # computes local-row reductions); the ring lane supplies its
+                # own sweep_fn instead.
+                use_kernel = (_jax.default_backend() == "tpu"
+                              or _STREAM_INTERPRET)
+                # Warm fast path: BSC's penalty schedule is stats-free past
+                # it_eff > 1 (bsc_penalty takes the rms/fdm branch,
+                # ghicp_reg.cpp:279-293) and its price drift bound is finite,
+                # so the carried hints can replace sweep-0.  FPFH/RoPS drift
+                # is unbounded (multiplicative blend) -> carry disabled.
+                use_fast = (config.stream_fast_path
+                            and config.feature == FeatureType.BSC)
+                # Periodic re-anchor: the carried v1/spread bounds inflate by
+                # the drift terms every fast solve; a full sweep-0 every
+                # stream_refresh_every iterations re-measures them exactly.
+                sf = it_eff > 1.0
+                if config.stream_refresh_every > 0:
+                    sf = sf & (st.it % config.stream_refresh_every != 0)
+                sres = stream_solve(
+                    kps_c, kp_t_c, None if is_ring else stream, mask_s, mask_t,
+                    wed, wfd, scale,
+                    penalty_fn, eps_final=config.km_eps,
+                    rel_eps=config.auction_rel_eps, max_sweeps=budget,
+                    p0=st.prices, price_uncertainty=st.price_unc,
+                    acol0=st.acol, pen_prev=st.pen_prev, comm=comm,
+                    total_rows=total_rows, interpret=_STREAM_INTERPRET,
+                    mult_blend=mult_blend, use_kernel=use_kernel,
+                    sweep_fn=sweep_fn, select_fn=select_fn,
+                    carry=st.scarry if use_fast else None,
+                    stats_free=sf if use_fast else False,
+                    open_cap=config.stream_open_cap,
+                    compact_extra_sweeps=config.stream_compact_budget,
+                    sweep_sub_fn=sweep_sub_fn,
+                    no_features=(config.feature == FeatureType.NONE))
+                match = sres.match
+                energy = sres.energy
+                rounds = sres.rounds
+                prices = sres.prices
+                eps_used = sres.eps_used
+                acol_new = sres.acol
+                cd_sel = sres.cd_sel
+                fsel = sres.fd_sel
+                penalty = sres.penalty
+                ed_max_fused = sres.ed_max
+                punc_new = sres.punc
         elif use_fused:
             from ghicp_tpu.ops.cost_kernel import fused_benefit
 
@@ -502,12 +596,27 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                 # against those mid prices.  The remaining penalty-drift
                 # component is added to v1 afterwards — an upper bound, so
                 # the keep test stays conservative (sound).
-                b, cnt, s1, s2, _cm, ed_max_f, b_max, v1_mid, vsel_mid = (
-                    fused_benefit(
-                        kps_c, kp_t_c, fd_b, mask_s, mask_t, wed, wfd,
-                        scale, ts=128, interpret=_FUSED_INTERPRET,
-                        out_dtype=b_dtype, p_defl=p_mid, acol0=st.acol,
-                        mult_blend=mult_blend))
+                def _fb(ws):
+                    def run(_):
+                        return fused_benefit(
+                            kps_c, kp_t_c, fd_b, mask_s, mask_t, wed, wfd,
+                            scale, ts=128, interpret=_FUSED_INTERPRET,
+                            out_dtype=b_dtype, p_defl=p_mid, acol0=st.acol,
+                            mult_blend=mult_blend, with_stats=ws)
+                    return run
+
+                if config.feature == FeatureType.BSC:
+                    # The BSC penalty schedule is stats-free past it 1
+                    # (ghicp_reg.cpp:279-293): the lean kernel variant
+                    # skips the CD-statistic passes there (~0.2ms/iter of
+                    # VPU work on a VPU-bound kernel).  Traced cond —
+                    # it_eff is dynamic under coarse-init schedule shifts.
+                    (b, cnt, s1, s2, _cm, ed_max_f, b_max, v1_mid,
+                     vsel_mid) = jax.lax.cond(
+                        it_eff > 1.0, _fb(False), _fb(True), None)
+                else:
+                    (b, cnt, s1, s2, _cm, ed_max_f, b_max, v1_mid,
+                     vsel_mid) = _fb(True)(None)
                 b_max = comm.pmax(b_max)
                 n_valid = jnp.maximum(comm.psum(cnt), 1.0)
                 mean = comm.psum(s1) / n_valid
@@ -538,34 +647,40 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                     acol0=st.acol, hint_v1=v1_mid + dpen,
                     hint_vsel=vsel_mid,
                     compact_cap=config.dense_open_cap,
-                    compact_budget=config.stream_compact_budget)
-                # Carry for the dense fast path: v1 re-measured at the
-                # FINAL prices (one fused rowmax pass over the benefit
-                # matrix already in HBM).  The GS kernel emits no per-row
-                # in-solve observations, and v1 at pre-solve prices is
-                # uselessly loose once the bidding raised prices by more
-                # than the keep slack — measured at bench scale: keeps
-                # never engaged (n_open ~6400/6620 at convergence) off the
-                # pre-solve bound, while the final-price measurement is
-                # exactly the stream lane's "freshest observation" (prices
-                # only rise; the next solve inflates by its own deflation
-                # depth + benefit drift, same soundness argument).
+                    compact_budget=config.stream_compact_budget,
+                    keep_slack_extra=dpen)
+                # Carry for the dense fast path: per-row v1 bound derived
+                # from the solve's OWN CS guarantees, via O(S) gathers —
+                # every returned row satisfies vsel >= v1 - slack at the
+                # final prices (auction bidding invariant for re-bid rows,
+                # keep test for kept rows, argmax-exactness for greedy
+                # completions, the sink rule for sunk rows), so
+                # v1 <= (-cd_sel - p[jc]) + slack.  v1 at pre-solve prices
+                # is uselessly loose once bidding raised prices (measured:
+                # keeps never engaged at bench scale), and a full
+                # final-price rowmax pass costs ~0.3ms/iteration.
                 if dense_fast:
-                    v1_carry = jnp.max(b.astype(jnp.float32)
-                                       - ares.prices[None, :], axis=1)
+                    real_a = (ares.acol >= 0) & (ares.acol < T)
+                    jca = jnp.where(real_a, ares.acol, 0)
+                    slack = 2.0 * ares.eps_used + dpen
+                    v1_carry = jnp.where(
+                        real_a, -ares.cd_sel - ares.prices[jca],
+                        -penalty) + slack
                 else:
                     v1_carry = v1_mid + dpen
                 return (ares.match.tgt_idx, ares.match.w,
                         ares.match.n_matches, ares.energy, ares.rounds,
                         ares.prices, ares.eps_used, ares.acol, ares.cd_sel,
-                        penalty, v1_carry, b_max, comm.pmax(ed_max_f))
+                        penalty, v1_carry, b_max, comm.pmax(ed_max_f),
+                        ares.punc)
 
             if dense_fast:
                 outs = jax.lax.cond(fast_g, _warm_solve, _full_solve, None)
             else:
                 outs = _full_solve(None)
             (tgt_i, w_i, nm_i, energy, rounds, prices, eps_used, acol_new,
-             cd_sel, penalty, v1_next_c, b_max_c, ed_max_c) = outs
+             cd_sel, penalty, v1_next_c, b_max_c, ed_max_c,
+             punc_new) = outs
             match = MatchResult(tgt_idx=tgt_i, w=w_i, n_matches=nm_i)
             ed_max_fused = ed_max_c
         elif dense_fast:
@@ -593,7 +708,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                                      use_round_kernel=(
                                          config.auction_round_kernel),
                                      n_phases=config.auction_phases,
-                                     acol0=st.acol)
+                                     acol0=st.acol, keep_slack_extra=dpen)
                 # Carry hints (one fused rowmax pass): v1 measured at the
                 # FINAL prices — tight, like the fused branch (v1 at
                 # pre-solve prices is loose by the whole in-solve price
@@ -606,11 +721,12 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                 return (ares.match.tgt_idx, ares.match.w,
                         ares.match.n_matches, ares.energy, ares.rounds,
                         ares.prices, ares.eps_used, ares.acol, ares.cd_sel,
-                        penalty_l, v1_end, b_max_l, ed_max_l)
+                        penalty_l, v1_end, b_max_l, ed_max_l, ares.punc)
 
             outs = jax.lax.cond(fast_g, _warm_solve, _full_solve_x, None)
             (tgt_i, w_i, nm_i, energy, rounds, prices, eps_used, acol_new,
-             cd_sel, penalty, v1_next_c, b_max_c, ed_max_c) = outs
+             cd_sel, penalty, v1_next_c, b_max_c, ed_max_c,
+             punc_new) = outs
             match = MatchResult(tgt_idx=tgt_i, w=w_i, n_matches=nm_i)
             ed_max_fused = ed_max_c
         else:
@@ -635,6 +751,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
             prices = st.prices
             eps_used = jnp.float32(0.0)
             acol_new = st.acol
+            punc_new = jnp.zeros((T,), jnp.float32)
             if config.correspondence == CorrespondenceType.KM:
                 # Price warm start: reuse the previous iteration's dual
                 # prices, deflated by a bound on how much any benefit entry
@@ -643,7 +760,8 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                 # final prices).  Late iterations move keypoints by
                 # millimeters, so the bound is tiny and the tie-resolving
                 # price wars of earlier solves are not repeated.
-                drift = st.price_unc + jnp.abs(penalty - st.pen_prev)
+                dpen_u = jnp.abs(penalty - st.pen_prev)
+                drift = st.price_unc + dpen_u
                 ares = auction_match(cost.cd, penalty, mask_s, mask_t,
                                      eps_final=config.km_eps,
                                      max_rounds=budget,
@@ -654,7 +772,8 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                                      use_round_kernel=(
                                          config.auction_round_kernel),
                                      n_phases=config.auction_phases,
-                                     acol0=st.acol)
+                                     acol0=st.acol,
+                                     keep_slack_extra=dpen_u)
                 match = ares.match
                 energy = ares.energy
                 rounds = ares.rounds
@@ -662,6 +781,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                 eps_used = ares.eps_used
                 acol_new = ares.acol
                 cd_sel = ares.cd_sel
+                punc_new = ares.punc
             elif config.correspondence == CorrespondenceType.NNR:
                 match = nnr_match(cost.cd, mask_s, mask_t, comm)
                 cd_sel = cost.cd[jnp.arange(S), match.tgt_idx]
@@ -779,7 +899,8 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                 ed_max = comm.pmax(jnp.max(jnp.where(
                     mask_s[:, None] & mask_t[None, :], ed, 0.0)))
             drift_next = d_ed + dwfd * (ed_max + d_ed)
-            if use_stream and config.stream_fast_path:
+            if (use_stream and config.stream_fast_path
+                    and config.correspondence == CorrespondenceType.KM):
                 # Hint carry for the streaming warm fast path: fresh or
                 # propagated per-row v1 bounds, spread max, and the ED max
                 # inflated by this iteration's keypoint motion (still an
@@ -825,7 +946,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
             para1=st.para1 + delta, para2=st.para2 + delta,
             metrics=metrics, matches=matches, rmse_after=rmse_after,
             prices=prices, acol=acol_new,
-            price_unc=drift_next + 2.0 * eps_used,
+            price_unc=punc_new + drift_next,
             pen_prev=penalty, it_shift=st.it_shift, scarry=scarry_new)
 
     return body

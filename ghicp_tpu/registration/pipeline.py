@@ -299,10 +299,12 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
     # FD matrix; the engine recomputes the cost field from these factors
     # inside each auction sweep (ops/stream_kernel.py).
     from ghicp_tpu.core.config import CorrespondenceType
-    use_stream = (config.correspondence == CorrespondenceType.KM
-                  and (config.streaming_cost == "on"
-                       or (config.streaming_cost == "auto"
-                           and cap > config.streaming_threshold)))
+    # The matrix-free lane serves all three correspondence modes: KM via
+    # the streaming auction, NN/NNR via single-sweep top-1 + column-side
+    # reductions (the dense [S,T] FD never materializes for any of them).
+    use_stream = (config.streaming_cost == "on"
+                  or (config.streaming_cost == "auto"
+                      and cap > config.streaming_threshold))
     stream_feats = None
     fd = None
     warm_threads = []

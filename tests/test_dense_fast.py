@@ -68,7 +68,7 @@ def test_dense_fast_path_engages_and_recovers_pose(seed, monkeypatch):
                       estimated_overlap=0.95, max_iterations=15,
                       converge_translation=0.0, converge_rotation=0.0,
                       auction_max_rounds=600, auction_round_kernel=False,
-                      dense_open_cap=4096)
+                      dense_fast_path=True, dense_open_cap=4096)
 
     orig = sa.stream_solve
 
@@ -100,15 +100,15 @@ def test_dense_fast_path_engages_and_recovers_pose(seed, monkeypatch):
 
 
 def test_dense_fast_path_off_by_zero_cap():
-    """dense_open_cap=0 disables the fast path (no stream_solve calls)."""
+    """dense_fast_path off (the default) routes everything through the full
+    solve (no stream_solve calls)."""
     import ghicp_tpu.matching.stream_auction as sa
 
     kp_s, ms, kp_t, mt, fd, T_gt = _keypoint_problem(seed=1)
     cfg = GHICPConfig(feature=FeatureType.BSC,
                       correspondence=CorrespondenceType.KM,
                       estimated_overlap=0.95, max_iterations=8,
-                      auction_max_rounds=600, auction_round_kernel=False,
-                      dense_open_cap=0)
+                      auction_max_rounds=600, auction_round_kernel=False)
     orig = sa.stream_solve
 
     def wrapped(*a, **k):

@@ -316,3 +316,64 @@ def test_ring_compact_sweeps_engage():
     cor = np.asarray(compact.metrics.cor)
     it = max(int(compact.iterations) - 1, 0)
     assert cor[it] > C // 2, cor
+
+
+@pytest.mark.parametrize("corres", [CorrespondenceType.NN,
+                                    CorrespondenceType.NNR])
+def test_streaming_nn_nnr_matches_dense(corres):
+    """Matrix-free NN / reciprocal-NN (the KM-only restriction lifted,
+    VERDICT r3 item 4; ghicp_reg.cpp:700-769, 605-698): the streaming lane
+    with Ct=NN/NNR lands the dense matchers' registration."""
+    src, tgt, T_gt = _pair(seed=11)
+    kw = dict(_BASE)
+    kw["correspondence"] = corres
+    kw["max_iterations"] = 60
+    dense = register_pair(src, tgt, GHICPConfig(
+        feature=FeatureType.BSC, streaming_cost="off", **kw))
+    stream = register_pair(src, tgt, GHICPConfig(
+        feature=FeatureType.BSC, streaming_cost="on", **kw))
+    rot_s, tr_s = transform_error(stream.transform, T_gt)
+    assert rot_s < 2.0 and tr_s < 0.3, (corres, rot_s, tr_s)
+    rot_ds, tr_ds = transform_error(stream.transform, dense.transform)
+    assert rot_ds < 0.5 and tr_ds < 0.1, (corres, rot_ds, tr_ds)
+    assert stream.success == dense.success
+
+
+def test_stream_sweep_col_side_matches_dense_argmin():
+    """col_side sweep outputs = dense per-column min/argmin (lowest row on
+    ties), the reciprocal matcher's column reduction."""
+    from ghicp_tpu.features.bsc import pack_bits
+    from ghicp_tpu.ops.stream_kernel import (make_stream_features,
+                                             stream_sweep_ref)
+
+    rng = np.random.default_rng(5)
+    S, C, n_bits = 192, 256, 441
+    kp_s = jnp.asarray(rng.uniform(0, 10, (S, 3)).astype(np.float32))
+    kp_t = jnp.asarray(rng.uniform(0, 10, (C, 3)).astype(np.float32))
+    bits_s = (rng.random((2, S, n_bits)) < 0.3).astype(np.float32)
+    bits_t = (rng.random((1, C, n_bits)) < 0.3).astype(np.float32)
+    feats = make_stream_features(packed_s=pack_bits(jnp.asarray(bits_s)),
+                                 packed_t=pack_bits(jnp.asarray(bits_t)),
+                                 n_bits=n_bits)
+    ms = jnp.asarray(rng.random(S) < 0.9)
+    mt = jnp.asarray(rng.random(C) < 0.9)
+    wed, wfd, scale = 0.4, 0.6, 0.21
+    sw = stream_sweep_ref(kp_s, kp_t, feats, ms, mt,
+                          jnp.zeros((C,)), jnp.full((S,), -1, jnp.int32),
+                          wed, wfd, scale, tc=64, col_side=True)
+    # dense reference
+    ham = np.zeros((2, S, C), np.float32)
+    for v in range(2):
+        ham[v] = (bits_s[v].sum(1)[:, None] + bits_t[0].sum(1)[None, :]
+                  - 2.0 * bits_s[v] @ bits_t[0].T)
+    fd = ham.min(0)
+    ed = scale * np.linalg.norm(np.asarray(kp_s)[:, None]
+                                - np.asarray(kp_t)[None], axis=-1)
+    cd = wed * ed + wfd * fd
+    m = np.asarray(ms)[:, None] & np.asarray(mt)[None, :]
+    cdm = np.where(m, cd, 3.0e38)
+    cmin_ref = cdm.min(0)
+    crow_ref = np.where(cmin_ref < 3.0e38, cdm.argmin(0), 2**30)
+    np.testing.assert_allclose(np.asarray(sw.cmin), cmin_ref,
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(sw.crow), crow_ref)
