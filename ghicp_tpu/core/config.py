@@ -88,6 +88,23 @@ class GHICPConfig:
                                           # ghicp_main.cpp:113).  Keep grid
                                           # cells 2r/7 above the keypoint
                                           # localization noise
+    bsc_offsets: int = 1                  # localization-aware FD (TPU-build
+                                          # upgrade; the reference encodes
+                                          # at the raw keypoint only,
+                                          # bfe.hpp:603-676): encode each
+                                          # SOURCE keypoint at this many
+                                          # positions (1=off; 3 = {0, +dx,
+                                          # +dy}; up to 7 = +-each axis) and
+                                          # take FD = min Hamming over
+                                          # offsets x flip variants — a
+                                          # small spatial search absorbing
+                                          # the detector's localization
+                                          # noise between the two clouds'
+                                          # samplings (measured: 0.1 m
+                                          # origin error costs ~25/441
+                                          # bits).  Encoding and FD cost
+                                          # scale by this factor
+    bsc_offset_delta: float = 0.0         # offset step; 0 = voxel_size / 2
 
     # --- FPFH feature (fpfh.hpp:36-58) ---
     fpfh_k: int = 20                      # KNN for normals + SPFH

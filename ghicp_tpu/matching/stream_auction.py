@@ -204,6 +204,12 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     C = kp_t.shape[0]
     rows_total = total_rows if total_rows is not None else S
     row_gid = comm.axis_index() * S + jnp.arange(S, dtype=jnp.int32)
+    # Column-tile width: the sweep kernel's cost at TLS scale is grid-
+    # program dispatch, not compute (measured at 51200^2: 120 ms at
+    # tc=512 / 20000 programs vs 61 ms at tc=4096 / 2400 programs) —
+    # take the widest tile that divides C.
+    tc = next((t for t in (4096, 2048, 1024, 512, 256, 128)
+               if C % t == 0), tc)
     external_sweep = sweep_fn is not None
     if sweep_fn is None:
         if use_kernel and S % ts == 0 and C % tc == 0:
@@ -428,7 +434,7 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
         return jax.lax.cond(n_open <= cap, compact, full, None)
 
     def cond(c):
-        owner, acol, p, r, v1_obs, obs = c
+        owner, acol, p, r, v1_obs, j1_obs, obs = c
         open_local = jnp.sum((acol == -1).astype(jnp.int32))
         open_rows = comm.psum(open_local)
         in_budget = r < budget
@@ -446,7 +452,7 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     cold0 = ~jnp.any(owner0 >= 0)
 
     def body(c):
-        owner, acol, p, r, v1_obs, obs = c
+        owner, acol, p, r, v1_obs, j1_obs, obs = c
         rows_open = acol == -1
         reuse = (r == 0) & cold0 & swept0
         v1, j1, v2, v1_new, touched = jax.lax.cond(
@@ -456,32 +462,51 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
         # Carry tracking: overwrite with the freshest measurement (prices
         # only rise, so later observations are the tighter upper bounds).
         v1_obs = jnp.where(touched, v1_new, v1_obs)
+        j1_obs = jnp.where(touched, j1, j1_obs)
         obs = obs | touched
         eps_r = esc_eps(r + 1)
         owner, acol, p = _resolve_round(v1, j1, v2, eps_r, sink,
                                         (owner, acol, p), row_gid, comm, C)
-        return owner, acol, p, r + 1, v1_obs, obs
+        return owner, acol, p, r + 1, v1_obs, j1_obs, obs
 
-    owner, acol, p, rounds, v1_obs, obs = jax.lax.while_loop(
+    owner, acol, p, rounds, v1_obs, j1_obs, obs = jax.lax.while_loop(
         cond, body, (owner, acol, p, jnp.int32(0), neg_s,
+                     jnp.zeros((S,), jnp.int32),
                      jnp.zeros((S,), bool)))
 
     # --- greedy completion at final prices (budget exhaustion) ---
     # The completion sweep's fresh per-row observations feed the carry too
     # (v1_obs/obs): completed rows would otherwise re-enter the next keep
     # test with the inflated bound and be released again immediately.
+    # When EVERY leftover row was observed by a bidding sweep, completion
+    # reuses the last observation (v1/j1 at that round's pre-resolve
+    # prices) instead of paying another full sweep — greedy completion
+    # allows duplicate columns anyway, and the stale v1 only overestimates
+    # (prices rose since), so the sink rule errs toward keeping a
+    # penalty-gated match rather than dropping one.  Release-heavy solves
+    # (identity-start early phase) save a full O(S*C) pass per iteration.
     leftover = acol == -1
     any_left = comm.psum(jnp.sum(leftover.astype(jnp.int32))) > 0
+    all_obs = comm.psum(jnp.sum(
+        (leftover & ~obs).astype(jnp.int32))) == 0
 
     def complete(c):
-        acol, v1_obs, obs = c
-        v1, j1, _, v1_new, touched = open_top2(leftover, p, acol)
+        acol, v1_obs, j1_obs, obs = c
+
+        def stale(_):
+            return v1_obs, j1_obs, v1_obs, obs
+
+        def fresh(_):
+            v1, j1, _, v1_new, touched = open_top2(leftover, p, acol)
+            return v1, j1, jnp.where(touched, v1_new, v1_obs), obs | touched
+
+        v1, j1, v1_obs, obs = jax.lax.cond(all_obs, stale, fresh, None)
         acol = jnp.where(leftover,
                          jnp.where(v1 > sink, j1, _SINK), acol)
-        return acol, jnp.where(touched, v1_new, v1_obs), obs | touched
+        return acol, v1_obs, j1_obs, obs
 
-    acol, v1_obs, obs = jax.lax.cond(any_left, complete, lambda c: c,
-                                     (acol, v1_obs, obs))
+    acol, v1_obs, j1_obs, obs = jax.lax.cond(
+        any_left, complete, lambda c: c, (acol, v1_obs, j1_obs, obs))
 
     # --- selection, gate, energy (matrix-free gathers) ---
     matched = (acol >= 0) & (acol < C)

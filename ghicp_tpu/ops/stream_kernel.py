@@ -138,11 +138,20 @@ def _tile_cd(s8, t8, fs_tile, ft_tile, na_tile, nb_tile, wed, wfd, scale,
 def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
             ms_ref, mt_ref, p_ref, ac_ref,
             v1_out, j1_out, v2_out, j2_out, vsel_out, part_out,
-            cmin_out, crow_out,
-            s_v1, s_j1, s_v2, s_j2, s_vsel, *, tc: int, mult_blend: bool,
+            *rest, tc: int, mult_blend: bool,
             no_features: bool, col_side: bool):
+    if col_side:
+        # (cmin_out [1,C], crow_out [1,C] written once at the final
+        # program from whole-[C] scratch accumulators — per-(i,j) output
+        # blocks would either violate Mosaic's 8-row block minimum or be
+        # revisited non-consecutively.)
+        (cmin_out, crow_out, s_v1, s_j1, s_v2, s_j2, s_vsel,
+         s_cmin, s_crow) = rest
+    else:
+        s_v1, s_j1, s_v2, s_j2, s_vsel = rest
     i = pl.program_id(0)
     j = pl.program_id(1)
+    n_i = pl.num_programs(0)
     n_j = pl.num_programs(1)
     wed, wfd, scale = scal_ref[0], scal_ref[1], scal_ref[2]
     ts = kps_ref.shape[0]
@@ -159,6 +168,9 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
     def _init_stats():
         part_out[:, :] = jnp.zeros_like(part_out)
         part_out[5, :] = jnp.full_like(part_out[5, :], _NEG)
+        if col_side:
+            s_cmin[:] = jnp.full_like(s_cmin[:], 3.0e38)
+            s_crow[:] = jnp.full_like(s_crow[:], 2**30)
 
     cd, ed, fdt = _tile_cd(kps_ref[:, :], kpt_ref[:, :], fs_ref[:, :, :],
                            ft_ref[:, :], na_ref[:, i, :], nb_ref[0, :],
@@ -190,18 +202,29 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fs_ref, ft_ref, na_ref, nb_ref,
                         jnp.where(m1 > v2, a1, j2))
 
     if col_side:
-        # Column-side min/argmin per (row tile, col tile) — each output
-        # block written exactly once; the host-side reduce over row tiles
-        # is O(n_i * C).  Row ids are LOCAL tile-offset ids (the matcher
-        # layer adds the shard offset).
+        # Column-side min/argmin accumulated across row tiles in the [C]
+        # scratch pair; lowest-row preference on ties (within-tile argmin
+        # takes the first row, cross-tile the earlier tile wins equal
+        # minima).  Row ids are LOCAL (the matcher layer adds the shard
+        # offset).
         ts_rows = jax.lax.broadcasted_iota(jnp.int32, (ts, tc), 0)
         cdc = jnp.where(m, cd, jnp.float32(3.0e38))
-        cmin_out[0, :] = jnp.min(cdc, axis=0)
-        at_min = cdc == cmin_out[0, :][None, :]
-        crow_out[0, :] = jnp.where(
-            cmin_out[0, :] < 3.0e38,
+        tmin = jnp.min(cdc, axis=0)
+        at_min = cdc == tmin[None, :]
+        trow = jnp.where(
+            tmin < 3.0e38,
             jnp.min(jnp.where(at_min, ts_rows + i * ts, 2**30), axis=0),
             2**30)
+        cur = s_cmin[pl.ds(j * tc, tc)]
+        cur_row = s_crow[pl.ds(j * tc, tc)]
+        take = tmin < cur
+        s_cmin[pl.ds(j * tc, tc)] = jnp.minimum(cur, tmin)
+        s_crow[pl.ds(j * tc, tc)] = jnp.where(take, trow, cur_row)
+
+        @pl.when((i == n_i - 1) & (j == n_j - 1))
+        def _emit_col():
+            cmin_out[0, :] = s_cmin[:]
+            crow_out[0, :] = s_crow[:]
 
     # --- warm-start keep value at the kept column (one-hot in its tile) ---
     acv = ac_ref[i, :]
@@ -257,6 +280,50 @@ def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     scal = jnp.stack([jnp.asarray(wed, jnp.float32),
                       jnp.asarray(wfd, jnp.float32),
                       jnp.asarray(scale, jnp.float32)])
+    out_specs = [
+        pl.BlockSpec((n_i, ts), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_i, ts), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_i, ts), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_i, ts), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_i, ts), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_i, ts), jnp.float32),
+        jax.ShapeDtypeStruct((n_i, ts), jnp.int32),
+        jax.ShapeDtypeStruct((n_i, ts), jnp.float32),
+        jax.ShapeDtypeStruct((n_i, ts), jnp.int32),
+        jax.ShapeDtypeStruct((n_i, ts), jnp.float32),
+        jax.ShapeDtypeStruct((8, 128), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((ts,), jnp.float32),
+        pltpu.VMEM((ts,), jnp.int32),
+        pltpu.VMEM((ts,), jnp.float32),
+        pltpu.VMEM((ts,), jnp.int32),
+        pltpu.VMEM((ts,), jnp.float32),
+    ]
+    if col_side:
+        out_specs += [
+            pl.BlockSpec((1, C), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.int32),
+        ]
+        scratch += [
+            pltpu.VMEM((C,), jnp.float32),
+            pltpu.VMEM((C,), jnp.int32),
+        ]
     outs = pl.pallas_call(
         functools.partial(_kernel, tc=tc, mult_blend=mult_blend,
                           no_features=no_features, col_side=col_side),
@@ -284,41 +351,9 @@ def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
             pl.BlockSpec((n_i, ts), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),               # acol
         ],
-        out_specs=(
-            pl.BlockSpec((n_i, ts), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_i, ts), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_i, ts), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_i, ts), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_i, ts), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tc), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tc), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_i, ts), jnp.float32),
-            jax.ShapeDtypeStruct((n_i, ts), jnp.int32),
-            jax.ShapeDtypeStruct((n_i, ts), jnp.float32),
-            jax.ShapeDtypeStruct((n_i, ts), jnp.int32),
-            jax.ShapeDtypeStruct((n_i, ts), jnp.float32),
-            jax.ShapeDtypeStruct((8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_i, C), jnp.float32),
-            jax.ShapeDtypeStruct((n_i, C), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((ts,), jnp.float32),
-            pltpu.VMEM((ts,), jnp.int32),
-            pltpu.VMEM((ts,), jnp.float32),
-            pltpu.VMEM((ts,), jnp.int32),
-            pltpu.VMEM((ts,), jnp.float32),
-        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
@@ -327,17 +362,12 @@ def stream_sweep(kp_s: Array, kp_t: Array, feats: StreamFeatures,
       mask_s.astype(jnp.int32).reshape(n_i, ts),
       mask_t.astype(jnp.int32).reshape(1, C),
       prices.reshape(1, C), acol.astype(jnp.int32).reshape(n_i, ts))
-    v1, j1, v2, j2, vsel, parts, cmin_p, crow_p = outs
     if col_side:
-        # Reduce the per-row-tile column partials; argmin's first-hit on
-        # ties keeps the lowest tile (and within a tile the kernel already
-        # chose the lowest row) — matching the dense matcher's serial-scan
-        # tie-break.
-        k = jnp.argmin(cmin_p, axis=0)
-        cols = jnp.arange(C)
-        cmin = cmin_p[k, cols]
-        crow = crow_p[k, cols]
+        v1, j1, v2, j2, vsel, parts, cmin_p, crow_p = outs
+        cmin = cmin_p.reshape(C)
+        crow = crow_p.reshape(C)
     else:
+        v1, j1, v2, j2, vsel, parts = outs
         cmin = crow = None
     return SweepResult(v1=v1.reshape(S), j1=j1.reshape(S),
                        v2=v2.reshape(S), j2=j2.reshape(S),
@@ -474,7 +504,8 @@ class RingFeatures(NamedTuple):
 
 def ring_sweep(kp_s: Array, kp_t: Array, ring: RingFeatures, mask_s: Array,
                mask_t: Array, prices: Array, acol: Array, wed, wfd, scale,
-               axis: str) -> SweepResult:
+               axis: str, use_kernel: bool = False,
+               interpret: bool = False) -> SweepResult:
     """One matrix-free sweep with ring-rotated target factor blocks.
 
     Runs inside a ``shard_map`` over ``axis``: each of the n steps
@@ -484,6 +515,13 @@ def ring_sweep(kp_s: Array, kp_t: Array, ring: RingFeatures, mask_s: Array,
     with the next block's transfer.  Outputs use GLOBAL column ids, so
     the auction's price/winner resolution is unchanged.  Hamming (BSC)
     lane only.
+
+    ``use_kernel``: run each per-step block sweep through the Pallas
+    sweep kernel (Mosaic on TPU, ``interpret`` elsewhere) instead of the
+    jnp tile math — the ring's compute then matches the row-sharded
+    lane's kernel rate, with only the top-2 merge and the ppermute left
+    in XLA.  Falls back to jnp when the shard shapes don't fit the
+    kernel's tile grid.
     """
     C = kp_t.shape[0]
     c_blk = ring.ft_blk.shape[0]
@@ -491,6 +529,9 @@ def ring_sweep(kp_s: Array, kp_t: Array, ring: RingFeatures, mask_s: Array,
     my = jax.lax.axis_index(axis)
     S = kp_s.shape[0]
     perm = [(i, (i - 1) % n_blocks) for i in range(n_blocks)]
+    ts_k = next((t for t in (256, 128) if S % t == 0), None)
+    tc_k = next((t for t in (512, 256, 128) if c_blk % t == 0), None)
+    kernel_ok = use_kernel and ts_k is not None and tc_k is not None
 
     def step(carry, s):
         ((v1, j1, v2, j2, vsel, cnt, s1, s2, cmax, emax, bmax,
@@ -501,32 +542,51 @@ def ring_sweep(kp_s: Array, kp_t: Array, ring: RingFeatures, mask_s: Array,
         nb_blk = jax.lax.dynamic_slice_in_dim(ring.nb, off, c_blk, 0)
         mt_blk = jax.lax.dynamic_slice_in_dim(mask_t, off, c_blk, 0)
         p_blk = jax.lax.dynamic_slice_in_dim(prices, off, c_blk, 0)
-        cd, ed, fdt = _tile_cd(kp_s, kpt_blk, ring.fs, ft_blk, ring.na,
-                               nb_blk, wed, wfd, scale, mult_blend=False)
-        m = mask_s[:, None] & mt_blk[None, :]
-        v = jnp.where(m, -cd - p_blk[None, :], _NEG)
-        cols = off + jnp.arange(c_blk, dtype=jnp.int32)[None, :]
-        m1 = jnp.max(v, axis=1)
-        a1 = off + jnp.argmax(v, axis=1).astype(jnp.int32)
-        vm = jnp.where(cols == a1[:, None], _NEG, v)
-        m2 = jnp.max(vm, axis=1)
-        a2 = off + jnp.argmax(vm, axis=1).astype(jnp.int32)
+        acol_i = acol.astype(jnp.int32)
+        if kernel_ok:
+            sub = StreamFeatures(fs=ring.fs, ft=ft_blk, na=ring.na,
+                                 nb=nb_blk)
+            acl = jnp.where((acol_i >= off) & (acol_i < off + c_blk),
+                            acol_i - off, -1)
+            sw = stream_sweep(kp_s, kpt_blk, sub, mask_s, mt_blk, p_blk,
+                              acl, wed, wfd, scale, ts=ts_k, tc=tc_k,
+                              interpret=interpret)
+            m1, a1 = sw.v1, sw.j1 + off
+            m2, a2 = sw.v2, sw.j2 + off
+            vsel_blk = sw.vsel
+            blk_stats = (sw.cnt, sw.cd_sum, sw.cd_sumsq, sw.cd_max,
+                         sw.ed_max, sw.b_max, sw.fd_max)
+        else:
+            cd, ed, fdt = _tile_cd(kp_s, kpt_blk, ring.fs, ft_blk, ring.na,
+                                   nb_blk, wed, wfd, scale,
+                                   mult_blend=False)
+            m = mask_s[:, None] & mt_blk[None, :]
+            v = jnp.where(m, -cd - p_blk[None, :], _NEG)
+            cols = off + jnp.arange(c_blk, dtype=jnp.int32)[None, :]
+            m1 = jnp.max(v, axis=1)
+            a1 = off + jnp.argmax(v, axis=1).astype(jnp.int32)
+            vm = jnp.where(cols == a1[:, None], _NEG, v)
+            m2 = jnp.max(vm, axis=1)
+            a2 = off + jnp.argmax(vm, axis=1).astype(jnp.int32)
+            vsel_blk = jnp.max(
+                jnp.where(cols == acol_i[:, None], v, _NEG), axis=1)
+            cdm = jnp.where(m, cd, 0.0)
+            blk_stats = (jnp.sum(m.astype(jnp.float32)),
+                         jnp.sum(cdm), jnp.sum(cdm * cd), jnp.max(cdm),
+                         jnp.max(jnp.where(m, ed, 0.0)),
+                         jnp.max(jnp.where(m, -cd, _NEG)),
+                         jnp.max(jnp.where(m, fdt, 0.0)))
         take = (m1 > v1) | ((m1 == v1) & (a1 < j1))   # tie -> lowest id
         nv1 = jnp.maximum(v1, m1)
         nj1 = jnp.where(take, a1, j1)
         nv2 = jnp.maximum(jnp.minimum(v1, m1), jnp.maximum(v2, m2))
         nj2 = jnp.where(take, jnp.where(v1 >= m2, j1, a2),
                         jnp.where(m1 > v2, a1, j2))
-        nvsel = jnp.maximum(vsel, jnp.max(
-            jnp.where(cols == acol.astype(jnp.int32)[:, None], v, _NEG),
-            axis=1))
-        cdm = jnp.where(m, cd, 0.0)
-        nstat = (cnt + jnp.sum(m.astype(jnp.float32)),
-                 s1 + jnp.sum(cdm), s2 + jnp.sum(cdm * cd),
-                 jnp.maximum(cmax, jnp.max(cdm)),
-                 jnp.maximum(emax, jnp.max(jnp.where(m, ed, 0.0))),
-                 jnp.maximum(bmax, jnp.max(jnp.where(m, -cd, _NEG))),
-                 jnp.maximum(fmax, jnp.max(jnp.where(m, fdt, 0.0))))
+        nvsel = jnp.maximum(vsel, vsel_blk)
+        bc, bs1, bs2, bcm, bem, bbm, bfm = blk_stats
+        nstat = (cnt + bc, s1 + bs1, s2 + bs2,
+                 jnp.maximum(cmax, bcm), jnp.maximum(emax, bem),
+                 jnp.maximum(bmax, bbm), jnp.maximum(fmax, bfm))
         ft_blk = jax.lax.ppermute(ft_blk, axis, perm)
         return ((nv1, nj1, nv2, nj2, nvsel) + nstat, ft_blk), None
 

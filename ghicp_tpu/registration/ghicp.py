@@ -453,9 +453,12 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                 zac = jnp.full((S,), -1, jnp.int32)
                 use_k = (_jax.default_backend() == "tpu"
                          or _STREAM_INTERPRET)
-                if use_k and S % 256 == 0 and T % 512 == 0:
+                tc_nn = next((t for t in (4096, 2048, 1024, 512, 256, 128)
+                              if T % t == 0), 0)
+                if use_k and S % 256 == 0 and tc_nn:
                     sw = stream_sweep(kps_c, kp_t_c, stream, mask_s,
                                       mask_t, zp, zac, wed, wfd, scale,
+                                      tc=tc_nn,
                                       interpret=_STREAM_INTERPRET,
                                       mult_blend=mult_blend,
                                       no_features=no_feat, col_side=col)
@@ -514,10 +517,15 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                         raise ValueError("ring streaming supports the BSC "
                                          "(hamming) lane only")
 
+                    ring_kernel = (_jax.default_backend() == "tpu"
+                                   or _STREAM_INTERPRET)
+
                     def sweep_fn(p, ac):
                         return ring_sweep(kps_c, kp_t_c, stream, mask_s,
                                           mask_t, p, ac, wed, wfd, scale,
-                                          comm.axis)
+                                          comm.axis,
+                                          use_kernel=ring_kernel,
+                                          interpret=_STREAM_INTERPRET)
 
                     def select_fn(jc):
                         return ring_selected(kps_c, kp_t_c, stream, jc,
@@ -536,7 +544,9 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                                            words_t=stream.words_t)
                         return ring_sweep(kps_c[idx], kp_t_c, sub, sub_mask,
                                           mask_t, p, ac_sub, wed, wfd, scale,
-                                          comm.axis)
+                                          comm.axis,
+                                          use_kernel=ring_kernel,
+                                          interpret=_STREAM_INTERPRET)
                 else:
                     sweep_fn = select_fn = sweep_sub_fn = None
                 # The streaming sweep kernel also shards cleanly (it only
@@ -1099,3 +1109,66 @@ def ghicp_register_batched(kp_s: Array, mask_s: Array, kp_t: Array,
         a, b, c, d, e, f, cfg, LOCAL, init_transform=t0,
         it_shift=it_shift))
     return fn(kp_s, mask_s, kp_t, mask_t, fd, bbx_magnitude, init_transform)
+
+
+def ghicp_register_batched_sharded(kp_s: Array, mask_s: Array, kp_t: Array,
+                                   mask_t: Array, fd: Array,
+                                   bbx_magnitude: Array,
+                                   config: GHICPConfig, mesh,
+                                   init_transform: Optional[Array] = None,
+                                   it_shift: float = 0.0) -> GHICPResult:
+    """Batched multi-pair registration with ONE PAIR PER DEVICE, keeping
+    the Pallas fast paths.
+
+    ``ghicp_register_batched`` vmaps the engine, which forces the fused
+    benefit / GS auction kernels off (Pallas calls don't batch).  Here the
+    leading pair axis is SHARDED over the mesh instead: inside the
+    ``shard_map`` each device holds exactly one pair and runs the plain
+    single-pair engine — kernel gates see a LOCAL comm (no cross-pair
+    collectives exist) and stay on.  Use when pairs >= devices and each
+    pair is big enough for the kernels to pay (station graphs of
+    TLS-sized stations); fall back to the vmapped form for many small
+    pairs.  Requires P % n_devices == 0 (pad with dummy pairs).
+    """
+    import functools as _ft
+
+    from jax.sharding import PartitionSpec as _P
+
+    from ghicp_tpu.shard.spmd import AXIS
+    P = kp_s.shape[0]
+    n = mesh.devices.size
+    if P % n != 0:
+        raise ValueError(f"pair count {P} not divisible by mesh size {n}")
+
+    out_specs = GHICPResult(
+        transform=_P(AXIS), iterations=_P(AXIS), converged=_P(AXIS),
+        success=_P(AXIS), final_rmse=_P(AXIS),
+        metrics=IterationMetrics(
+            energy=_P(AXIS), rmse=_P(AXIS), rmse_after=_P(AXIS),
+            cor=_P(AXIS), iou=_P(AXIS), penalty=_P(AXIS),
+            rounds=_P(AXIS)),
+        matches=_P(AXIS))
+    t_spec = _P(AXIS) if init_transform is not None else _P()
+
+    @jax.jit
+    @_ft.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(_P(AXIS), _P(AXIS), _P(AXIS), _P(AXIS), _P(AXIS),
+                  _P(AXIS), t_spec),
+        out_specs=out_specs, check_vma=False)
+    def run(kp_s, mask_s, kp_t, mask_t, fd, bbx, t0):
+        # P/n local pairs per device: a python loop over them (usually 1)
+        # keeps each solve a plain single-device engine call — kernels on.
+        outs = []
+        for k in range(P // n):
+            t0k = None if init_transform is None else t0[k]
+            outs.append(ghicp_loop(kp_s[k], mask_s[k], kp_t[k], mask_t[k],
+                                   fd[k], bbx[k], config, LOCAL,
+                                   init_transform=t0k,
+                                   it_shift=it_shift))
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+    t0_in = (jnp.zeros((P, 4, 4), jnp.float32)
+             if init_transform is None else init_transform)
+    return run(kp_s, mask_s, kp_t, mask_t, fd,
+               jnp.asarray(bbx_magnitude, jnp.float32), t0_in)

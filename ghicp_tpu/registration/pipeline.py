@@ -313,6 +313,25 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
     if config.feature == FeatureType.BSC:
         fs = extract_bsc(ds, kp_s, kp_s_mask, config,
                          num_variants=config.bsc_num_variants)
+        if config.bsc_offsets > 1:
+            # Localization-aware FD (GHICPConfig.bsc_offsets): re-encode
+            # the source keypoints at small spatial offsets and stack the
+            # packed words on the VARIANT axis — the existing min-over-
+            # variants Hamming (dense min_hamming_fd / streaming factor
+            # min) then searches over detector localization error for
+            # free.  Target side stays single (like the flip variants,
+            # bfe.hpp:603-676: 2/4 source, 1 target).
+            delta = config.bsc_offset_delta or 0.5 * config.voxel_size
+            offs = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                             [0, 0, 1], [0, 0, -1]], np.float32) * delta
+            kp_s_xyz = ds.xyz[kp_s] if kp_s.ndim == 1 else kp_s
+            packs = [fs.packed]
+            for o in offs[:config.bsc_offsets - 1]:
+                fso = extract_bsc(ds, kp_s_xyz + jnp.asarray(o),
+                                  kp_s_mask, config,
+                                  num_variants=config.bsc_num_variants)
+                packs.append(fso.packed)
+            fs = fs._replace(packed=jnp.concatenate(packs, axis=0))
         ft = extract_bsc(dt, kp_t, kp_t_mask, config, num_variants=1)
         if use_stream:
             from ghicp_tpu.ops.stream_kernel import make_stream_features

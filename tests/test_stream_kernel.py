@@ -178,3 +178,36 @@ def test_stream_sweep_ref_mult_lane():
         mult=True)
     np.testing.assert_allclose(np.asarray(res.v1), v1, rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(res.j1), j1)
+
+
+def test_stream_sweep_kernel_col_side_matches_ref():
+    """The Pallas sweep kernel's scratch-accumulated column min/argmin
+    (interpret mode) matches the scan reference, including tie-breaks."""
+    import jax.numpy as jnp
+
+    from ghicp_tpu.features.bsc import pack_bits
+    from ghicp_tpu.ops.stream_kernel import (make_stream_features,
+                                             stream_sweep, stream_sweep_ref)
+
+    rng = np.random.default_rng(9)
+    S, C, n_bits = 512, 1024, 441
+    kp_s = jnp.asarray(rng.uniform(0, 10, (S, 3)).astype(np.float32))
+    kp_t = jnp.asarray(rng.uniform(0, 10, (C, 3)).astype(np.float32))
+    bits_s = (rng.random((2, S, n_bits)) < 0.3).astype(np.float32)
+    bits_t = (rng.random((1, C, n_bits)) < 0.3).astype(np.float32)
+    feats = make_stream_features(packed_s=pack_bits(jnp.asarray(bits_s)),
+                                 packed_t=pack_bits(jnp.asarray(bits_t)),
+                                 n_bits=n_bits)
+    ms = jnp.asarray(rng.random(S) < 0.9)
+    mt = jnp.asarray(rng.random(C) < 0.9)
+    p = jnp.zeros((C,))
+    ac = jnp.full((S,), -1, jnp.int32)
+    args = (kp_s, kp_t, feats, ms, mt, p, ac, 0.4, 0.6, 0.21)
+    got = stream_sweep(*args, ts=256, tc=512, interpret=True, col_side=True)
+    want = stream_sweep_ref(*args, tc=512, col_side=True)
+    np.testing.assert_allclose(np.asarray(got.cmin), np.asarray(want.cmin),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got.crow),
+                                  np.asarray(want.crow))
+    np.testing.assert_allclose(np.asarray(got.v1), np.asarray(want.v1),
+                               rtol=1e-5, atol=1e-4)
