@@ -398,6 +398,77 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
     ts = 256
     while ts > 16 and ts * C > 256 * 8192:
         ts //= 2
+    if (use_round_kernel and comm.distributed
+            and (jax.default_backend() == "tpu" or _KERNEL_INTERPRET)
+            and R % ts == 0 and R % 128 == 0 and C % 128 == 0
+            and ts * C <= 256 * 8192 and n_phases == 1):
+        # --- sharded GS: per-device whole-sweep kernels, mesh-boundary
+        # price/winner reconciliation (VERDICT r3 task 2a) -------------
+        # Each device runs ONE Gauss-Seidel sweep of the GS kernel over
+        # its LOCAL benefit rows (in-VMEM bid/resolve batches see fresh
+        # LOCAL prices), then the devices reconcile: every column goes to
+        # the globally highest price (pmax), losers of cross-device
+        # conflicts reopen and re-bid next sweep.  Prices only rise and
+        # winners pay their own bids, so this is the asynchronous auction
+        # with delayed cross-device price information — same eps-CS
+        # terminal guarantee, only the trajectory differs from the
+        # single-device kernel.  Epsilon escalates across sweeps in XLA
+        # (the in-kernel escalator is per-launch).
+        from ghicp_tpu.ops.auction_rounds import auction_phase_gs_pallas
+        SENT = jnp.int32(R)            # foreign-owner sentinel (>= R local)
+        offset = row_gid[0]
+        col_ids = jnp.arange(C, dtype=jnp.int32)
+        esc_after_d = jnp.maximum(jnp.asarray(max_rounds, jnp.int32) // 4,
+                                  1)
+        esc_period_d = jnp.maximum(jnp.asarray(max_rounds, jnp.int32) // 16,
+                                   1)
+
+        def _esc_d(r):
+            return eps_final * jnp.exp2(
+                jnp.maximum(r - esc_after_d, 0).astype(jnp.float32)
+                / esc_period_d.astype(jnp.float32))
+
+        def cond_d(c):
+            owner_g, acol, p, r = c
+            n_open = comm.psum(jnp.sum((acol == -1).astype(jnp.int32)))
+            return (n_open > 0) & (r < max_rounds)
+
+        def body_d(c):
+            owner_g, acol, p, r = c
+            mine = ((owner_g >= offset) & (owner_g < offset + R))
+            owner_l = jnp.where(mine, owner_g - offset,
+                                jnp.where(owner_g >= 0, SENT, -1))
+            sunk_l = (acol == _SINK).astype(jnp.int32)
+            open_l = (acol == -1).astype(jnp.int32)
+            p2, owner_o, sunk_o, _rk, _g = auction_phase_gs_pallas(
+                b, p, owner_l, sunk_l, open_l, _esc_d(r + 1),
+                jnp.float32(sink_value), jnp.int32(1), ts=ts, inner_cap=1,
+                esc_after=jnp.int32(0), esc_period=jnp.int32(1),
+                complete_open=0, interpret=_KERNEL_INTERPRET)
+            # Local winners -> global candidates; reconcile on price.
+            won_l = (owner_o >= 0) & (owner_o < R)
+            cand_gid = jnp.where(won_l & (p2 > p), owner_o + offset, -1)
+            win_p = comm.pmax(p2)
+            winner = comm.pmax(jnp.where((p2 >= win_p) & (cand_gid >= 0),
+                                         cand_gid, -1))
+            changed = (win_p > p) & (winner >= 0)
+            owner_g = jnp.where(changed, winner, owner_g)
+            p_new = jnp.where(changed, win_p, p)
+            # Rebuild local assignments from the reconciled owners; local
+            # sink decisions are conflict-free (rows are device-local).
+            acol_n = jnp.full((R,), -1, jnp.int32).at[
+                jnp.where((owner_g >= offset) & (owner_g < offset + R),
+                          owner_g - offset, R)].set(col_ids, mode="drop")
+            acol_n = jnp.where((acol == _SINK) | (sunk_o == 1), _SINK,
+                               acol_n)
+            return owner_g, acol_n, p_new, r + 1
+
+        owner_g0 = owner_init
+        acol0_d = acol_init
+        owner_g, acol_d, p_d, r_d = jax.lax.while_loop(
+            cond_d, body_d, (owner_g0, acol0_d, p_init, jnp.int32(0)))
+        return (acol_d, p_d, r_d, _esc_d(r_d),
+                _punc(p_d, _esc_d(r_d)))
     if (use_round_kernel and not comm.distributed
             and (jax.default_backend() == "tpu" or _KERNEL_INTERPRET)
             and R % ts == 0 and R % 128 == 0 and C % 128 == 0
