@@ -309,8 +309,13 @@ def pca_features_pair(cloud_a: PointCloud, cloud_b: PointCloud,
     ta, na_dev = pca_begin(cloud_a, radius, cell_cap, max_cells)
     tb, nb_dev = pca_begin(cloud_b, radius, cell_cap, max_cells)
     na, nb = (int(x) for x in jax.device_get((na_dev, nb_dev)))
-    fa, spa, nsa_dev = pca_dispatch(cloud_a, ta, na, radius, max_cells)
-    fb, spb, nsb_dev = pca_dispatch(cloud_b, tb, nb, radius, max_cells)
+    # SHARED occupied-cell count: source/target landing in different chunk
+    # buckets otherwise compile the ~25s cell-pair sweep executable TWICE
+    # on a fresh cache (the sweep masks unoccupied cells, so the larger
+    # count is correct for both clouds).
+    n_shared = max(na, nb)
+    fa, spa, nsa_dev = pca_dispatch(cloud_a, ta, n_shared, radius, max_cells)
+    fb, spb, nsb_dev = pca_dispatch(cloud_b, tb, n_shared, radius, max_cells)
     nsa, nsb = (int(x) for x in jax.device_get((nsa_dev, nsb_dev)))
     return (pca_finalize(cloud_a, ta, fa, spa, nsa, radius),
             pca_finalize(cloud_b, tb, fb, spb, nsb, radius))

@@ -239,8 +239,14 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
     # ~170ms EACH (fresh scalar buffers are far slower than array fetches).
     n_vs, n_vt = jax.device_get(
         jnp.stack([jnp.sum(vs.mask), jnp.sum(vt.mask)]))
-    ds = _compact(vs, capacity=bucket_size(int(n_vs)))
-    dt = _compact(vt, capacity=bucket_size(int(n_vt)))
+    # SHARED downsample bucket: with per-cloud buckets, source and target
+    # landing one bucket apart doubles every downstream compile (PCA,
+    # keypoint detect, refinement, feature extraction all specialize on
+    # the cloud shape) — the dominant fresh-cache cost.  Padding the
+    # smaller cloud up to the larger bucket is pure mask slack.
+    cap_d = max(bucket_size(int(n_vs)), bucket_size(int(n_vt)))
+    ds = _compact(vs, capacity=cap_d)
+    dt = _compact(vt, capacity=cap_d)
     jax.block_until_ready((ds.xyz, dt.xyz))
     timings["downsample"] = time.perf_counter() - t0
 
