@@ -478,17 +478,26 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     # The completion sweep's fresh per-row observations feed the carry too
     # (v1_obs/obs): completed rows would otherwise re-enter the next keep
     # test with the inflated bound and be released again immediately.
-    # When EVERY leftover row was observed by a bidding sweep, completion
-    # reuses the last observation (v1/j1 at that round's pre-resolve
-    # prices) instead of paying another full sweep — greedy completion
-    # allows duplicate columns anyway, and the stale v1 only overestimates
-    # (prices rose since), so the sink rule errs toward keeping a
-    # penalty-gated match rather than dropping one.  Release-heavy solves
-    # (identity-start early phase) save a full O(S*C) pass per iteration.
+    # When EVERY leftover row was observed by a bidding sweep AND the
+    # leftover set is too large for the compact block (i.e. completion
+    # would cost a FULL O(S*C) sweep), completion reuses the last
+    # observation (v1/j1 at that round's pre-resolve prices) — greedy
+    # completion allows duplicate columns anyway, and the stale v1 only
+    # overestimates (prices rose since), so the sink rule errs toward
+    # keeping a penalty-gated match rather than dropping one.  Release-
+    # heavy solves (identity-start early phase) save a full pass per
+    # iteration; small leftovers route through the cheap compact sweep
+    # and stay exact (the stale rule measurably inflates the matched-RMSE
+    # verdict at sparse keypoint counts).
     leftover = acol == -1
-    any_left = comm.psum(jnp.sum(leftover.astype(jnp.int32))) > 0
+    n_left = comm.psum(jnp.sum(leftover.astype(jnp.int32)))
+    any_left = n_left > 0
     all_obs = comm.psum(jnp.sum(
         (leftover & ~obs).astype(jnp.int32))) == 0
+    if can_compact:
+        all_obs = all_obs & (n_left > cap)
+    else:
+        all_obs = jnp.bool_(False)
 
     def complete(c):
         acol, v1_obs, j1_obs, obs = c

@@ -275,8 +275,13 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
             # — budget is a traced scalar, so this costs no recompile.
             # Dense lanes only: the streaming lane's compact-extension
             # economics differ and budget 1 measurably nudges its matched
-            # RMSE at the success threshold.
-            budget = jnp.where(it_eff > config.auction_warm_after,
+            # RMSE at the success threshold.  Gated on the REAL iteration
+            # count, not it_eff: a coarse init's it_shift makes it_eff
+            # large at iteration 0, where no assignment warm start exists
+            # yet and the pose-forming early solves need the full budget
+            # (measured at the sparse NMS-1.0 config: immediate budget 1
+            # costs 0.12 -> 0.18 deg over the trajectory).
+            budget = jnp.where(st.it > config.auction_warm_after,
                                jnp.int32(config.auction_warm_rounds),
                                budget)
         ed_max_fused = None
