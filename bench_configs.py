@@ -234,6 +234,60 @@ def config6():
         "ref_criterion_at_dense_nms": bool(out.success)}))
 
 
+def config7():
+    """Simulated-TLS-scan pair: two scans of one scene from DIFFERENT scan
+    origins (range-dependent density, per-origin occlusion, independent
+    noise) — the closest this zero-egress environment gets to the
+    reference's real ETH/WHU demo envelope (README.md:14-27).  The scan
+    regime requires the localization-aware FD (bsc_offsets): per-origin
+    sampling shifts where keypoints land in each scan, and without the
+    offset search the descriptors decorrelate (measured at test scale:
+    1.03 deg / 5.2 m at offsets=1 vs 0.55 deg / 0.19 m at 3)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.ghicp_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from ghicp_tpu.core.config import (CorrespondenceType, FeatureType,
+                                       GHICPConfig)
+    from ghicp_tpu.io.synthetic import make_tls_scan_pair
+    from ghicp_tpu.registration.pipeline import (register_pair,
+                                                 transform_error)
+
+    log(f"backend: {jax.default_backend()}")
+    # 1M scene points -> ~250k-pt scans.  At 3M the generator's wall/
+    # ground planes dominate the keypoint set and a near-90-degree
+    # wall-swap symmetry of the SYNTHETIC scene wins RANSAC consensus
+    # (measured on CPU and TPU identically, NOTES.md round 4) — a scene-
+    # generator artifact, not an engine path difference; real facades
+    # carry the relief that breaks this symmetry.
+    src, tgt, T_gt = make_tls_scan_pair(seed=9, n_points=1_000_000,
+                                        extent=25.0, rot_deg=25.0,
+                                        origin_a=(0.0, 0.0, 1.8),
+                                        origin_b=(12.0, 9.0, 1.8))
+    log(f"scan sizes: {len(src)} / {len(tgt)} pts")
+    cfg = GHICPConfig(feature=FeatureType.BSC,
+                      correspondence=CorrespondenceType.KM,
+                      voxel_size=0.12, neighborhood_radius=0.5,
+                      non_max_radius=0.6, min_neighbors=10,
+                      bsc_neighbor_k=256, pca_cell_cap=40,
+                      pca_max_cells=131072, estimated_overlap=0.6,
+                      max_iterations=50, bsc_offsets=3)
+    for tag in ("cold", "warm"):
+        t0 = time.perf_counter()
+        out = register_pair(src, tgt, cfg)
+        total = time.perf_counter() - t0
+        rot, tr = transform_error(out.transform, T_gt)
+        log(f"[{tag}] kps={out.n_source_keypoints}/{out.n_target_keypoints} "
+            f"iters={int(out.result.iterations)} rot={rot:.3f}deg "
+            f"t={tr:.3f}m total={total:.1f}s "
+            f"timings={ {k: round(v, 2) for k, v in out.timings.items()} }")
+    print(json.dumps({
+        "metric": "config7_simulated_scan_pair_pose_err_deg",
+        "value": round(rot, 4), "unit": "deg",
+        "t_err_m": round(tr, 4), "total_wall_s": round(total, 1),
+        "scan_points": [len(src), len(tgt)],
+        "keypoints": [out.n_source_keypoints, out.n_target_keypoints]}))
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "4"
-    {"4": config4, "5": config5, "6": config6}[which]()
+    {"4": config4, "5": config5, "6": config6, "7": config7}[which]()
