@@ -246,6 +246,34 @@ class GHICPConfig:
                                           # deg fused (round 2); flip off to
                                           # reproduce the reference's
                                           # separate-matrix passes
+    factor_gs_kernel: bool = False        # dense-lane matrix-free solve:
+                                          # when the whole KM solve fits the
+                                          # factor-streaming GS kernel
+                                          # (single device, single phase,
+                                          # conforming tiles, compact resolve
+                                          # off), skip the [S,T] benefit
+                                          # store entirely — the hint/stats
+                                          # kernel runs write_b=False and the
+                                          # auction recomputes benefit tiles
+                                          # from FD stripes + coordinate
+                                          # factors per sweep
+                                          # (ops/auction_rounds.py::
+                                          # auction_phase_gs_fused_pallas).
+                                          # Default OFF: measured SLOWER at
+                                          # the 6.6k bench (286 vs 421 it/s,
+                                          # round 4) — warm open rows are
+                                          # scattered, so the GS solve
+                                          # recomputes benefits for ~every
+                                          # tile, duplicating the hint
+                                          # kernel's construction; the two-
+                                          # kernel split pays ~0.8ms of VPU
+                                          # recompute to save a ~0.2ms
+                                          # store.  Becomes a win only as a
+                                          # SINGLE kernel (hints + keep test
+                                          # + solve in one launch, NOTES.md
+                                          # round-4 dense-lane section);
+                                          # pose parity verified on-chip
+                                          # either way
     streaming_cost: str = "auto"          # matrix-free cost lane: "on" |
                                           # "off" | "auto".  When on, FD and
                                           # the benefit matrix are NEVER

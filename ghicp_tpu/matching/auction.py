@@ -76,6 +76,42 @@ _SINK = jnp.int32(2**30)  # "unmatched" pseudo-column (infinite capacity)
 _KERNEL_INTERPRET = False
 
 
+def _gs_ts(C: int) -> int:
+    """Row-tile height for the GS kernels: ts=256 fits C=8192 in the raised
+    scoped-VMEM budget; each doubling of C halves ts (see the VMEM note at
+    the kernel dispatch site)."""
+    ts = 256
+    while ts > 16 and ts * C > 256 * 8192:
+        ts //= 2
+    return ts
+
+
+def _factor_gate(R, C, use_round_kernel, comm, n_phases, compact_cap,
+                 acol0, hint_v1):
+    """True iff the factor-streaming GS kernel can carry the whole solve
+    (single device, conforming shapes, single phase, no compact resolve,
+    keep test served by precomputed hints) — otherwise callers materialize
+    the benefit matrix once and take the ordinary paths."""
+    ts = _gs_ts(C)
+    return (use_round_kernel and not comm.distributed
+            and (jax.default_backend() == "tpu" or _KERNEL_INTERPRET)
+            and R % ts == 0 and R % 128 == 0 and C % 128 == 0
+            and ts * C <= 256 * 8192 and n_phases == 1
+            and not compact_cap
+            and (acol0 is None or hint_v1 is not None))
+
+
+def _factors_b(factors, mult_blend, quantize_b):
+    """Materialize benefits from factors (fallback when the factor-streaming
+    kernel can't run: odd shapes / sharded / non-interpret CPU)."""
+    from ghicp_tpu.ops.cost_kernel import fused_benefit_ref
+    kps, kpt, fd, ms, mt, wed, wfd, scale = factors
+    return fused_benefit_ref(
+        kps, kpt, fd, ms, mt, wed, wfd, scale,
+        out_dtype=jnp.bfloat16 if quantize_b else jnp.float32,
+        mult_blend=mult_blend)[0]
+
+
 def _bidding_round(b: Array, eps: Array, sink_value: Array,
                    sink_slack: Array, row_gid: Array, state, comm: Comm):
     """One synchronous bidding round with an outside option.
@@ -171,7 +207,8 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
                    hint_v1: Optional[Array] = None,
                    hint_vsel: Optional[Array] = None,
                    compact_cap: int = 0, compact_budget: int = 0,
-                   keep_slack_extra=None):
+                   keep_slack_extra=None, factors=None,
+                   mult_blend: bool = False, quantize_b: bool = True):
     """Assignment on a benefit matrix b [R, C] (maximization) with an
     outside option at ``sink_value`` per row, via epsilon scaling with
     *kept assignments*.
@@ -220,8 +257,27 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
 
     Returns (acol [R]: assigned column, _SINK for unmatched, or -1 at round
     cap; prices [C]; rounds).
+
+    ``factors`` (optional) = (kp_s, kp_t, fd, mask_s, mask_t, wed, wfd,
+    scale): run the solve MATRIX-FREE through the factor-streaming GS
+    kernel (ops/auction_rounds.py::auction_phase_gs_fused_pallas) — ``b``
+    may then be None and no [R, C] benefit tensor is written or read.
+    Requires ``b_max`` and (for warm starts) the hint pair; non-conforming
+    cases materialize ``b`` once from the factors and fall through to the
+    ordinary paths.  ``quantize_b`` round-trips computed benefits through
+    bf16 for bit-parity with the ``auction_bf16`` materialized path.
     """
-    R, C = b.shape
+    if factors is not None:
+        R, C = factors[2].shape
+        if b_max is None:
+            raise ValueError("the factors path requires b_max (from the "
+                             "fused cost kernel's statistics)")
+        if not _factor_gate(R, C, use_round_kernel, comm, n_phases,
+                            compact_cap, acol0, hint_v1):
+            b = _factors_b(factors, mult_blend, quantize_b)
+            factors = None
+    else:
+        R, C = b.shape
     if row_offset is None:
         row_offset = comm.axis_index() * R
     row_gid = row_offset + jnp.arange(R, dtype=jnp.int32)
@@ -395,9 +451,7 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
     # halves ts.  Fewer, taller tiles matter because the per-tile-visit
     # scalar overhead (active-list build, DMA bookkeeping) dominates late
     # sweeps, not the VPU passes.
-    ts = 256
-    while ts > 16 and ts * C > 256 * 8192:
-        ts //= 2
+    ts = _gs_ts(C)
     if (use_round_kernel and comm.distributed
             and (jax.default_backend() == "tpu" or _KERNEL_INTERPRET)
             and R % ts == 0 and R % 128 == 0 and C % 128 == 0
@@ -506,7 +560,8 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
         # greedy completion like every other path.  Single-phase only (the
         # multi-phase ladder interleaves full-matrix CS repairs anyway).
         if (compact_cap and 0 < compact_cap < R and n_phases == 1
-                and acol0 is not None and compact_cap % 256 == 0):
+                and acol0 is not None and compact_cap % 256 == 0
+                and factors is None):
             # Subset-GS compact resolve: the warm-start keep test's released
             # rows are SCATTERED, so the full GS kernel's active-tile
             # skipping never engages (one open row activates a 256-row
@@ -636,13 +691,30 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
                 # leftover open rows in-kernel (streams only still-open
                 # tiles, usually none) so the caller's full-matrix
                 # `complete` pass is skipped.
-                p, owner, sunk, r, gcol = auction_phase_gs_pallas(
-                    b, p, owner, sunk, open_, eps_now,
-                    jnp.float32(sink_value),
-                    remaining, ts=ts, inner_cap=1,
-                    esc_after=esc_after, esc_period=esc_period,
-                    complete_open=1 if k == n_phases - 1 else 0,
-                    interpret=_KERNEL_INTERPRET)
+                if factors is not None:
+                    # Matrix-free: benefits recomputed per streamed FD tile
+                    # from the coordinate factors — no [R, C] write/read.
+                    from ghicp_tpu.ops.auction_rounds import \
+                        auction_phase_gs_fused_pallas
+                    kps_f, kpt_f, fd_f, ms_f, mt_f, wed_f, wfd_f, sc_f = \
+                        factors
+                    p, owner, sunk, r, gcol = auction_phase_gs_fused_pallas(
+                        kps_f, kpt_f, fd_f, ms_f, mt_f, wed_f, wfd_f, sc_f,
+                        p, owner, sunk, open_, eps_now,
+                        jnp.float32(sink_value),
+                        remaining, ts=ts, inner_cap=1,
+                        esc_after=esc_after, esc_period=esc_period,
+                        complete_open=1 if k == n_phases - 1 else 0,
+                        mult_blend=mult_blend, quantize=quantize_b,
+                        interpret=_KERNEL_INTERPRET)
+                else:
+                    p, owner, sunk, r, gcol = auction_phase_gs_pallas(
+                        b, p, owner, sunk, open_, eps_now,
+                        jnp.float32(sink_value),
+                        remaining, ts=ts, inner_cap=1,
+                        esc_after=esc_after, esc_period=esc_period,
+                        complete_open=1 if k == n_phases - 1 else 0,
+                        interpret=_KERNEL_INTERPRET)
                 remaining = remaining - r
                 spent = spent + r
                 if k < n_phases - 1:
@@ -717,8 +789,10 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
                                              "comm", "total_rows", "rel_eps",
                                              "use_round_kernel", "n_phases",
                                              "compact_cap",
-                                             "compact_budget"))
-def auction_match_benefits(b: Array, penalty: Array, mask_s: Array,
+                                             "compact_budget", "mult_blend",
+                                             "quantize_b"))
+def auction_match_benefits(b: Optional[Array], penalty: Array,
+                           mask_s: Array,
                            mask_t: Array, eps_final: float = 0.01,
                            max_rounds=8000, comm: Comm = LOCAL,
                            total_rows: int = None, rel_eps: float = 0.0,
@@ -732,10 +806,13 @@ def auction_match_benefits(b: Array, penalty: Array, mask_s: Array,
                            hint_vsel: Optional[Array] = None,
                            compact_cap: int = 0,
                            compact_budget: int = 0,
-                           keep_slack_extra=None
+                           keep_slack_extra=None,
+                           factors=None,
+                           mult_blend: bool = False,
+                           quantize_b: bool = True
                            ) -> AuctionResult:
     """Auction on a PREBUILT benefit matrix (e.g. from the fused cost
-    kernel, ops/cost_kernel.py).
+    kernel, ops/cost_kernel.py) — or MATRIX-FREE from ``factors``.
 
     ``b`` [S, T] (bf16 or f32): -CD at candidate pairs, very negative at
     masked pairs.  The penalty gate needs no mask tensor — KM's "pair is
@@ -744,8 +821,22 @@ def auction_match_benefits(b: Array, penalty: Array, mask_s: Array,
     are nonnegative, so any bid target is gated) and the greedy completion
     to every leftover row.  Semantics otherwise identical to
     :func:`auction_match`.
+
+    ``factors`` = (kp_s, kp_t, fd, mask_s, mask_t, wed, wfd, scale): ``b``
+    may be None — the solve streams FD tiles through the factor GS kernel
+    and recomputes benefits on the fly (see :func:`auction_assign`); the
+    selected-pair values come from O(S) factor gathers.  When the kernel
+    can't run (shape/backend/sharding), the matrix is materialized here
+    once and every downstream path behaves as before.
     """
-    S, T = b.shape
+    if factors is not None:
+        S, T = factors[2].shape
+        if not _factor_gate(S, T, use_round_kernel, comm, n_phases,
+                            compact_cap, acol0, hint_v1):
+            b = _factors_b(factors, mult_blend, quantize_b)
+            factors = None
+    else:
+        S, T = b.shape
     rows_total = total_rows if total_rows is not None else S
     acol, p, rounds, eps_used, punc = auction_assign(
         b, -penalty, eps_final, max_rounds, comm, rel_eps=rel_eps,
@@ -753,7 +844,8 @@ def auction_match_benefits(b: Array, penalty: Array, mask_s: Array,
         use_round_kernel=use_round_kernel, n_phases=n_phases, b_max=b_max,
         acol0=acol0, hint_v1=hint_v1, hint_vsel=hint_vsel,
         compact_cap=compact_cap, compact_budget=compact_budget,
-        keep_slack_extra=keep_slack_extra)
+        keep_slack_extra=keep_slack_extra, factors=factors,
+        mult_blend=mult_blend, quantize_b=quantize_b)
     # Greedy completion at budget exhaustion (see auction_match) — under a
     # cond: when the auction converged (no -1 rows, the common case with
     # in-kernel epsilon escalation) the full-matrix top-1 pass is skipped.
@@ -763,16 +855,42 @@ def auction_match_benefits(b: Array, penalty: Array, mask_s: Array,
         # argmax-then-gather: a max+argmax pair over the same (b - p)
         # expression makes XLA materialize the full f32 matrix; a single
         # argmax reduce fuses, and the max value comes from gathers.
-        j1 = jnp.argmax(b.astype(jnp.float32) - p[None, :],
+        # (Factor path: the GS kernel's in-kernel completion covers every
+        # open row, so this branch never executes at runtime — the traced
+        # one-off materialization is dead weight in the executable only.)
+        bb = _factors_b(factors, mult_blend, quantize_b) \
+            if factors is not None else b
+        j1 = jnp.argmax(bb.astype(jnp.float32) - p[None, :],
                         axis=1).astype(jnp.int32)
-        v1 = b[jnp.arange(S), j1].astype(jnp.float32) - p[j1]
+        v1 = bb[jnp.arange(S), j1].astype(jnp.float32) - p[j1]
         return jnp.where(leftover, jnp.where(v1 > -penalty, j1, _SINK), acol)
 
     acol = jax.lax.cond(jnp.any(leftover), complete, lambda a: a, acol)
     matched = (acol >= 0) & (acol < T)
     jc = jnp.where(matched, acol, 0)
     rows = jnp.arange(S)
-    bsel = b[rows, jc].astype(jnp.float32)
+    if factors is not None:
+        # Selected-pair benefits from O(S) factor gathers, arithmetic
+        # mirroring the kernels (norm-expansion ED + bf16 round trip) so
+        # the gate test below matches the in-kernel sink decisions.
+        kps_f, kpt_f, fd_f, ms_f, mt_f, wed_f, wfd_f, sc_f = factors
+        tsel = kpt_f[jc]
+        s2 = jnp.sum(kps_f * kps_f, axis=1)
+        t2 = jnp.sum(tsel * tsel, axis=1)
+        dd = jnp.sum(kps_f * tsel, axis=1)
+        ed_sel = sc_f * jnp.sqrt(jnp.maximum(s2 + t2 - 2.0 * dd, 0.0))
+        fd_sel = fd_f[rows, jc].astype(jnp.float32)
+        if mult_blend:
+            cd_f = ed_sel * jnp.exp(
+                -wfd_f * jnp.log(jnp.maximum(fd_sel, 1e-6)))
+        else:
+            cd_f = wed_f * ed_sel + wfd_f * fd_sel
+        m_sel = ms_f & mt_f[jc]
+        bsel = jnp.where(m_sel, -cd_f, _NEG)
+        if quantize_b:
+            bsel = bsel.astype(jnp.bfloat16).astype(jnp.float32)
+    else:
+        bsel = b[rows, jc].astype(jnp.float32)
     real = mask_s & matched & (bsel > -penalty)
     w = real.astype(jnp.float32)
     cor = comm.psum(jnp.sum(w))

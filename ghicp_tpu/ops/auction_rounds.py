@@ -628,6 +628,320 @@ def auction_phase_gs_pallas(b: Array, p0: Array, owner0: Array, sunk0: Array,
             out[4].reshape(S))
 
 
+def _gs_fused_kernel(eps_ref, sink_ref, maxr_ref, esc_ref, comp_ref,
+                     scal_ref, fd_ref, kps_ref, kpt_ref, ms_ref, mt_ref,
+                     p0_ref, owner0_ref, sunk0_ref, open0_ref,
+                     p_out, owner_out, sunk_out, rounds_out, gcol_out,
+                     s_p, s_owner, s_sunk, s_open, s_tile, s_bt, s_list,
+                     sems, *, ts: int, inner_cap: int, mult_blend: bool,
+                     quantize: bool):
+    """Gauss-Seidel phase that builds its benefit tiles ON THE FLY.
+
+    Same sweep semantics as ``_gs_kernel``, but instead of streaming a
+    materialized benefit matrix it streams the FD stripe and recomputes
+
+      b = -(W_ED * ED + W_FD * FD)      (masked pairs -> -inf)
+
+    per tile visit from the keypoint coordinate factors (ED as one
+    [ts, 8] @ [8, C] MXU cross term + norm expansion, exactly the
+    fused-benefit kernel's arithmetic, ops/cost_kernel.py).  The dense
+    lane's warm iteration then never writes OR re-reads an [S, C] benefit
+    tensor: HBM traffic for the whole solve is the FD stripes of visited
+    tiles.  ``quantize`` round-trips the computed tile through bf16 so the
+    matching is bit-identical to the materialized-bf16-b path.
+    """
+    n_tiles = s_list.shape[0]
+    C = s_p.shape[0]
+    eps0 = eps_ref[0]
+    sink = sink_ref[0]
+    max_rounds = maxr_ref[0]
+    esc_after = esc_ref[0]
+    esc_period = esc_ref[1]
+    wed = scal_ref[0]
+    wfd = scal_ref[1]
+    scale = scal_ref[2]
+
+    s_p[:] = p0_ref[0, :]
+    s_owner[:] = owner0_ref[0, :]
+    s_sunk[:, :] = sunk0_ref[:, :]
+    s_open[:, :] = open0_ref[:, :]
+
+    def stripe_dma(t, slot):
+        return pltpu.make_async_copy(
+            fd_ref.at[pl.ds(t * ts, ts), :], s_tile.at[slot], sems.at[slot])
+
+    def compute_bt(t, slot):
+        """Benefit tile from factors (mirrors ops/cost_kernel.py::_kernel:
+        HIGHEST-precision MXU cross term + clamped norm expansion)."""
+        s = kps_ref[t]                                   # [ts, 8]
+        tt = kpt_ref[:, :]                               # [C, 8]
+        d = jax.lax.dot_general(s, tt, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+        s2 = jnp.sum(s * s, axis=1)
+        t2 = jnp.sum(tt * tt, axis=1)
+        d2 = jnp.maximum(s2[:, None] + t2[None, :] - 2.0 * d, 0.0)
+        ed = scale * jnp.sqrt(d2)
+        fdv = s_tile[slot].astype(jnp.float32)
+        if mult_blend:
+            cd = ed * jnp.exp(-wfd * jnp.log(jnp.maximum(fdv, 1e-6)))
+        else:
+            cd = wed * ed + wfd * fdv
+        m = (ms_ref[t, :][:, None] > 0) & (mt_ref[0, :][None, :] > 0)
+        bt = jnp.where(m, -cd, _NEG)
+        if quantize:
+            bt = bt.astype(jnp.bfloat16).astype(jnp.float32)
+        s_bt[:, :] = bt
+
+    def sweep_eps(r):
+        boost = jnp.where(
+            esc_after > 0,
+            jnp.exp2(jnp.maximum(r - esc_after, 0).astype(jnp.float32)
+                     / jnp.maximum(esc_period, 1).astype(jnp.float32)),
+            1.0)
+        return eps0 * boost
+
+    def build_active_list():
+        def body(t, cnt):
+            open_t = jnp.sum(s_open[t, :])
+
+            @pl.when(open_t > 0)
+            def _():
+                s_list[cnt] = t
+            return cnt + (open_t > 0).astype(jnp.int32)
+
+        return jax.lax.fori_loop(0, n_tiles, body, jnp.int32(0))
+
+    def bid_resolve(t, eps):
+        """One bid/resolve batch for tile t's open rows (bt in VMEM)."""
+        gid = t * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, 1), 0)[:, 0]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ts, C), 1)
+        unassigned = s_open[t, :] > 0
+
+        p = s_p[:]
+        owner_prev = s_owner[:]
+        v = s_bt[:, :] - p[None, :]
+        v1 = jnp.max(v, axis=1)
+        j1 = jnp.argmax(v, axis=1).astype(jnp.int32)
+        v2 = jnp.max(jnp.where(cols == j1[:, None], _NEG, v), axis=1)
+
+        to_sink = unassigned & (v1 <= sink)
+        bidding = unassigned & ~to_sink
+        s_sunk[t, :] = jnp.where(to_sink, jnp.int32(1), s_sunk[t, :])
+        s_open[t, :] = jnp.where(to_sink, jnp.int32(0), s_open[t, :])
+
+        @pl.when(jnp.sum(bidding) > 0)
+        def _resolve():
+            onehot = cols == j1[:, None]
+            delta = v1 - jnp.maximum(v2, sink) + eps
+            bidding2d = bidding.astype(jnp.int32)[:, None] > 0
+            contrib = jnp.where(onehot & bidding2d, delta[:, None],
+                                jnp.float32(_NEG))                # [ts, C]
+            dmax = jnp.max(contrib, axis=0)                       # [C]
+            has = dmax > _NEG / 2
+            wlane = jnp.argmax(contrib, axis=0).astype(jnp.int32)  # [C]
+            wingid = jnp.where(has, t * ts + wlane, -1)
+            pw = (wingid + 1) * jnp.int32(1 << 14) + (owner_prev + 1)
+            g = jnp.max(jnp.where(onehot, pw[None, :],
+                                  jnp.int32(-1)), axis=1)         # [ts]
+            won = bidding & ((g >> 14) - 1 == gid)
+            vic = jnp.where(won, jax.lax.rem(g, jnp.int32(1 << 14)) - 1, -1)
+
+            s_owner[:] = jnp.where(has, wingid, owner_prev)
+            s_p[:] = p + jnp.where(has, dmax, 0.0)
+
+            @pl.when(jnp.max(vic) >= 0)
+            def _reopen():
+                u_iota = jax.lax.broadcasted_iota(jnp.int32, (ts, n_tiles), 1)
+                l_iota = jax.lax.broadcasted_iota(jnp.int32, (ts, ts), 1)
+                valid = (vic >= 0).astype(jnp.int32)[:, None]
+                vt = jnp.where(vic >= 0, vic // ts, n_tiles)
+                tiles_oh = ((u_iota == vt[:, None]) & (valid > 0))
+                lanes_oh = (l_iota == (vic - vt * ts)[:, None])
+                cnt = jax.lax.dot_general(
+                    tiles_oh.astype(jnp.float32),
+                    lanes_oh.astype(jnp.float32),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [n_tiles, ts]
+                s_open[:, :] = jnp.where(cnt > 0.5, jnp.int32(1),
+                                         s_open[:, :])
+            s_open[t, :] = jnp.where(won, jnp.int32(0), s_open[t, :])
+
+    def round_cond(carry):
+        r, n_open = carry
+        return (n_open > 0) & (r < max_rounds)
+
+    def round_body(carry):
+        r, _ = carry
+        eps = sweep_eps(r)
+
+        def tile_body(j, n_active):
+            t = s_list[j]
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < n_active)
+            def _prefetch():
+                stripe_dma(s_list[j + 1], jax.lax.rem(j + 1, 2)).start()
+
+            stripe_dma(t, slot).wait()
+            compute_bt(t, slot)
+
+            def icond(k):
+                return (jnp.sum(s_open[t, :]) > 0) & (k < inner_cap)
+
+            def ibody(k):
+                bid_resolve(t, eps)
+                return k + 1
+
+            jax.lax.while_loop(icond, ibody, jnp.int32(0))
+            return n_active
+
+        n_active = build_active_list()
+
+        @pl.when(n_active > 0)
+        def _seed():
+            stripe_dma(s_list[0], 0).start()
+
+        jax.lax.fori_loop(0, n_active, tile_body, n_active)
+        return r + 1, jnp.sum(s_open[:, :])
+
+    r, _ = jax.lax.while_loop(round_cond, round_body,
+                              (jnp.int32(0), jnp.sum(s_open[:, :])))
+
+    gcol_out[:, :] = jnp.full_like(gcol_out, -1)
+
+    @pl.when(comp_ref[0] > 0)
+    def _complete():
+        C_ = s_p.shape[0]
+        n_active = build_active_list()
+
+        @pl.when(n_active > 0)
+        def _seed():
+            stripe_dma(s_list[0], 0).start()
+
+        def comp_body(j, _):
+            t = s_list[j]
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < n_active)
+            def _prefetch():
+                stripe_dma(s_list[j + 1], jax.lax.rem(j + 1, 2)).start()
+
+            stripe_dma(t, slot).wait()
+            compute_bt(t, slot)
+            open_t = s_open[t, :] > 0
+            v = s_bt[:, :] - s_p[:][None, :]
+            v1 = jnp.max(v, axis=1)
+            j1 = jnp.argmax(v, axis=1).astype(jnp.int32)
+            gcol_out[t, :] = jnp.where(
+                open_t, jnp.where(v1 > sink, j1, jnp.int32(C_)),
+                jnp.int32(-1))
+            return 0
+
+        jax.lax.fori_loop(0, n_active, comp_body, 0)
+
+    p_out[0, :] = s_p[:]
+    owner_out[0, :] = s_owner[:]
+    sunk_out[:, :] = s_sunk[:, :]
+    rounds_out[0] = r
+
+
+@functools.partial(jax.jit, static_argnames=("ts", "inner_cap", "mult_blend",
+                                             "quantize", "interpret"))
+def auction_phase_gs_fused_pallas(kp_s: Array, kp_t: Array, fd: Array,
+                                  mask_s: Array, mask_t: Array,
+                                  wed, wfd, scale,
+                                  p0: Array, owner0: Array, sunk0: Array,
+                                  open0: Array, eps, sink_value, max_rounds,
+                                  ts: int = 128, inner_cap: int = 128,
+                                  esc_after=0, esc_period=1, complete_open=0,
+                                  mult_blend: bool = False,
+                                  quantize: bool = True,
+                                  interpret: bool = False):
+    """Factor-streaming Gauss-Seidel bidding phase: benefits recomputed per
+    tile visit from keypoint coordinates + FD stripes — no [S, C] benefit
+    tensor is ever written or read (the dense lane's remaining HBM wall).
+
+    Same phase contract as :func:`auction_phase_gs_pallas` (returns
+    (p [C], owner [C], sunk [S], rounds, gcol [S])); ``kp_s`` [S, 3] /
+    ``kp_t`` [C, 3] must be pre-centered by a common offset (f32
+    norm-expansion accuracy), ``fd`` [S, C] bf16/f32.  ``quantize``
+    round-trips each computed tile through bf16 for bit-parity with the
+    materialized ``auction_bf16`` path.  S % ts == 0; C % 128 == 0.
+    """
+    S, C = fd.shape
+    n_tiles = S // ts
+    kps8 = jnp.pad(kp_s.astype(jnp.float32), ((0, 0), (0, 5))).reshape(
+        n_tiles, ts, 8)
+    kpt8 = jnp.pad(kp_t.astype(jnp.float32), ((0, 0), (0, 5)))
+    scal = jnp.stack([jnp.asarray(wed, jnp.float32),
+                      jnp.asarray(wfd, jnp.float32),
+                      jnp.asarray(scale, jnp.float32)])
+    esc = jnp.stack([jnp.asarray(esc_after, jnp.int32),
+                     jnp.asarray(esc_period, jnp.int32)])
+    out = pl.pallas_call(
+        functools.partial(_gs_fused_kernel, ts=ts, inner_cap=inner_cap,
+                          mult_blend=mult_blend, quantize=quantize),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # eps [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # sink [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # max_rounds [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # esc [2]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # complete flag [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # scal [3]
+            pl.BlockSpec(memory_space=pl.ANY),        # fd (HBM; manual DMA)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # kps8 [tiles, ts, 8]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # kpt8 [C, 8]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # mask_s [tiles, ts]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # mask_t [1, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # p0 [1, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # owner0 [1, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # sunk0 [tiles, ts]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # open0 [tiles, ts]
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, ts), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, ts), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((C,), jnp.float32),           # prices
+            pltpu.VMEM((C,), jnp.int32),             # owners
+            pltpu.VMEM((n_tiles, ts), jnp.int32),    # sunk, tile-major
+            pltpu.VMEM((n_tiles, ts), jnp.int32),    # open, tile-major
+            pltpu.VMEM((2, ts, C), fd.dtype),        # fd stripe double buffer
+            pltpu.VMEM((ts, C), jnp.float32),        # computed benefit tile
+            pltpu.SMEM((n_tiles,), jnp.int32),       # active-tile list
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # Stripe double buffer + bt tile + the [ts, C] f32 resolve
+            # temporaries — same budget rationale as the plain GS kernel.
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(eps, jnp.float32).reshape(1),
+      jnp.asarray(sink_value, jnp.float32).reshape(1),
+      jnp.asarray(max_rounds, jnp.int32).reshape(1),
+      esc,
+      jnp.asarray(complete_open, jnp.int32).reshape(1),
+      scal, fd, kps8, kpt8,
+      mask_s.astype(jnp.int32).reshape(n_tiles, ts),
+      mask_t.astype(jnp.int32).reshape(1, C),
+      p0.reshape(1, C), owner0.reshape(1, C),
+      sunk0.reshape(n_tiles, ts), open0.reshape(n_tiles, ts))
+    return (out[0][0], out[1][0], out[2].reshape(S), out[3][0],
+            out[4].reshape(S))
+
+
 def auction_rounds_gs_ref(b: Array, p0: Array, owner0: Array, sunk0: Array,
                           open0: Array, eps, sink_value, n_rounds: int,
                           ts: int = 128, inner_cap: int = 128,

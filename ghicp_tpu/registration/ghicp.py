@@ -600,7 +600,27 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                 ed_max_fused = sres.ed_max
                 punc_new = sres.punc
         elif use_fused:
+            from ghicp_tpu.matching import auction as _au
             from ghicp_tpu.ops.cost_kernel import fused_benefit
+
+            # Factor-streaming GS solve (NOTES round-4 "next dense-lane
+            # speed" item): when the whole solve can run through the
+            # factor GS kernel, the benefit matrix is never materialized —
+            # the hint/stats kernel skips its [S, T] store (write_b=False)
+            # and the auction recomputes benefit tiles from the FD stripes
+            # + coordinate factors per sweep.  Per warm iteration the
+            # dense lane's HBM traffic drops from (fd read + b write +
+            # b read) to (fd read x2).
+            use_factor_gs = (config.factor_gs_kernel
+                             and config.auction_round_kernel
+                             and not comm.distributed
+                             and config.auction_phases == 1
+                             and config.dense_open_cap == 0
+                             and not dense_fast
+                             and (_jax.default_backend() == "tpu"
+                                  or _au._KERNEL_INTERPRET)
+                             and S % _au._gs_ts(T) == 0
+                             and _au._gs_ts(T) * T <= 256 * 8192)
 
             def _full_solve(_):
                 # Full fused+GS iteration.  Warm-start CS hints come out of
@@ -617,7 +637,8 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                             kps_c, kp_t_c, fd_b, mask_s, mask_t, wed, wfd,
                             scale, ts=128, interpret=_FUSED_INTERPRET,
                             out_dtype=b_dtype, p_defl=p_mid, acol0=st.acol,
-                            mult_blend=mult_blend, with_stats=ws)
+                            mult_blend=mult_blend, with_stats=ws,
+                            write_b=not use_factor_gs)
                     return run
 
                 if config.feature == FeatureType.BSC:
@@ -652,7 +673,8 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                 dpen = jnp.abs(penalty - st.pen_prev)
                 drift = st.price_unc + dpen
                 ares = auction_match_benefits(
-                    b, penalty, mask_s, mask_t, eps_final=config.km_eps,
+                    None if use_factor_gs else b, penalty, mask_s, mask_t,
+                    eps_final=config.km_eps,
                     max_rounds=budget,
                     comm=comm, total_rows=total_rows,
                     rel_eps=config.auction_rel_eps,
@@ -663,7 +685,11 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                     hint_vsel=vsel_mid,
                     compact_cap=config.dense_open_cap,
                     compact_budget=config.stream_compact_budget,
-                    keep_slack_extra=dpen)
+                    keep_slack_extra=dpen,
+                    factors=((kps_c, kp_t_c, fd_b, mask_s, mask_t,
+                              wed, wfd, scale) if use_factor_gs else None),
+                    mult_blend=mult_blend,
+                    quantize_b=config.auction_bf16)
                 # Carry for the dense fast path: per-row v1 bound derived
                 # from the solve's OWN CS guarantees, via O(S) gathers —
                 # every returned row satisfies vsel >= v1 - slack at the
