@@ -170,6 +170,20 @@ class GHICPConfig:
     ransac_hypotheses: int = 1 << 17      # hypothesis sweep width
     ransac_min_inliers: int = 12          # below this consensus the coarse
                                           # pose is ignored (identity init)
+    ransac_candidates: int = 4            # feature-nearest target candidates
+                                          # per source row (dense-FD lane).
+                                          # Consensus scoring tests each row
+                                          # against ALL its candidates
+                                          # (nearest under the hypothesis
+                                          # pose): at sparse keypoint counts
+                                          # the true counterpart rarely
+                                          # ranks first — with top-1-only
+                                          # scoring the bench's NMS-1.0
+                                          # verdict config collapsed to 7
+                                          # inliers on a wrong pose (round-5
+                                          # diagnosis); 4 candidates recover
+                                          # the basin.  Frame-hypothesis and
+                                          # scoring cost scale linearly
     ransac_max_rows: int = 8192           # streaming lane: cap on source
                                           # rows used for candidate
                                           # generation + hypotheses (a
@@ -215,6 +229,22 @@ class GHICPConfig:
                                           # for the whole run
     auction_warm_after: float = 8.0       # it_eff threshold for the warm
                                           # budget
+    auction_warm_min_rows: int = 4096     # the warm budget only engages at
+                                          # this many total source rows or
+                                          # more.  At sparse keypoint counts
+                                          # (the reference's NMS 1.0-1.5 m
+                                          # TLS parameterization,
+                                          # run.sh:13-14) identity-start
+                                          # trajectories converge through
+                                          # 20-30 pose-forming iterations
+                                          # where budget 1 measurably
+                                          # degrades the final pose
+                                          # (BENCH_r04: 0.12 -> 0.18 deg on
+                                          # the verdict pair); the solve is
+                                          # cheap there anyway.  The warm
+                                          # budget's win lives at dense
+                                          # counts where full sweeps
+                                          # dominate the iteration
     auction_phases: int = 1               # epsilon-scaling phases in the
                                           # whole-phase kernel path (python-
                                           # unrolled launches).  Each phase
@@ -246,34 +276,35 @@ class GHICPConfig:
                                           # deg fused (round 2); flip off to
                                           # reproduce the reference's
                                           # separate-matrix passes
-    factor_gs_kernel: bool = False        # dense-lane matrix-free solve:
-                                          # when the whole KM solve fits the
-                                          # factor-streaming GS kernel
-                                          # (single device, single phase,
-                                          # conforming tiles, compact resolve
-                                          # off), skip the [S,T] benefit
-                                          # store entirely — the hint/stats
-                                          # kernel runs write_b=False and the
-                                          # auction recomputes benefit tiles
+    warm_fused_kernel: bool = True        # single-launch warm iteration
+                                          # (dense BSC+KM lane): once the
+                                          # engine iteration is stats-free
+                                          # (it_eff > 1) AND an assignment
+                                          # warm start exists (it >
+                                          # auction_warm_after), the whole
+                                          # solve — benefit construction
                                           # from FD stripes + coordinate
-                                          # factors per sweep
+                                          # factors, exact v1/vsel at the
+                                          # bidding prices, the warm-start
+                                          # keep test, Gauss-Seidel bidding
+                                          # AND greedy completion — runs in
+                                          # ONE Pallas launch
                                           # (ops/auction_rounds.py::
-                                          # auction_phase_gs_fused_pallas).
-                                          # Default OFF: measured SLOWER at
-                                          # the 6.6k bench (286 vs 421 it/s,
-                                          # round 4) — warm open rows are
-                                          # scattered, so the GS solve
-                                          # recomputes benefits for ~every
-                                          # tile, duplicating the hint
-                                          # kernel's construction; the two-
-                                          # kernel split pays ~0.8ms of VPU
-                                          # recompute to save a ~0.2ms
-                                          # store.  Becomes a win only as a
-                                          # SINGLE kernel (hints + keep test
-                                          # + solve in one launch, NOTES.md
-                                          # round-4 dense-lane section);
-                                          # pose parity verified on-chip
-                                          # either way
+                                          # auction_warm_fused_pallas).  Per
+                                          # warm iteration the [S,T] benefit
+                                          # tensor is neither written nor
+                                          # read: HBM traffic is one bf16 FD
+                                          # stream for sweep-0 plus the
+                                          # open tiles of later sweeps.
+                                          # This is the single-kernel fusion
+                                          # the round-4 factor_gs experiment
+                                          # was the parts bin for — unlike
+                                          # that split (hint launch + factor
+                                          # GS launch, 286 it/s), sweep-0's
+                                          # computed tiles are bid from
+                                          # directly, so nothing is computed
+                                          # twice.  Cold/stats iterations
+                                          # keep the two-kernel path
     streaming_cost: str = "auto"          # matrix-free cost lane: "on" |
                                           # "off" | "auto".  When on, FD and
                                           # the benefit matrix are NEVER
@@ -326,58 +357,35 @@ class GHICPConfig:
                                           # bounds the looseness (and the
                                           # epsilon inflation it feeds) over
                                           # long fast streaks
-    dense_fast_path: bool = False         # dense (<streaming_threshold) KM
-                                          # lane: in stats-free iterations
-                                          # with few expected CS violators,
-                                          # skip the full fused-benefit sweep
-                                          # + GS kernel entirely — the same
-                                          # carry economics as the streaming
-                                          # fast path, with benefits for the
-                                          # open subset recomputed from FD
-                                          # row gathers (matching/
-                                          # stream_auction.py::stream_solve
-                                          # over dense-FD sweep closures).
-                                          # BSC+KM only.  OFF by default:
-                                          # measured at TLS bench scale, the
-                                          # cross-iteration carry bounds
-                                          # cannot certify keeps (every
-                                          # inflation term is O(eps_final)
-                                          # and the stack of them exceeds
-                                          # the keep slack), so the gate
-                                          # never routes warm and the branch
-                                          # only costs compile time + a
-                                          # per-iteration gate.  The
-                                          # in-solve compact resolve
-                                          # (dense_open_cap) captures the
-                                          # win from the EXACT keep test
-                                          # instead.  Enable for
-                                          # small/high-precision problems
-                                          # where eps_final is far below the
-                                          # inter-pair margins
-    dense_open_cap: int = 0               # dense-lane compact capacity, used
-                                          # twice: (a) inside the auction's
-                                          # kernel path — when the exact
-                                          # warm-start keep test leaves at
-                                          # most this many rows open, they
-                                          # re-bid via Jacobi rounds over
-                                          # GATHERED benefit rows instead of
-                                          # the whole-phase GS kernel (the
-                                          # released rows are scattered, so
-                                          # tile-granular kernel skipping
-                                          # never engages); (b) as the
-                                          # dense_fast_path gate/compact
-                                          # capacity (counterpart of
-                                          # stream_open_cap).  0 (default)
-                                          # disables both; must be a
-                                          # multiple of 256 (the subset-GS
-                                          # kernel's row-tile height) to
-                                          # engage (a).  Default off:
-                                          # measured at TLS bench scale,
-                                          # kept-row eviction cascades force
-                                          # many outer gather+launch rounds
-                                          # and the subset-GS loses to one
-                                          # full GS launch despite dup
-                                          # resolution (124 vs 410 it/s)
+    final_resolve_rounds: int = 3000      # after convergence, re-solve the
+                                          # matching ONCE at the final pose
+                                          # with this sweep budget (KM lanes;
+                                          # 0 = off): the exported
+                                          # correspondences and the
+                                          # success-verdict RMSE then honor
+                                          # KM's one-to-one semantics
+                                          # (km.cpp:144-162) instead of
+                                          # carrying the production budget's
+                                          # greedy-completion duplicates
+                                          # (~750 at the 6.6k bench) and
+                                          # stale completions.  Warm-started
+                                          # from the final prices +
+                                          # assignment, so only the
+                                          # contested tail re-bids — one
+                                          # extra solve per registration.
+                                          # The budget is sized for the
+                                          # SINK ENDGAME of near-square
+                                          # wide-gate problems (surplus
+                                          # rows only sink once prices
+                                          # rise ~penalty across their
+                                          # reachable columns — measured
+                                          # ~1.8k rounds at a 668-row CLI
+                                          # scene; epsilon escalation then
+                                          # terminates the tail at modest
+                                          # coarsening, rmse 1.13 vs the
+                                          # 0.71 unconstrained optimum,
+                                          # where a 300-round cap left
+                                          # escalation garbage at 2.1)
     stream_compact_budget: int = 48       # compact-resolve lanes: total bidding
                                           # rounds allowed while the open
                                           # set fits the compact block

@@ -259,8 +259,14 @@ def _extract_jit(cloud: PointCloud, kp_xyz: Array, kp_mask: Array,
                  pairs: Array, perms: Array, radius: float, grid_side: int,
                  num_variants: int, neighbor_k: int) -> Array:
     kp_cloud = PointCloud(xyz=kp_xyz, mask=kp_mask)
+    # cell_cap k/2 (not k/4): the 27-cell block must retain ~3x the K cap
+    # IN the support ball so the metric nearest-K selection — identical
+    # under rigid motion — stays the binding filter; with a smaller cap
+    # the (cell-partition-based, motion-sensitive) even thinning of
+    # overflowing cells decides the neighborhood instead and descriptor
+    # repeatability degrades at high density / large radius.
     nb = radius_neighbors(kp_cloud, cloud, radius=float(np.sqrt(3.0) * radius),
-                          k=neighbor_k, cell_cap=max(neighbor_k // 4, 16))
+                          k=neighbor_k, cell_cap=max(neighbor_k // 2, 16))
     nxyz = cloud.xyz[nb.idx]                                # [S, K, 3]
     nvalid = nb.valid
 
@@ -313,8 +319,14 @@ def bsc_frames(cloud: PointCloud, kp_xyz: Array, kp_mask: Array,
     frame-based pose hypotheses: one keypoint correspondence plus its two
     frames fixes a full 6-DoF rigid transform (matching/ransac.py)."""
     kp_cloud = PointCloud(xyz=kp_xyz, mask=kp_mask)
+    # cell_cap k/2 (not k/4): the 27-cell block must retain ~3x the K cap
+    # IN the support ball so the metric nearest-K selection — identical
+    # under rigid motion — stays the binding filter; with a smaller cap
+    # the (cell-partition-based, motion-sensitive) even thinning of
+    # overflowing cells decides the neighborhood instead and descriptor
+    # repeatability degrades at high density / large radius.
     nb = radius_neighbors(kp_cloud, cloud, radius=float(np.sqrt(3.0) * radius),
-                          k=neighbor_k, cell_cap=max(neighbor_k // 4, 16))
+                          k=neighbor_k, cell_cap=max(neighbor_k // 2, 16))
     return jax.vmap(
         lambda idx, nv, kp: _local_coordinate_system(cloud.xyz[idx], nv, kp,
                                                      radius)

@@ -10,7 +10,8 @@ import numpy as np
 
 
 def structured_scene(rng: np.random.Generator, n_points: int,
-                     extent: float = 20.0) -> np.ndarray:
+                     extent: float = 20.0,
+                     asymmetric_walls: bool = False) -> np.ndarray:
     """A TLS-like scene: ground plane + walls + scattered distinct objects.
 
     Surfaces (not uniform volume noise) so that curvature keypoints and BSC
@@ -20,6 +21,13 @@ def structured_scene(rng: np.random.Generator, n_points: int,
     curvature keypoints are *point-like and repeatable* across independent
     samplings — long featureless edges produce NMS keypoints at arbitrary
     positions and no registration pipeline can match them.
+
+    ``asymmetric_walls``: give the two walls distinct heights and relief
+    statistics.  At high wall-point densities the default (congruent)
+    walls admit a ~90-degree wall-swap near-symmetry that can win RANSAC
+    consensus over the true pose (NOTES round 4 — a generator artifact;
+    real facades carry symmetry-breaking relief).  Off by default so the
+    long-standing benchmark scenes stay bit-identical.
     """
     parts = []
     n_ground = n_points // 6
@@ -36,9 +44,10 @@ def structured_scene(rng: np.random.Generator, n_points: int,
     # feature matching on this synthetic.  Real TLS facades get their
     # distinctiveness from exactly this kind of varied relief.
     n_flat = n_wall // 2
-    w1 = rng.uniform([-extent, -extent, 0], [extent, -extent + 0.02, 6.0],
+    h1, h2 = (6.0, 3.5) if asymmetric_walls else (6.0, 6.0)
+    w1 = rng.uniform([-extent, -extent, 0], [extent, -extent + 0.02, h1],
                      size=(n_flat // 2, 3))
-    w2 = rng.uniform([-extent, -extent, 0], [-extent + 0.02, extent, 6.0],
+    w2 = rng.uniform([-extent, -extent, 0], [-extent + 0.02, extent, h2],
                      size=(n_flat - n_flat // 2, 3))
     parts.extend([w1, w2])
     n_prot = n_wall - n_flat
@@ -46,7 +55,19 @@ def structured_scene(rng: np.random.Generator, n_points: int,
     placed_p = 0
     while placed_p < n_prot:
         m = min(n_per_prot, n_prot - placed_p)
-        sz = rng.uniform(0.25, 1.2, size=3)
+        if asymmetric_walls:
+            # Distinct relief statistics per wall (see docstring): wall 1
+            # gets dense small window-scale protrusions over its full
+            # height band, wall 2 sparse large pilasters near the ground.
+            on_w1 = rng.random() < 0.7
+            sz = (rng.uniform(0.2, 0.6, size=3) if on_w1
+                  else rng.uniform(0.9, 1.8, size=3))
+        else:
+            # Draw order below (sz, u, face, along, height, coin) must stay
+            # EXACTLY the historical one: the benchmark scenes are pinned
+            # by seed and any re-ordering of RNG consumption changes them.
+            on_w1 = None
+            sz = rng.uniform(0.25, 1.2, size=3)
         u = rng.uniform(0, 1, size=(m, 3))
         # protrusion = box sticking out of the wall plane by sz (sample the
         # 5 exposed faces via rejection: drop the wall-side face)
@@ -67,8 +88,12 @@ def structured_scene(rng: np.random.Generator, n_points: int,
                 p[2] = sz[2]
             pts[k] = p
         along = rng.uniform(-extent * 0.95, extent * 0.95)
-        height = rng.uniform(0.0, 5.0)
-        if rng.random() < 0.5:
+        if asymmetric_walls:
+            height = rng.uniform(0.0, 5.0 if on_w1 else 2.2)
+        else:
+            height = rng.uniform(0.0, 5.0)
+            on_w1 = rng.random() < 0.5
+        if on_w1:
             base = np.array([along, -extent, height])
             parts.append(base + pts)
         else:
@@ -256,13 +281,19 @@ def make_tls_scan_pair(seed: int = 0, n_points: int = 2_000_000,
                        extent: float = 25.0, rot_deg: float = 25.0,
                        translation=(2.0, -1.5, 0.3), noise: float = 0.006,
                        origin_a=(0.0, 0.0, 1.8), origin_b=(10.0, 8.0, 1.8),
-                       keep_target: float = 0.45):
+                       keep_target: float = 0.45,
+                       asymmetric_walls: bool = True):
     """A registration pair of two simulated scans of one scene from two
     SCAN ORIGINS (range falloff + per-origin shadowing + independent
     noise), rigidly offset — much closer to the reference's ETH/WHU demo
-    regime than shared-density noise pairs.  Returns (src, tgt, T_gt)."""
+    regime than shared-density noise pairs.  Returns (src, tgt, T_gt).
+
+    Scan pairs default to the de-symmetrized scene: at high densities the
+    congruent-wall scene's ~90-degree wall-swap mode can beat the true
+    pose in RANSAC consensus (a generator artifact, NOTES round 4)."""
     rng = np.random.default_rng(seed)
-    pts = structured_scene(rng, n_points, extent=extent)
+    pts = structured_scene(rng, n_points, extent=extent,
+                           asymmetric_walls=asymmetric_walls)
     scan_a = tls_scan(pts, origin_a, rng, keep_target=keep_target)
     scan_b = tls_scan(pts, origin_b, rng, keep_target=keep_target)
     th = np.deg2rad(rot_deg)

@@ -86,32 +86,6 @@ def _gs_ts(C: int) -> int:
     return ts
 
 
-def _factor_gate(R, C, use_round_kernel, comm, n_phases, compact_cap,
-                 acol0, hint_v1):
-    """True iff the factor-streaming GS kernel can carry the whole solve
-    (single device, conforming shapes, single phase, no compact resolve,
-    keep test served by precomputed hints) — otherwise callers materialize
-    the benefit matrix once and take the ordinary paths."""
-    ts = _gs_ts(C)
-    return (use_round_kernel and not comm.distributed
-            and (jax.default_backend() == "tpu" or _KERNEL_INTERPRET)
-            and R % ts == 0 and R % 128 == 0 and C % 128 == 0
-            and ts * C <= 256 * 8192 and n_phases == 1
-            and not compact_cap
-            and (acol0 is None or hint_v1 is not None))
-
-
-def _factors_b(factors, mult_blend, quantize_b):
-    """Materialize benefits from factors (fallback when the factor-streaming
-    kernel can't run: odd shapes / sharded / non-interpret CPU)."""
-    from ghicp_tpu.ops.cost_kernel import fused_benefit_ref
-    kps, kpt, fd, ms, mt, wed, wfd, scale = factors
-    return fused_benefit_ref(
-        kps, kpt, fd, ms, mt, wed, wfd, scale,
-        out_dtype=jnp.bfloat16 if quantize_b else jnp.float32,
-        mult_blend=mult_blend)[0]
-
-
 def _bidding_round(b: Array, eps: Array, sink_value: Array,
                    sink_slack: Array, row_gid: Array, state, comm: Comm):
     """One synchronous bidding round with an outside option.
@@ -178,9 +152,23 @@ def _run_phase(b: Array, eps: Array, sink_value: Array, state,
     ``rounds_start``/``max_rounds`` implement a TOTAL rounds budget across
     all epsilon phases — one registration iteration is then bounded by
     ``max_rounds`` full-matrix sweeps no matter how degenerate the cost
-    matrix gets (worst-case price wars otherwise crawl at eps_final; rows
-    still unassigned at the cap are reported unmatched, which downstream
-    treats like KM's dummy matches)."""
+    matrix gets (rows still unassigned at the cap are reported unmatched,
+    which downstream treats like KM's dummy matches).  Epsilon ESCALATES
+    geometrically past a quarter of the remaining budget, mirroring the
+    GS kernel's schedule (ops/auction_rounds.py::sweep_eps): sink-eviction
+    endgames otherwise need price mass ~spread at fixed eps — thousands
+    of rounds — and everything falls to greedy completion (duplicate
+    columns) at the cap.  Returns the terminal escalated epsilon so
+    callers bound the price overshoot correctly."""
+    remaining = jnp.maximum(max_rounds - rounds_start, 1)
+    esc_after = jnp.maximum(remaining // 4, 1)
+    esc_period = jnp.maximum(remaining // 16, 1)
+
+    def esc_eps(r):
+        return eps * jnp.exp2(
+            jnp.maximum(r - rounds_start - esc_after, 0).astype(jnp.float32)
+            / esc_period.astype(jnp.float32))
+
     def cond(c):
         (_, acol, _), r = c
         any_unassigned = comm.psum(jnp.sum((acol < 0).astype(jnp.int32)))
@@ -188,13 +176,13 @@ def _run_phase(b: Array, eps: Array, sink_value: Array, state,
 
     def body(c):
         st, r = c
-        st = _bidding_round(b, eps, sink_value, jnp.float32(0.0),
+        st = _bidding_round(b, esc_eps(r + 1), sink_value, jnp.float32(0.0),
                             row_gid, st, comm)
         return st, r + 1
 
     (owner, acol, p), r = jax.lax.while_loop(
         cond, body, (state, rounds_start))
-    return owner, acol, p, r
+    return owner, acol, p, r, esc_eps(r)
 
 
 def auction_assign(b: Array, sink_value, eps, max_rounds,
@@ -206,9 +194,7 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
                    acol0: Optional[Array] = None,
                    hint_v1: Optional[Array] = None,
                    hint_vsel: Optional[Array] = None,
-                   compact_cap: int = 0, compact_budget: int = 0,
-                   keep_slack_extra=None, factors=None,
-                   mult_blend: bool = False, quantize_b: bool = True):
+                   keep_slack_extra=None):
     """Assignment on a benefit matrix b [R, C] (maximization) with an
     outside option at ``sink_value`` per row, via epsilon scaling with
     *kept assignments*.
@@ -258,26 +244,8 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
     Returns (acol [R]: assigned column, _SINK for unmatched, or -1 at round
     cap; prices [C]; rounds).
 
-    ``factors`` (optional) = (kp_s, kp_t, fd, mask_s, mask_t, wed, wfd,
-    scale): run the solve MATRIX-FREE through the factor-streaming GS
-    kernel (ops/auction_rounds.py::auction_phase_gs_fused_pallas) — ``b``
-    may then be None and no [R, C] benefit tensor is written or read.
-    Requires ``b_max`` and (for warm starts) the hint pair; non-conforming
-    cases materialize ``b`` once from the factors and fall through to the
-    ordinary paths.  ``quantize_b`` round-trips computed benefits through
-    bf16 for bit-parity with the ``auction_bf16`` materialized path.
     """
-    if factors is not None:
-        R, C = factors[2].shape
-        if b_max is None:
-            raise ValueError("the factors path requires b_max (from the "
-                             "fused cost kernel's statistics)")
-        if not _factor_gate(R, C, use_round_kernel, comm, n_phases,
-                            compact_cap, acol0, hint_v1):
-            b = _factors_b(factors, mult_blend, quantize_b)
-            factors = None
-    else:
-        R, C = b.shape
+    R, C = b.shape
     if row_offset is None:
         row_offset = comm.axis_index() * R
     row_gid = row_offset + jnp.arange(R, dtype=jnp.int32)
@@ -545,113 +513,6 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
                 col_ids, mode="drop")
             return jnp.where((sunk == 1) & (acol < 0), _SINK, acol)
 
-        # --- compact fast resolve -------------------------------------
-        # The warm-start keep test above is EXACT (same-iteration hints),
-        # but the rows it releases are SCATTERED over the row range, so
-        # the tile-granular GS kernel still streams essentially the whole
-        # benefit matrix to re-bid a few hundred rows (any tile with one
-        # open row is an active tile).  When the open count fits
-        # ``compact_cap``, resolve them instead with Jacobi rounds over
-        # GATHERED benefit rows: each round compacts the open set, gathers
-        # its [cap, C] benefit block, takes a top-2 and resolves winners —
-        # O(cap * C) per round instead of O(R * C) of kernel streaming.
-        # Rows evicted mid-bidding re-enter the compact set next round;
-        # leftovers at budget exhaustion fall through to the callers'
-        # greedy completion like every other path.  Single-phase only (the
-        # multi-phase ladder interleaves full-matrix CS repairs anyway).
-        if (compact_cap and 0 < compact_cap < R and n_phases == 1
-                and acol0 is not None and compact_cap % 256 == 0
-                and factors is None):
-            # Subset-GS compact resolve: the warm-start keep test's released
-            # rows are SCATTERED, so the full GS kernel's active-tile
-            # skipping never engages (one open row activates a 256-row
-            # tile).  Gather the open rows into a contiguous [cap, C]
-            # block and run the SAME whole-phase GS kernel on it — the
-            # in-VMEM Gauss-Seidel rounds keep their efficiency while the
-            # sweep streams cap/R of the matrix.  Kept rows evicted by
-            # subset winners re-open and are picked up by the next OUTER
-            # gather round (the in-kernel reopen one-hot only spans the
-            # subset); 2-3 outer rounds settle in practice.
-            cts = 256
-            cbudget = jnp.maximum(jnp.int32(compact_budget),
-                                  jnp.asarray(max_rounds, jnp.int32))
-            SENT = jnp.int32(compact_cap)   # local owner id for kept rows
-
-            def _compact(st):
-                from ghicp_tpu.ops.auction_rounds import \
-                    auction_phase_gs_pallas
-                owner, acol, p = st
-                rows_ar = jnp.arange(R, dtype=jnp.int32)
-                col_ids_c = jnp.arange(C, dtype=jnp.int32)
-
-                def cond_c(c):
-                    owner, acol, p, spent, epsb = c
-                    n_open = jnp.sum((acol == -1).astype(jnp.int32))
-                    return (n_open > 0) & (spent < cbudget)
-
-                def body_c(c):
-                    owner, acol, p, spent, epsb = c
-                    rows_open = acol == -1
-                    rank = jnp.cumsum(rows_open.astype(jnp.int32)) - 1
-                    pos = jnp.where(rows_open & (rank < compact_cap),
-                                    rank, compact_cap)
-                    idx = jnp.zeros((compact_cap,), jnp.int32).at[pos].set(
-                        rows_ar, mode="drop")
-                    filled = jnp.zeros((compact_cap,), bool).at[pos].set(
-                        rows_open, mode="drop")
-                    b_sub = b[idx]
-                    # Kept-row owners become an out-of-range sentinel: they
-                    # must stay "owned" (a subset winner must evict them
-                    # through the price mechanism, not silently reuse the
-                    # column) but must never collide with subset-local ids.
-                    owner_sub = jnp.where(owner >= 0, SENT, -1)
-                    remaining_c = jnp.maximum(cbudget - spent, 1)
-                    p2, owner_o, sunk_o, r_c, _g = auction_phase_gs_pallas(
-                        b_sub, p, owner_sub,
-                        jnp.zeros((compact_cap,), jnp.int32),
-                        filled.astype(jnp.int32),
-                        eps_final, jnp.float32(sink_value),
-                        remaining_c, ts=cts, inner_cap=1,
-                        esc_after=jnp.maximum(remaining_c // 4, 1),
-                        esc_period=jnp.maximum(remaining_c // 16, 1),
-                        complete_open=0, interpret=_KERNEL_INTERPRET)
-                    epsb_c = eps_final * jnp.exp2(jnp.maximum(
-                        r_c - jnp.maximum(remaining_c // 4, 1), 0
-                    ).astype(jnp.float32)
-                        / jnp.maximum(remaining_c // 16, 1
-                                      ).astype(jnp.float32))
-                    # Map subset-local owners back to global row ids;
-                    # sentinel columns keep their original (kept) owner.
-                    won = (owner_o >= 0) & (owner_o < compact_cap)
-                    owner_n = jnp.where(
-                        won, idx[jnp.where(won, owner_o, 0)],
-                        jnp.where(owner_o == SENT, owner, -1))
-                    # Rebuild assignments: owner pointers are authoritative
-                    # (kept rows evicted by subset winners drop to -1 and
-                    # re-enter the next outer gather).
-                    acol_n = jnp.full((R,), -1, jnp.int32).at[
-                        jnp.where(owner_n >= 0, owner_n, R)].set(
-                        col_ids_c, mode="drop")
-                    acol_n = jnp.where(acol == _SINK, _SINK, acol_n)
-                    idx_sc = jnp.where(filled & (sunk_o == 1), idx, R)
-                    acol_n = acol_n.at[idx_sc].set(_SINK, mode="drop")
-                    return (owner_n, acol_n, p2, spent + r_c,
-                            jnp.maximum(epsb, epsb_c))
-
-                owner, acol, p, spent, epsb = jax.lax.while_loop(
-                    cond_c, body_c,
-                    (owner, acol, p, jnp.int32(0), eps_final))
-                import os as _os
-                if _os.environ.get("GHICP_DEBUG_GATE"):
-                    # diagnostic: open-count at entry + compact marker
-                    spent = (100000 + n_open0 * 100
-                             + jnp.minimum(spent, 99))
-                return acol, p, spent, epsb
-
-            n_open0 = jnp.sum((acol_init == -1).astype(jnp.int32))
-        else:
-            n_open0 = None
-
         def _run_gs_phases(owner, acol_in, p):
             sunk = (acol_in == _SINK).astype(jnp.int32)
             open_ = (acol_in == -1).astype(jnp.int32)
@@ -691,30 +552,13 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
                 # leftover open rows in-kernel (streams only still-open
                 # tiles, usually none) so the caller's full-matrix
                 # `complete` pass is skipped.
-                if factors is not None:
-                    # Matrix-free: benefits recomputed per streamed FD tile
-                    # from the coordinate factors — no [R, C] write/read.
-                    from ghicp_tpu.ops.auction_rounds import \
-                        auction_phase_gs_fused_pallas
-                    kps_f, kpt_f, fd_f, ms_f, mt_f, wed_f, wfd_f, sc_f = \
-                        factors
-                    p, owner, sunk, r, gcol = auction_phase_gs_fused_pallas(
-                        kps_f, kpt_f, fd_f, ms_f, mt_f, wed_f, wfd_f, sc_f,
-                        p, owner, sunk, open_, eps_now,
-                        jnp.float32(sink_value),
-                        remaining, ts=ts, inner_cap=1,
-                        esc_after=esc_after, esc_period=esc_period,
-                        complete_open=1 if k == n_phases - 1 else 0,
-                        mult_blend=mult_blend, quantize=quantize_b,
-                        interpret=_KERNEL_INTERPRET)
-                else:
-                    p, owner, sunk, r, gcol = auction_phase_gs_pallas(
-                        b, p, owner, sunk, open_, eps_now,
-                        jnp.float32(sink_value),
-                        remaining, ts=ts, inner_cap=1,
-                        esc_after=esc_after, esc_period=esc_period,
-                        complete_open=1 if k == n_phases - 1 else 0,
-                        interpret=_KERNEL_INTERPRET)
+                p, owner, sunk, r, gcol = auction_phase_gs_pallas(
+                    b, p, owner, sunk, open_, eps_now,
+                    jnp.float32(sink_value),
+                    remaining, ts=ts, inner_cap=1,
+                    esc_after=esc_after, esc_period=esc_period,
+                    complete_open=1 if k == n_phases - 1 else 0,
+                    interpret=_KERNEL_INTERPRET)
                 remaining = remaining - r
                 spent = spent + r
                 if k < n_phases - 1:
@@ -745,29 +589,18 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
                 / esc_period.astype(jnp.float32))
             return acol, p, spent, eps_bound
 
-        if n_open0 is not None:
-            acol_k, p_k, spent_k, epsb_k = jax.lax.cond(
-                n_open0 <= compact_cap, _compact,
-                lambda st: _run_gs_phases(st[0], st[1], st[2]),
-                (owner_init, acol_init, p_init))
-            import os as _os
-            if _os.environ.get("GHICP_DEBUG_GATE"):
-                # diagnostic: GS-taken solves report n_open0*100 + spent
-                spent_k = jnp.where(spent_k >= 100000, spent_k,
-                                    n_open0 * 100 + jnp.minimum(spent_k,
-                                                                99))
-        else:
-            acol_k, p_k, spent_k, epsb_k = _run_gs_phases(
-                owner_init, acol_init, p_init)
+        acol_k, p_k, spent_k, epsb_k = _run_gs_phases(
+            owner_init, acol_init, p_init)
         return acol_k, p_k, spent_k, epsb_k, _punc(p_k, epsb_k)
 
     def cond(c):
         return ~c[0]
 
     def body(c):
-        done, eps_now, st, rounds = c
-        owner, acol, p, r = _run_phase(b, eps_now, jnp.float32(sink_value),
-                                       st, row_gid, rounds, max_rounds, comm)
+        done, eps_now, st, rounds, _ = c
+        owner, acol, p, r, eps_term = _run_phase(
+            b, eps_now, jnp.float32(sink_value), st, row_gid, rounds,
+            max_rounds, comm)
         done = (eps_now <= eps_final * 1.0001) | (r >= max_rounds)
         eps_next = jnp.maximum(eps_now / eps_scaling, eps_final)
         # Reopen CS violators only when another phase will actually run —
@@ -777,21 +610,20 @@ def auction_assign(b: Array, sink_value, eps, max_rounds,
             done, lambda s: s,
             lambda s: reopen_violators(s, eps_now, eps_next),
             (owner, acol, p))
-        return done, eps_next, st, r
+        return done, eps_next, st, r, eps_term
 
     st0 = (owner_init, acol_init, p_init)
-    _, _, (owner, acol, p), rounds = jax.lax.while_loop(
-        cond, body, (jnp.bool_(False), eps0, st0, jnp.int32(0)))
-    return acol, p, rounds, eps_final, _punc(p, eps_final)
+    _, _, (owner, acol, p), rounds, eps_term = jax.lax.while_loop(
+        cond, body, (jnp.bool_(False), eps0, st0, jnp.int32(0), eps_final))
+    # eps_term: the last phase's terminal (possibly escalated) epsilon —
+    # the price-overshoot bound warm starts must deflate by.
+    return acol, p, rounds, eps_term, _punc(p, eps_term)
 
 
 @functools.partial(jax.jit, static_argnames=("eps_final",
                                              "comm", "total_rows", "rel_eps",
-                                             "use_round_kernel", "n_phases",
-                                             "compact_cap",
-                                             "compact_budget", "mult_blend",
-                                             "quantize_b"))
-def auction_match_benefits(b: Optional[Array], penalty: Array,
+                                             "use_round_kernel", "n_phases"))
+def auction_match_benefits(b: Array, penalty: Array,
                            mask_s: Array,
                            mask_t: Array, eps_final: float = 0.01,
                            max_rounds=8000, comm: Comm = LOCAL,
@@ -804,13 +636,7 @@ def auction_match_benefits(b: Optional[Array], penalty: Array,
                            acol0: Optional[Array] = None,
                            hint_v1: Optional[Array] = None,
                            hint_vsel: Optional[Array] = None,
-                           compact_cap: int = 0,
-                           compact_budget: int = 0,
-                           keep_slack_extra=None,
-                           factors=None,
-                           mult_blend: bool = False,
-                           quantize_b: bool = True
-                           ) -> AuctionResult:
+                           keep_slack_extra=None) -> AuctionResult:
     """Auction on a PREBUILT benefit matrix (e.g. from the fused cost
     kernel, ops/cost_kernel.py) — or MATRIX-FREE from ``factors``.
 
@@ -821,31 +647,15 @@ def auction_match_benefits(b: Optional[Array], penalty: Array,
     are nonnegative, so any bid target is gated) and the greedy completion
     to every leftover row.  Semantics otherwise identical to
     :func:`auction_match`.
-
-    ``factors`` = (kp_s, kp_t, fd, mask_s, mask_t, wed, wfd, scale): ``b``
-    may be None — the solve streams FD tiles through the factor GS kernel
-    and recomputes benefits on the fly (see :func:`auction_assign`); the
-    selected-pair values come from O(S) factor gathers.  When the kernel
-    can't run (shape/backend/sharding), the matrix is materialized here
-    once and every downstream path behaves as before.
     """
-    if factors is not None:
-        S, T = factors[2].shape
-        if not _factor_gate(S, T, use_round_kernel, comm, n_phases,
-                            compact_cap, acol0, hint_v1):
-            b = _factors_b(factors, mult_blend, quantize_b)
-            factors = None
-    else:
-        S, T = b.shape
+    S, T = b.shape
     rows_total = total_rows if total_rows is not None else S
     acol, p, rounds, eps_used, punc = auction_assign(
         b, -penalty, eps_final, max_rounds, comm, rel_eps=rel_eps,
         p0=p0, price_uncertainty=price_uncertainty,
         use_round_kernel=use_round_kernel, n_phases=n_phases, b_max=b_max,
         acol0=acol0, hint_v1=hint_v1, hint_vsel=hint_vsel,
-        compact_cap=compact_cap, compact_budget=compact_budget,
-        keep_slack_extra=keep_slack_extra, factors=factors,
-        mult_blend=mult_blend, quantize_b=quantize_b)
+        keep_slack_extra=keep_slack_extra)
     # Greedy completion at budget exhaustion (see auction_match) — under a
     # cond: when the auction converged (no -1 rows, the common case with
     # in-kernel epsilon escalation) the full-matrix top-1 pass is skipped.
@@ -855,42 +665,16 @@ def auction_match_benefits(b: Optional[Array], penalty: Array,
         # argmax-then-gather: a max+argmax pair over the same (b - p)
         # expression makes XLA materialize the full f32 matrix; a single
         # argmax reduce fuses, and the max value comes from gathers.
-        # (Factor path: the GS kernel's in-kernel completion covers every
-        # open row, so this branch never executes at runtime — the traced
-        # one-off materialization is dead weight in the executable only.)
-        bb = _factors_b(factors, mult_blend, quantize_b) \
-            if factors is not None else b
-        j1 = jnp.argmax(bb.astype(jnp.float32) - p[None, :],
+        j1 = jnp.argmax(b.astype(jnp.float32) - p[None, :],
                         axis=1).astype(jnp.int32)
-        v1 = bb[jnp.arange(S), j1].astype(jnp.float32) - p[j1]
+        v1 = b[jnp.arange(S), j1].astype(jnp.float32) - p[j1]
         return jnp.where(leftover, jnp.where(v1 > -penalty, j1, _SINK), acol)
 
     acol = jax.lax.cond(jnp.any(leftover), complete, lambda a: a, acol)
     matched = (acol >= 0) & (acol < T)
     jc = jnp.where(matched, acol, 0)
     rows = jnp.arange(S)
-    if factors is not None:
-        # Selected-pair benefits from O(S) factor gathers, arithmetic
-        # mirroring the kernels (norm-expansion ED + bf16 round trip) so
-        # the gate test below matches the in-kernel sink decisions.
-        kps_f, kpt_f, fd_f, ms_f, mt_f, wed_f, wfd_f, sc_f = factors
-        tsel = kpt_f[jc]
-        s2 = jnp.sum(kps_f * kps_f, axis=1)
-        t2 = jnp.sum(tsel * tsel, axis=1)
-        dd = jnp.sum(kps_f * tsel, axis=1)
-        ed_sel = sc_f * jnp.sqrt(jnp.maximum(s2 + t2 - 2.0 * dd, 0.0))
-        fd_sel = fd_f[rows, jc].astype(jnp.float32)
-        if mult_blend:
-            cd_f = ed_sel * jnp.exp(
-                -wfd_f * jnp.log(jnp.maximum(fd_sel, 1e-6)))
-        else:
-            cd_f = wed_f * ed_sel + wfd_f * fd_sel
-        m_sel = ms_f & mt_f[jc]
-        bsel = jnp.where(m_sel, -cd_f, _NEG)
-        if quantize_b:
-            bsel = bsel.astype(jnp.bfloat16).astype(jnp.float32)
-    else:
-        bsel = b[rows, jc].astype(jnp.float32)
+    bsel = b[rows, jc].astype(jnp.float32)
     real = mask_s & matched & (bsel > -penalty)
     w = real.astype(jnp.float32)
     cor = comm.psum(jnp.sum(w))

@@ -133,11 +133,19 @@ def ransac_coarse_align(kp_s: Array, mask_s: Array, kp_t: Array,
         cand_ok = (-neg < big) & mask_s[:, None]        # [S, C]
     else:
         n_cand = cand.shape[1]
-    # candidate pair list for scoring: source i -> cand[i, 0] (best only)
-    best_t = cand[:, 0]
-    pair_ok = cand_ok[:, 0]
+    # Candidate pair list for scoring: ALL n_cand feature-nearest targets
+    # per source row.  Scoring against only the top-1 candidate collapses
+    # at sparse keypoint counts (true counterparts rarely rank first when
+    # descriptor noise rivals the inter-keypoint feature margins — at the
+    # bench's NMS-1.0 verdict config the top-1 true-pair count is below
+    # the wrong-pose noise floor and RANSAC returned garbage, round-5
+    # diagnosis); under ANY true pose the counterpart is within tau no
+    # matter its feature rank, so the any-candidate test recovers every
+    # candidate-listed true pair as a vote.
     src_pts = kp_s                                       # [S, 3]
-    dst_pts = kp_t[best_t]                               # [S, 3]
+    dst_all = kp_t[cand]                                 # [S, C, 3]
+    pair_ok = cand_ok[:, 0]
+    row_ok = jnp.any(cand_ok, axis=1)
 
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
@@ -205,8 +213,9 @@ def ransac_coarse_align(kp_s: Array, mask_s: Array, kp_t: Array,
     k3, _ = jax.random.split(k2)
     sub = jax.random.permutation(k3, S)[:M]
     sub_src = src_pts[sub]                               # [M, 3]
-    sub_dst = dst_pts[sub]
-    sub_ok = pair_ok[sub]
+    sub_dst = dst_all[sub]                               # [M, C, 3]
+    sub_cok = cand_ok[sub]                               # [M, C]
+    sub_ok = row_ok[sub]
 
     chunk = 8192
 
@@ -214,7 +223,12 @@ def ransac_coarse_align(kp_s: Array, mask_s: Array, kp_t: Array,
         R = Tc[:, :3, :3]
         tr = Tc[:, :3, 3]
         proj = jnp.einsum("hij,mj->hmi", R, sub_src) + tr[:, None, :]
-        d2 = jnp.sum((proj - sub_dst[None, :, :]) ** 2, axis=-1)
+        # nearest candidate per (hypothesis, row), unrolled over the small
+        # static candidate axis (a [h, M, C, 3] broadcast would be GBs)
+        d2 = jnp.float32(3.0e38)
+        for c in range(n_cand):
+            d2c = jnp.sum((proj - sub_dst[None, :, c, :]) ** 2, axis=-1)
+            d2 = jnp.minimum(d2, jnp.where(sub_cok[None, :, c], d2c, 3.0e38))
         tc = 2.0 * tau
         inl = (d2 < tc * tc) & sub_ok[None, :]
         return 0, jnp.sum(inl, axis=1)
@@ -231,24 +245,47 @@ def ransac_coarse_align(kp_s: Array, mask_s: Array, kp_t: Array,
     _, top_idx = jax.lax.top_k(score, K)
     Tk = Ts[top_idx]                                     # [K,4,4]
 
+    def _nearest(p, dst, cok):
+        """Per row: nearest valid candidate target under the current pose.
+        p [..., M, 3]; dst [M, C, 3]; cok [M, C] -> (d2 [..., M],
+        dst_sel [..., M, 3]).  Unrolled over the small static candidate
+        axis (a broadcast [.., M, C, 3] intermediate would be GBs)."""
+        d2 = None
+        dst_sel = None
+        for c in range(n_cand):
+            d2c = jnp.sum((p - dst[:, c, :]) ** 2, axis=-1)
+            d2c = jnp.where(cok[:, c], d2c, 3.0e38)
+            if d2 is None:
+                d2 = d2c
+                dst_sel = jnp.broadcast_to(dst[:, c, :], p.shape)
+            else:
+                better = d2c < d2
+                dst_sel = jnp.where(better[..., None], dst[:, c, :],
+                                    dst_sel)
+                d2 = jnp.minimum(d2, d2c)
+        return d2, dst_sel
+
     def refit(Tc, tau_r):
-        p = jnp.einsum("kij,mj->kmi", Tc[:, :3, :3], sub_src)             + Tc[:, :3, 3][:, None, :]
-        w = ((jnp.sum((p - sub_dst[None]) ** 2, -1) < tau_r * tau_r)
-             & sub_ok[None]).astype(jnp.float32)          # [K,M]
+        p = jnp.einsum("kij,mj->kmi", Tc[:, :3, :3], sub_src) \
+            + Tc[:, :3, 3][:, None, :]
+        d2, dst_sel = _nearest(p, sub_dst, sub_cok)       # [K,M], [K,M,3]
+        w = ((d2 < tau_r * tau_r) & sub_ok[None]).astype(jnp.float32)
         # batched weighted Horn refit
         wsum = jnp.maximum(jnp.sum(w, 1, keepdims=True), 1e-6)
         cs = jnp.einsum("km,mi->ki", w, sub_src) / wsum
-        cd = jnp.einsum("km,mi->ki", w, sub_dst) / wsum
+        cd = jnp.einsum("km,kmi->ki", w, dst_sel) / wsum
         X = sub_src[None] - cs[:, None]
-        Y = sub_dst[None] - cd[:, None]
+        Y = dst_sel - cd[:, None]
         return _rigid_from_cross(
             jnp.einsum("km,kmi,kmj->kij", w, X, Y), cs, cd)
 
     for tau_r in (3.0 * tau, 1.5 * tau, tau):
         Tk = refit(Tk, tau_r)
 
-    pk = jnp.einsum("kij,mj->kmi", Tk[:, :3, :3], sub_src)         + Tk[:, :3, 3][:, None, :]
-    inl_k = jnp.sum(((jnp.sum((pk - sub_dst[None]) ** 2, -1) < tau * tau)
+    pk = jnp.einsum("kij,mj->kmi", Tk[:, :3, :3], sub_src) \
+        + Tk[:, :3, 3][:, None, :]
+    d2k, _ = _nearest(pk, sub_dst, sub_cok)
+    inl_k = jnp.sum(((d2k < tau * tau)
                      & sub_ok[None]).astype(jnp.int32), axis=1)
     kbest = jnp.argmax(inl_k)
     T_best = Tk[kbest]
@@ -258,13 +295,14 @@ def ransac_coarse_align(kp_s: Array, mask_s: Array, kp_t: Array,
 
     def polish(T_cur, _):
         p = tf.apply(T_cur, src_pts)
-        w = ((jnp.sum((p - dst_pts) ** 2, axis=-1) < tau * tau)
-             & pair_ok).astype(jnp.float32)
-        return kabsch_6dof(src_pts, dst_pts, w), 0
+        d2, dst_sel = _nearest(p, dst_all, cand_ok)
+        w = ((d2 < tau * tau) & row_ok).astype(jnp.float32)
+        return kabsch_6dof(src_pts, dst_sel, w), 0
 
     T_best, _ = jax.lax.scan(polish, T_best, jnp.arange(2))
     p = tf.apply(T_best, src_pts)
-    final_inl = jnp.sum(((jnp.sum((p - dst_pts) ** 2, axis=-1) < tau * tau)
-                         & pair_ok).astype(jnp.int32))
+    d2f, _ = _nearest(p, dst_all, cand_ok)
+    final_inl = jnp.sum(((d2f < tau * tau)
+                         & row_ok).astype(jnp.int32))
     return RansacResult(transform=T_best, inliers=final_inl,
                         n_candidates=jnp.sum(pair_ok.astype(jnp.int32)))

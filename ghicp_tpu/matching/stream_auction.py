@@ -160,7 +160,8 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
                  stats_free=False, open_cap: int = 0,
                  compact_extra_sweeps: int = 0,
                  sweep_sub_fn: Optional[Callable] = None,
-                 no_features: bool = False) -> StreamSolveResult:
+                 no_features: bool = False,
+                 esc_period: int = 1) -> StreamSolveResult:
     """Matrix-free KM-equivalent solve for one engine iteration.
 
     ``penalty_from_stats(cd_mean, cd_std)`` maps the sweep's CD statistics
@@ -384,10 +385,18 @@ def stream_solve(kp_s: Array, kp_t: Array, feats: StreamFeatures,
     # and 2^12 x eps dwarfed the benefit spread — measured keep=0 forever
     # with dpre growing 2 -> 1203 -> 1417 across iterations.)
     esc_after = jnp.maximum(budget // 4, 1)
+    # ``esc_period``: sweeps per epsilon doubling past esc_after.  The
+    # default 1 is tuned for the per-iteration production budgets (2-16
+    # sweeps) where escalation is a terminal war-breaker; long-budget
+    # callers (the final one-to-one resolve, budget ~3000) pass
+    # ~budget//16 so the sink endgame escalates like the GS kernel's
+    # schedule instead of exploding within 20 sweeps.
+    esc_per = jnp.maximum(jnp.int32(esc_period), 1)
 
     def esc_eps(r):
         return eps * jnp.exp2(jnp.maximum(
-            jnp.minimum(r, budget) - esc_after, 0).astype(jnp.float32))
+            jnp.minimum(r, budget) - esc_after, 0).astype(jnp.float32)
+            / esc_per.astype(jnp.float32))
 
     neg_s = jnp.full((S,), _NEG, jnp.float32)
 

@@ -628,51 +628,72 @@ def auction_phase_gs_pallas(b: Array, p0: Array, owner0: Array, sunk0: Array,
             out[4].reshape(S))
 
 
-def _gs_fused_kernel(eps_ref, sink_ref, maxr_ref, esc_ref, comp_ref,
-                     scal_ref, fd_ref, kps_ref, kpt_ref, ms_ref, mt_ref,
-                     p0_ref, owner0_ref, sunk0_ref, open0_ref,
-                     p_out, owner_out, sunk_out, rounds_out, gcol_out,
-                     s_p, s_owner, s_sunk, s_open, s_tile, s_bt, s_list,
-                     sems, *, ts: int, inner_cap: int, mult_blend: bool,
-                     quantize: bool):
-    """Gauss-Seidel phase that builds its benefit tiles ON THE FLY.
+def _warm_fused_kernel(scal_ref, maxr_ref, esc_ref, fd_ref, kps_ref, kpt_ref,
+                       ms_ref, mt_ref, p0_ref, owner0_ref, acol0_ref,
+                       sunk0_ref, ownok_ref,
+                       p_out, owner_out, sunk_out, rounds_out, gcol_out,
+                       stat_out,
+                       s_p, s_owner, s_sunk, s_open, s_tile, s_bt, s_list,
+                       s_v1, s_j1, s_v2, s_vsel, s_winbid, s_wingid,
+                       sems, *, ts: int, inner_cap: int, mult_blend: bool,
+                       quantize: bool, probe_stage: int = 0):
+    """ONE-LAUNCH warm iteration solve (GHICPConfig.warm_fused_kernel).
 
-    Same sweep semantics as ``_gs_kernel``, but instead of streaming a
-    materialized benefit matrix it streams the FD stripe and recomputes
+    For a stats-free engine iteration with an assignment warm start, this
+    kernel fuses what were two launches plus an XLA keep test:
 
-      b = -(W_ED * ED + W_FD * FD)      (masked pairs -> -inf)
+      1. **sweep 0** (all tiles, one FD stream): benefit tiles recomputed
+         from coordinate factors + FD stripes (never stored); per-row
+         v1/j1/v2, the benefit at j1, and the kept column's value vsel are
+         measured EXACTLY at the bidding-start prices and parked in VMEM
+         scratch ([n_tiles, ts] each, ~200KB); b_max/ed_max accumulate;
+      2. **keep phase + bidding round 0** (no HBM traffic): the epsilon
+         and keep slack derive from the measured spread; rows failing the
+         eps-CS keep test release their columns and bid Jacobi-style from
+         the parked hints ((b - p) is unchanged since sweep 0 — the same
+         reuse the streaming lane's cold round 0 exploits); winners close,
+         evicted owners re-open via the one-hot MXU matmul trick;
+      3. **streamed sweeps** (active tiles only): the Gauss-Seidel
+         Gauss-Seidel streaming machinery for whatever round 0 left open;
+      4. **greedy completion** (no HBM traffic): leftover rows take their
+         sweep-0 argmax column re-priced at the final prices (exact value
+         for that column via one one-hot pass; the sink rule then matches
+         the dense completion's semantics for it) or the sink.
 
-    per tile visit from the keypoint coordinate factors (ED as one
-    [ts, 8] @ [8, C] MXU cross term + norm expansion, exactly the
-    fused-benefit kernel's arithmetic, ops/cost_kernel.py).  The dense
-    lane's warm iteration then never writes OR re-reads an [S, C] benefit
-    tensor: HBM traffic for the whole solve is the FD stripes of visited
-    tiles.  ``quantize`` round-trips the computed tile through bf16 so the
-    matching is bit-identical to the materialized-bf16-b path.
+    Unlike the (deleted) round-4 factor-GS split — a hint launch plus a
+    factor-streaming GS launch, 286 vs 421 it/s because scattered open
+    rows forced a second full benefit construction — nothing here is
+    computed twice: sweep 0's construction IS the hint pass, and rounds
+    0 + completion reuse its parked reductions without touching HBM.
+
+    scal layout (SMEM f32 [8]): wed, wfd, scale, sink, eps_abs, rel_eps,
+    dpen, unused.  ``stat_out`` (SMEM f32 [4]): b_max, ed_max, eps,
+    eps_keep.  ``maxr`` counts round 0 + streamed sweeps (same budget unit
+    as the engine's auction_max_rounds).  Reference anchors: km.cpp:40
+    (solve semantics), ghicp_reg.cpp:114-341 (the fused passes).
     """
     n_tiles = s_list.shape[0]
     C = s_p.shape[0]
-    eps0 = eps_ref[0]
-    sink = sink_ref[0]
-    max_rounds = maxr_ref[0]
-    esc_after = esc_ref[0]
-    esc_period = esc_ref[1]
     wed = scal_ref[0]
     wfd = scal_ref[1]
     scale = scal_ref[2]
+    sink = scal_ref[3]
+    eps_abs = scal_ref[4]
+    rel_eps = scal_ref[5]
+    dpen = scal_ref[6]
+    max_rounds = maxr_ref[0]
+    esc_after = esc_ref[0]
+    esc_period = esc_ref[1]
 
     s_p[:] = p0_ref[0, :]
     s_owner[:] = owner0_ref[0, :]
-    s_sunk[:, :] = sunk0_ref[:, :]
-    s_open[:, :] = open0_ref[:, :]
 
     def stripe_dma(t, slot):
         return pltpu.make_async_copy(
             fd_ref.at[pl.ds(t * ts, ts), :], s_tile.at[slot], sems.at[slot])
 
     def compute_bt(t, slot):
-        """Benefit tile from factors (mirrors ops/cost_kernel.py::_kernel:
-        HIGHEST-precision MXU cross term + clamped norm expansion)."""
+        """Benefit tile + ED from factors (ops/cost_kernel.py arithmetic)."""
         s = kps_ref[t]                                   # [ts, 8]
         tt = kpt_ref[:, :]                               # [C, 8]
         d = jax.lax.dot_general(s, tt, (((1,), (1,)), ((), ())),
@@ -691,15 +712,161 @@ def _gs_fused_kernel(eps_ref, sink_ref, maxr_ref, esc_ref, comp_ref,
         bt = jnp.where(m, -cd, _NEG)
         if quantize:
             bt = bt.astype(jnp.bfloat16).astype(jnp.float32)
-        s_bt[:, :] = bt
+        return bt, ed, m
 
+    # ---- sweep 0: hints + stats at the (fixed) start prices --------------
+    # Pass economy: every [ts, C] op costs ~0.05-0.1 ms over the full
+    # matrix, so sweep 0 computes ONLY what later stages cannot derive —
+    # v1/j1/v2 (bidding), vsel (keep test), b_max (epsilon spread).  The
+    # benefit at j1 is NOT stored: round 0's bid folds p[j1] into its
+    # one-hot pass as a broadcast add, and the completion re-derives the
+    # value from v1 + a (p_start - p_final) one-hot delta.  ed_max is NOT
+    # measured: the engine bounds it from coordinate norms in XLA.
+    def sweep0_tile(t, bmax):
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t + 1 < n_tiles)
+        def _prefetch():
+            stripe_dma(t + 1, jax.lax.rem(t + 1, 2)).start()
+
+        stripe_dma(t, slot).wait()
+        bt, ed, m = compute_bt(t, slot)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (ts, C), 1)
+        p = s_p[:]
+        v = bt - p[None, :]
+        v1 = jnp.max(v, axis=1)
+        j1 = jnp.argmax(v, axis=1).astype(jnp.int32)
+        onehot = cols == j1[:, None]
+        v2 = jnp.max(jnp.where(onehot, _NEG, v), axis=1)
+        acv = acol0_ref[t, :]
+        realc = (acv >= 0) & (acv < C)
+        keep_oh = cols == jnp.where(realc, acv, -1)[:, None]
+        vsel = jnp.max(jnp.where(keep_oh, v, _NEG), axis=1)
+        s_v1[t, :] = v1
+        s_j1[t, :] = j1
+        s_v2[t, :] = v2
+        s_vsel[t, :] = vsel
+        return jnp.maximum(bmax, jnp.max(bt))
+
+    stripe_dma(0, 0).start()
+    bmax = jax.lax.fori_loop(0, n_tiles, sweep0_tile, jnp.float32(_NEG))
+    if probe_stage == 1:
+        # Timing probe: sweep-0 only (outputs incomplete — perf use only).
+        p_out[0, :] = s_p[:]
+        owner_out[0, :] = s_owner[:]
+        s_sunk[:, :] = jnp.zeros_like(s_sunk)
+        s_open[:, :] = jnp.zeros_like(s_open)
+        sunk_out[:, :] = s_sunk[:, :]
+        gcol_out[:, :] = jnp.full_like(gcol_out, -1)
+        rounds_out[0] = jnp.int32(0)
+        stat_out[0] = bmax
+        stat_out[1] = jnp.float32(0.0)
+        stat_out[2] = jnp.float32(0.0)
+        stat_out[3] = jnp.float32(0.0)
+        return
+
+    # ---- keep test + bidding round 0 (no HBM traffic) --------------------
+    spread = jnp.maximum(bmax - sink, 0.0)
+    eps = jnp.maximum(eps_abs, rel_eps * spread)
+    eps_keep = jnp.clip(dpen + 2.0 * eps, eps,
+                        jnp.maximum(spread / 8.0, eps))
+    s_winbid[:] = jnp.full_like(s_winbid[:], _NEG)
+    s_wingid[:] = jnp.full_like(s_wingid[:], -1)
+    CH = C // 128
+
+    def keep_tile(t, relacc):
+        # Keep/sink decisions: pure [ts]-vector math over the parked hints.
+        v1 = s_v1[t, :]
+        valid = ms_ref[t, :] > 0
+        ownok = ownok_ref[t, :] > 0
+        keep = ownok & (s_vsel[t, :] >= v1 - eps_keep)
+        stay_sunk = (sunk0_ref[t, :] > 0) & (sink >= v1 - eps_keep)
+        open_t = valid & ~(keep | stay_sunk)
+        to_sink = open_t & (v1 <= sink)
+        s_sunk[t, :] = ((stay_sunk | to_sink) | ~valid).astype(jnp.int32)
+        bidding = open_t & ~to_sink
+        s_open[t, :] = bidding.astype(jnp.int32)
+        # Column release (CS violators free their columns; prices stay,
+        # auction.py warm-start docs) via SPLIT one-hots + one small MXU
+        # matmul accumulate ([ts, C/128]^T @ [ts, 128]) instead of a
+        # [ts, C] compare pass per tile.
+        rel = ownok & ~keep
+        acv = acol0_ref[t, :]
+        relc = jnp.where(rel, acv, -1)
+        hi = jax.lax.broadcasted_iota(jnp.int32, (ts, CH), 1)
+        lo = jax.lax.broadcasted_iota(jnp.int32, (ts, 128), 1)
+        # (i1 vectors can't grow a minor dim in Mosaic — via int32.)
+        A = ((hi == (relc // 128)[:, None])
+             & ((relc >= 0).astype(jnp.int32)[:, None] > 0))
+        B = lo == (relc & 127)[:, None]
+        relacc = relacc + jax.lax.dot_general(
+            A.astype(jnp.float32), B.astype(jnp.float32),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+        # Round-0 bids from the parked hints ((b - p) unchanged since
+        # sweep 0): the bid value p[j1] + v1 - max(v2, sink) + eps folds
+        # p[j1] into the one-hot pass as a broadcast add.  Only tiles
+        # with bidders pay the [ts, C] passes.
+        @pl.when(jnp.sum(bidding.astype(jnp.int32)) > 0)
+        def _bid():
+            cols = jax.lax.broadcasted_iota(jnp.int32, (ts, C), 1)
+            delta = v1 - jnp.maximum(s_v2[t, :], sink) + eps
+            onehot = cols == s_j1[t, :][:, None]
+            bidding2d = bidding.astype(jnp.int32)[:, None] > 0
+            contrib = jnp.where(onehot & bidding2d,
+                                delta[:, None] + s_p[:][None, :],
+                                jnp.float32(_NEG))
+            tile_max = jnp.max(contrib, axis=0)
+            wlane = jnp.argmax(contrib, axis=0).astype(jnp.int32)
+            hasw = tile_max > _NEG / 2
+            tile_gid = jnp.where(hasw, t * ts + wlane, -1)
+            wb = s_winbid[:]
+            better = tile_max > wb
+            s_wingid[:] = jnp.where(better, tile_gid, s_wingid[:])
+            s_winbid[:] = jnp.maximum(wb, tile_max)
+        return relacc
+
+    relacc = jax.lax.fori_loop(
+        0, n_tiles, keep_tile, jnp.zeros((CH, 128), jnp.float32))
+    s_owner[:] = jnp.where(relacc.reshape(C) > 0.5, -1, s_owner[:])
+
+    def _hit_mask(ids):
+        """[n_tiles, ts] one-hot membership of the [C] row-id vector
+        (negative = absent) via one small MXU matmul."""
+        u_iota = jax.lax.broadcasted_iota(jnp.int32, (C, n_tiles), 1)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (C, ts), 1)
+        valid = (ids >= 0).astype(jnp.int32)[:, None]
+        it_ = jnp.where(ids >= 0, ids // ts, n_tiles)
+        tiles_oh = ((u_iota == it_[:, None]) & (valid > 0))
+        lanes_oh = (l_iota == (ids - it_ * ts)[:, None])
+        return jax.lax.dot_general(
+            tiles_oh.astype(jnp.float32), lanes_oh.astype(jnp.float32),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [n_tiles, ts]
+
+    # Jacobi resolution of round 0: winners take columns at their bids,
+    # previous owners re-open (released columns already have owner -1, so
+    # their bids evict nobody).
+    wb = s_winbid[:]
+    has = wb > _NEG / 2
+    owner_prev = s_owner[:]
+    vic = jnp.where(has, owner_prev, -1)
+    s_owner[:] = jnp.where(has, s_wingid[:], owner_prev)
+    s_p[:] = jnp.where(has, wb, s_p[:])
+    won_ids = jnp.where(has, s_wingid[:], -1)
+    won_hit = _hit_mask(won_ids)
+    s_open[:, :] = jnp.where(won_hit > 0.5, jnp.int32(0), s_open[:, :])
+    vic_hit = _hit_mask(vic)
+    s_open[:, :] = jnp.where(vic_hit > 0.5, jnp.int32(1), s_open[:, :])
+
+    # ---- streamed Gauss-Seidel sweeps over active tiles ------------------
     def sweep_eps(r):
         boost = jnp.where(
             esc_after > 0,
             jnp.exp2(jnp.maximum(r - esc_after, 0).astype(jnp.float32)
                      / jnp.maximum(esc_period, 1).astype(jnp.float32)),
             1.0)
-        return eps0 * boost
+        return eps * boost
 
     def build_active_list():
         def body(t, cnt):
@@ -712,8 +879,9 @@ def _gs_fused_kernel(eps_ref, sink_ref, maxr_ref, esc_ref, comp_ref,
 
         return jax.lax.fori_loop(0, n_tiles, body, jnp.int32(0))
 
-    def bid_resolve(t, eps):
-        """One bid/resolve batch for tile t's open rows (bt in VMEM)."""
+    def bid_resolve(t, eps_r):
+        """One Gauss-Seidel bid/resolve batch for tile t's open rows
+        (benefit tile in s_bt; same semantics as _gs_kernel's)."""
         gid = t * ts + jax.lax.broadcasted_iota(jnp.int32, (ts, 1), 0)[:, 0]
         cols = jax.lax.broadcasted_iota(jnp.int32, (ts, C), 1)
         unassigned = s_open[t, :] > 0
@@ -733,36 +901,36 @@ def _gs_fused_kernel(eps_ref, sink_ref, maxr_ref, esc_ref, comp_ref,
         @pl.when(jnp.sum(bidding) > 0)
         def _resolve():
             onehot = cols == j1[:, None]
-            delta = v1 - jnp.maximum(v2, sink) + eps
+            delta = v1 - jnp.maximum(v2, sink) + eps_r
             bidding2d = bidding.astype(jnp.int32)[:, None] > 0
             contrib = jnp.where(onehot & bidding2d, delta[:, None],
-                                jnp.float32(_NEG))                # [ts, C]
-            dmax = jnp.max(contrib, axis=0)                       # [C]
-            has = dmax > _NEG / 2
-            wlane = jnp.argmax(contrib, axis=0).astype(jnp.int32)  # [C]
-            wingid = jnp.where(has, t * ts + wlane, -1)
+                                jnp.float32(_NEG))
+            dmax = jnp.max(contrib, axis=0)
+            hasw = dmax > _NEG / 2
+            wlane = jnp.argmax(contrib, axis=0).astype(jnp.int32)
+            wingid = jnp.where(hasw, t * ts + wlane, -1)
             pw = (wingid + 1) * jnp.int32(1 << 14) + (owner_prev + 1)
             g = jnp.max(jnp.where(onehot, pw[None, :],
-                                  jnp.int32(-1)), axis=1)         # [ts]
+                                  jnp.int32(-1)), axis=1)
             won = bidding & ((g >> 14) - 1 == gid)
-            vic = jnp.where(won, jax.lax.rem(g, jnp.int32(1 << 14)) - 1, -1)
+            vic2 = jnp.where(won, jax.lax.rem(g, jnp.int32(1 << 14)) - 1, -1)
 
-            s_owner[:] = jnp.where(has, wingid, owner_prev)
-            s_p[:] = p + jnp.where(has, dmax, 0.0)
+            s_owner[:] = jnp.where(hasw, wingid, owner_prev)
+            s_p[:] = p + jnp.where(hasw, dmax, 0.0)
 
-            @pl.when(jnp.max(vic) >= 0)
+            @pl.when(jnp.max(vic2) >= 0)
             def _reopen():
                 u_iota = jax.lax.broadcasted_iota(jnp.int32, (ts, n_tiles), 1)
                 l_iota = jax.lax.broadcasted_iota(jnp.int32, (ts, ts), 1)
-                valid = (vic >= 0).astype(jnp.int32)[:, None]
-                vt = jnp.where(vic >= 0, vic // ts, n_tiles)
-                tiles_oh = ((u_iota == vt[:, None]) & (valid > 0))
-                lanes_oh = (l_iota == (vic - vt * ts)[:, None])
+                valid2 = (vic2 >= 0).astype(jnp.int32)[:, None]
+                vt = jnp.where(vic2 >= 0, vic2 // ts, n_tiles)
+                tiles_oh = ((u_iota == vt[:, None]) & (valid2 > 0))
+                lanes_oh = (l_iota == (vic2 - vt * ts)[:, None])
                 cnt = jax.lax.dot_general(
                     tiles_oh.astype(jnp.float32),
                     lanes_oh.astype(jnp.float32),
                     (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)   # [n_tiles, ts]
+                    preferred_element_type=jnp.float32)
                 s_open[:, :] = jnp.where(cnt > 0.5, jnp.int32(1),
                                          s_open[:, :])
             s_open[t, :] = jnp.where(won, jnp.int32(0), s_open[t, :])
@@ -773,7 +941,7 @@ def _gs_fused_kernel(eps_ref, sink_ref, maxr_ref, esc_ref, comp_ref,
 
     def round_body(carry):
         r, _ = carry
-        eps = sweep_eps(r)
+        eps_r = sweep_eps(r)
 
         def tile_body(j, n_active):
             t = s_list[j]
@@ -784,13 +952,14 @@ def _gs_fused_kernel(eps_ref, sink_ref, maxr_ref, esc_ref, comp_ref,
                 stripe_dma(s_list[j + 1], jax.lax.rem(j + 1, 2)).start()
 
             stripe_dma(t, slot).wait()
-            compute_bt(t, slot)
+            bt, _, _ = compute_bt(t, slot)
+            s_bt[:, :] = bt
 
             def icond(k):
                 return (jnp.sum(s_open[t, :]) > 0) & (k < inner_cap)
 
             def ibody(k):
-                bid_resolve(t, eps)
+                bid_resolve(t, eps_r)
                 return k + 1
 
             jax.lax.while_loop(icond, ibody, jnp.int32(0))
@@ -805,69 +974,76 @@ def _gs_fused_kernel(eps_ref, sink_ref, maxr_ref, esc_ref, comp_ref,
         jax.lax.fori_loop(0, n_active, tile_body, n_active)
         return r + 1, jnp.sum(s_open[:, :])
 
-    r, _ = jax.lax.while_loop(round_cond, round_body,
-                              (jnp.int32(0), jnp.sum(s_open[:, :])))
+    if probe_stage == 2:
+        r = jnp.int32(1)   # timing probe: skip streamed sweeps + completion
+    else:
+        r, _ = jax.lax.while_loop(round_cond, round_body,
+                                  (jnp.int32(1), jnp.sum(s_open[:, :])))
 
+    # ---- greedy completion from the parked hints (no HBM traffic) --------
+    # Leftover rows take their sweep-0 argmax column, re-priced exactly at
+    # the final prices (stale j1 may no longer be the argmax — greedy
+    # completion allows that like every other completion path — but its
+    # VALUE and hence the sink decision are exact for that column).  Only
+    # tiles that still have open rows pay the re-pricing pass.
     gcol_out[:, :] = jnp.full_like(gcol_out, -1)
 
-    @pl.when(comp_ref[0] > 0)
+    @pl.when(jnp.sum(s_open[:, :]) > 0)
     def _complete():
-        C_ = s_p.shape[0]
-        n_active = build_active_list()
-
-        @pl.when(n_active > 0)
-        def _seed():
-            stripe_dma(s_list[0], 0).start()
-
-        def comp_body(j, _):
-            t = s_list[j]
-            slot = jax.lax.rem(j, 2)
-
-            @pl.when(j + 1 < n_active)
-            def _prefetch():
-                stripe_dma(s_list[j + 1], jax.lax.rem(j + 1, 2)).start()
-
-            stripe_dma(t, slot).wait()
-            compute_bt(t, slot)
-            open_t = s_open[t, :] > 0
-            v = s_bt[:, :] - s_p[:][None, :]
-            v1 = jnp.max(v, axis=1)
-            j1 = jnp.argmax(v, axis=1).astype(jnp.int32)
-            gcol_out[t, :] = jnp.where(
-                open_t, jnp.where(v1 > sink, j1, jnp.int32(C_)),
-                jnp.int32(-1))
+        def comp_tile(t, _):
+            @pl.when(jnp.sum(s_open[t, :]) > 0)
+            def _tile():
+                cols = jax.lax.broadcasted_iota(jnp.int32, (ts, C), 1)
+                open_t = s_open[t, :] > 0
+                j1 = s_j1[t, :]
+                onehot = cols == j1[:, None]
+                # value at j1 now = v1(at p_start) + (p_start - p_now)[j1]
+                pd = (p0_ref[0, :] - s_p[:])[None, :]
+                dsel = jnp.sum(jnp.where(onehot, pd, 0.0), axis=1)
+                v1n = s_v1[t, :] + dsel
+                gcol_out[t, :] = jnp.where(
+                    open_t, jnp.where(v1n > sink, j1, jnp.int32(C)),
+                    jnp.int32(-1))
             return 0
 
-        jax.lax.fori_loop(0, n_active, comp_body, 0)
+        jax.lax.fori_loop(0, n_tiles, comp_tile, 0)
 
     p_out[0, :] = s_p[:]
     owner_out[0, :] = s_owner[:]
     sunk_out[:, :] = s_sunk[:, :]
     rounds_out[0] = r
+    stat_out[0] = bmax
+    stat_out[1] = jnp.float32(0.0)   # ed_max: engine bounds it in XLA
+    stat_out[2] = eps
+    stat_out[3] = eps_keep
 
 
 @functools.partial(jax.jit, static_argnames=("ts", "inner_cap", "mult_blend",
-                                             "quantize", "interpret"))
-def auction_phase_gs_fused_pallas(kp_s: Array, kp_t: Array, fd: Array,
-                                  mask_s: Array, mask_t: Array,
-                                  wed, wfd, scale,
-                                  p0: Array, owner0: Array, sunk0: Array,
-                                  open0: Array, eps, sink_value, max_rounds,
-                                  ts: int = 128, inner_cap: int = 128,
-                                  esc_after=0, esc_period=1, complete_open=0,
-                                  mult_blend: bool = False,
-                                  quantize: bool = True,
-                                  interpret: bool = False):
-    """Factor-streaming Gauss-Seidel bidding phase: benefits recomputed per
-    tile visit from keypoint coordinates + FD stripes — no [S, C] benefit
-    tensor is ever written or read (the dense lane's remaining HBM wall).
+                                             "quantize", "interpret",
+                                             "probe_stage"))
+def auction_warm_fused_pallas(kp_s: Array, kp_t: Array, fd: Array,
+                              mask_s: Array, mask_t: Array,
+                              wed, wfd, scale,
+                              p0: Array, owner0: Array, acol0: Array,
+                              sunk0: Array, own_ok: Array,
+                              sink_value, eps_abs, rel_eps, dpen, max_rounds,
+                              ts: int = 128, inner_cap: int = 1,
+                              esc_after=1, esc_period=1,
+                              mult_blend: bool = False,
+                              quantize: bool = True,
+                              interpret: bool = False,
+                              probe_stage: int = 0):
+    """Single-launch warm GH-ICP iteration solve (see ``_warm_fused_kernel``).
 
-    Same phase contract as :func:`auction_phase_gs_pallas` (returns
-    (p [C], owner [C], sunk [S], rounds, gcol [S])); ``kp_s`` [S, 3] /
-    ``kp_t`` [C, 3] must be pre-centered by a common offset (f32
-    norm-expansion accuracy), ``fd`` [S, C] bf16/f32.  ``quantize``
-    round-trips each computed tile through bf16 for bit-parity with the
-    materialized ``auction_bf16`` path.  S % ts == 0; C % 128 == 0.
+    ``p0`` [C]: fully-deflated bidding-start prices (owner-zeroed);
+    ``owner0`` [C] global row id or -1; ``acol0`` [S] previous real column
+    or -1; ``sunk0`` [S] int32 (1 = row previously took the sink);
+    ``own_ok`` [S] bool (row still owns its acol0 column — an O(S) gather
+    the caller does in XLA).  ``dpen`` = |penalty - penalty_prev| feeds the
+    keep slack; epsilon = max(eps_abs, rel_eps * measured spread).
+
+    Returns (p [C], owner [C], sunk [S], rounds, gcol [S],
+    stats [b_max, ed_max, eps, eps_keep]).  S % ts == 0; C % 128 == 0.
     """
     S, C = fd.shape
     n_tiles = S // ts
@@ -876,19 +1052,22 @@ def auction_phase_gs_fused_pallas(kp_s: Array, kp_t: Array, fd: Array,
     kpt8 = jnp.pad(kp_t.astype(jnp.float32), ((0, 0), (0, 5)))
     scal = jnp.stack([jnp.asarray(wed, jnp.float32),
                       jnp.asarray(wfd, jnp.float32),
-                      jnp.asarray(scale, jnp.float32)])
+                      jnp.asarray(scale, jnp.float32),
+                      jnp.asarray(sink_value, jnp.float32),
+                      jnp.asarray(eps_abs, jnp.float32),
+                      jnp.asarray(rel_eps, jnp.float32),
+                      jnp.asarray(dpen, jnp.float32),
+                      jnp.float32(0.0)])
     esc = jnp.stack([jnp.asarray(esc_after, jnp.int32),
                      jnp.asarray(esc_period, jnp.int32)])
     out = pl.pallas_call(
-        functools.partial(_gs_fused_kernel, ts=ts, inner_cap=inner_cap,
-                          mult_blend=mult_blend, quantize=quantize),
+        functools.partial(_warm_fused_kernel, ts=ts, inner_cap=inner_cap,
+                          mult_blend=mult_blend, quantize=quantize,
+                          probe_stage=probe_stage),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # eps [1]
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # sink [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # scal [8]
             pl.BlockSpec(memory_space=pltpu.SMEM),    # max_rounds [1]
             pl.BlockSpec(memory_space=pltpu.SMEM),    # esc [2]
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # complete flag [1]
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # scal [3]
             pl.BlockSpec(memory_space=pl.ANY),        # fd (HBM; manual DMA)
             pl.BlockSpec(memory_space=pltpu.VMEM),    # kps8 [tiles, ts, 8]
             pl.BlockSpec(memory_space=pltpu.VMEM),    # kpt8 [C, 8]
@@ -896,8 +1075,9 @@ def auction_phase_gs_fused_pallas(kp_s: Array, kp_t: Array, fd: Array,
             pl.BlockSpec(memory_space=pltpu.VMEM),    # mask_t [1, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),    # p0 [1, C]
             pl.BlockSpec(memory_space=pltpu.VMEM),    # owner0 [1, C]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # acol0 [tiles, ts]
             pl.BlockSpec(memory_space=pltpu.VMEM),    # sunk0 [tiles, ts]
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # open0 [tiles, ts]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # own_ok [tiles, ts]
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -905,6 +1085,7 @@ def auction_phase_gs_fused_pallas(kp_s: Array, kp_t: Array, fd: Array,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, C), jnp.float32),
@@ -912,34 +1093,39 @@ def auction_phase_gs_fused_pallas(kp_s: Array, kp_t: Array, fd: Array,
             jax.ShapeDtypeStruct((n_tiles, ts), jnp.int32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
             jax.ShapeDtypeStruct((n_tiles, ts), jnp.int32),
+            jax.ShapeDtypeStruct((4,), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((C,), jnp.float32),           # prices
             pltpu.VMEM((C,), jnp.int32),             # owners
-            pltpu.VMEM((n_tiles, ts), jnp.int32),    # sunk, tile-major
-            pltpu.VMEM((n_tiles, ts), jnp.int32),    # open, tile-major
+            pltpu.VMEM((n_tiles, ts), jnp.int32),    # sunk
+            pltpu.VMEM((n_tiles, ts), jnp.int32),    # open
             pltpu.VMEM((2, ts, C), fd.dtype),        # fd stripe double buffer
             pltpu.VMEM((ts, C), jnp.float32),        # computed benefit tile
             pltpu.SMEM((n_tiles,), jnp.int32),       # active-tile list
+            pltpu.VMEM((n_tiles, ts), jnp.float32),  # v1 hints
+            pltpu.VMEM((n_tiles, ts), jnp.int32),    # j1 hints
+            pltpu.VMEM((n_tiles, ts), jnp.float32),  # v2 hints
+            pltpu.VMEM((n_tiles, ts), jnp.float32),  # vsel hints
+            pltpu.VMEM((C,), jnp.float32),           # round-0 win bid
+            pltpu.VMEM((C,), jnp.int32),             # round-0 win gid
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            # Stripe double buffer + bt tile + the [ts, C] f32 resolve
-            # temporaries — same budget rationale as the plain GS kernel.
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(eps, jnp.float32).reshape(1),
-      jnp.asarray(sink_value, jnp.float32).reshape(1),
+    )(scal,
       jnp.asarray(max_rounds, jnp.int32).reshape(1),
       esc,
-      jnp.asarray(complete_open, jnp.int32).reshape(1),
-      scal, fd, kps8, kpt8,
+      fd, kps8, kpt8,
       mask_s.astype(jnp.int32).reshape(n_tiles, ts),
       mask_t.astype(jnp.int32).reshape(1, C),
       p0.reshape(1, C), owner0.reshape(1, C),
-      sunk0.reshape(n_tiles, ts), open0.reshape(n_tiles, ts))
+      acol0.astype(jnp.int32).reshape(n_tiles, ts),
+      sunk0.astype(jnp.int32).reshape(n_tiles, ts),
+      own_ok.astype(jnp.int32).reshape(n_tiles, ts))
     return (out[0][0], out[1][0], out[2].reshape(S), out[3][0],
-            out[4].reshape(S))
+            out[4].reshape(S), out[5])
 
 
 def auction_rounds_gs_ref(b: Array, p0: Array, owner0: Array, sunk0: Array,

@@ -40,8 +40,7 @@ _NEG = -3.0e38
 
 def _kernel(scal_ref, kps_ref, kpt_ref, fd_ref, ms_ref, mt_ref, p_ref,
             ac_ref, b_out, part_out, v1_out, vsel_out, *, ts: int,
-            mult_blend: bool, with_stats: bool = True,
-            write_b: bool = True):
+            mult_blend: bool, with_stats: bool = True):
     i = pl.program_id(0)
     wed = scal_ref[0]
     wfd = scal_ref[1]
@@ -73,15 +72,7 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fd_ref, ms_ref, mt_ref, p_ref,
     # (i1 cannot grow a minor dim in Mosaic — grow the int32 mask instead.)
     m = (ms_ref[i, :][:, None] > 0) & (mt_ref[0, :][None, :] > 0)
     b = jnp.where(m, -cd, _NEG)
-    if write_b:
-        b_out[:, :] = b.astype(b_out.dtype)
-    else:
-        # Hint/stats-only sweep (the factor-streaming GS kernel recomputes
-        # benefits itself): the [S, C] store — the kernel's single biggest
-        # HBM cost — is skipped; b_out is a dummy block.
-        @pl.when(i == 0)
-        def _zb():
-            b_out[:, :] = jnp.zeros_like(b_out)
+    b_out[:, :] = b.astype(b_out.dtype)
     # Warm-start CS hints in the same sweep (the auction's keep test
     # otherwise costs a second full-matrix pass):
     #   v1   = per-row max of (b - p)   over the deflated prices,
@@ -117,15 +108,13 @@ def _kernel(scal_ref, kps_ref, kpt_ref, fd_ref, ms_ref, mt_ref, p_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("ts", "interpret", "out_dtype",
-                                             "mult_blend", "with_stats",
-                                             "write_b"))
+                                             "mult_blend", "with_stats"))
 def fused_benefit(kp_s: Array, kp_t: Array, fd: Array, mask_s: Array,
                   mask_t: Array, wed, wfd, scale, ts: int = 256,
                   interpret: bool = False, out_dtype=jnp.bfloat16,
                   p_defl: Optional[Array] = None,
                   acol0: Optional[Array] = None,
-                  mult_blend: bool = False, with_stats: bool = True,
-                  write_b: bool = True):
+                  mult_blend: bool = False, with_stats: bool = True):
     """One-sweep benefit matrix + CD statistics + warm-start CS hints.
 
     kp_s [S,3], kp_t [C,3] f32 (center them by a common offset first);
@@ -155,15 +144,12 @@ def fused_benefit(kp_s: Array, kp_t: Array, fd: Array, mask_s: Array,
         p_defl = jnp.zeros((C,), jnp.float32)
     if acol0 is None:
         acol0 = jnp.full((S,), -1, jnp.int32)
-    b_spec = (pl.BlockSpec((ts, C), lambda i: (i, 0),
-                           memory_space=pltpu.VMEM) if write_b
-              else pl.BlockSpec((8, 128), lambda i: (0, 0),
-                                memory_space=pltpu.VMEM))
-    b_shape = (jax.ShapeDtypeStruct((S, C), out_dtype) if write_b
-               else jax.ShapeDtypeStruct((8, 128), out_dtype))
+    b_spec = pl.BlockSpec((ts, C), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    b_shape = jax.ShapeDtypeStruct((S, C), out_dtype)
     b, parts, v1, vsel = pl.pallas_call(
         functools.partial(_kernel, ts=ts, mult_blend=mult_blend,
-                          with_stats=with_stats, write_b=write_b),
+                          with_stats=with_stats),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),              # scalars [3]

@@ -125,10 +125,31 @@ def build_cell_table(support: PointCloud, cell: float, max_cells: int,
     cell_id = jnp.cumsum(heads.astype(jnp.int32)) - 1  # [N] ascending
     run_start = jax.lax.cummax(jnp.where(heads, ar, 0))
     rank = ar - run_start
+    # Residents beyond ``cap`` must be dropped UNIFORMLY, not head-first:
+    # the sort is spatially ordered (equal-key runs keep voxel-key order),
+    # so keeping ranks [0, cap) of an overflowing cell keeps a spatially
+    # CONTIGUOUS corner — a systematic neighborhood bias that guts
+    # density-statistic descriptors at large support radii (measured:
+    # BSC at the NMS-1.0 bench config, where 1.73 m cells hold ~5x the
+    # cap, lost its candidate precision entirely).  A per-cell stride
+    # ceil(len/cap) keeps an evenly-spaced subset instead; cells within
+    # ``cap`` are untouched (stride 1 = exact).
+    # Run length per point, scan-only (no gathers): the NEXT run's start is
+    # the reversed cummin over "index+1 where a new run begins there".
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(jnp.where(
+        jnp.concatenate([heads[1:], jnp.ones((1,), bool)]), ar + 1, n))))
+    run_len = jnp.maximum(nxt - run_start, 1)
+    # Exact even selection of min(len, cap) residents: keep rank r iff
+    # floor((r+1)*cap/len) > floor(r*cap/len); kept slot = floor(r*cap/len)
+    # (contiguous by construction when len > cap).
+    over = run_len > cap
+    keep = (~over) | (((rank + 1) * cap) // run_len
+                      > (rank * cap) // run_len)
+    rank_k = jnp.where(over, (rank * cap) // run_len, rank)
     valid = sk != imax
     in_table = valid & (cell_id < max_cells)
-    slot = jnp.where(in_table & (rank < cap), cell_id * cap + rank,
-                     max_cells * cap)
+    slot = jnp.where(in_table & keep & (rank_k < cap),
+                     cell_id * cap + rank_k, max_cells * cap)
     flat = jnp.zeros((max_cells * cap + 1, 3), jnp.float32)
     flat = flat.at[slot].set(support.xyz[order], mode="drop")
     flat_idx = jnp.zeros((max_cells * cap + 1,), jnp.int32)
@@ -137,7 +158,8 @@ def build_cell_table(support: PointCloud, cell: float, max_cells: int,
     hashes = jnp.full((max_cells + 1,), imax, jnp.int32)
     hashes = hashes.at[head_slot].set(sk, mode="drop")
     cnt = jnp.zeros((max_cells + 1,), jnp.int32)
-    cnt = cnt.at[jnp.where(in_table, cell_id, max_cells)].add(1, mode="drop")
+    cnt = cnt.at[jnp.where(in_table & keep & (rank_k < cap), cell_id,
+                           max_cells)].add(1, mode="drop")
     return CellTable(hashes=hashes[:max_cells],
                      xyz=flat[:-1].reshape(max_cells, cap, 3),
                      idx=flat_idx[:-1].reshape(max_cells, cap),

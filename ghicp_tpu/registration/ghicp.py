@@ -121,6 +121,31 @@ class _State(NamedTuple):
                       # the non-streaming paths
 
 
+def _masked_median_log(x, m, comm: Comm):
+    """Layout-exact robust scale: median of ``x`` over mask ``m`` via a
+    128-bin log10 histogram (1e-4..1e3).
+
+    Integer bin counts psum EXACTLY across any row sharding (unlike a
+    mean, whose f32 accumulation order shifts with the layout), so the
+    robust estimator below stays within the suite's sharded-vs-local pose
+    tolerances.  Resolution is one bin (~13%) — ample for a trim scale."""
+    lo, hi, nb = -4.0, 3.0, 128
+    lx = jnp.log10(jnp.maximum(x, 1e-6))
+    bi = jnp.clip(((lx - lo) / (hi - lo) * nb).astype(jnp.int32), 0, nb - 1)
+    bi = jnp.where(m, bi, -1)
+    # One-hot compare + reduce instead of a scatter-add: [S] int scatters
+    # serialize on TPU (measured ~0.2 ms per call — 0.4 ms/iteration over
+    # two IRLS rounds); the [S, nb] compare-sum is a fused vector pass.
+    hist = jnp.sum((bi[:, None] == jnp.arange(nb, dtype=jnp.int32)[None, :]
+                    ).astype(jnp.int32), axis=0)
+    hist = comm.psum(hist)
+    csum = jnp.cumsum(hist)
+    n = csum[-1]
+    med_bin = jnp.argmax(csum >= (n + 1) // 2)
+    return jnp.float32(10.0) ** (lo + (med_bin.astype(jnp.float32) + 0.5)
+                                 * (hi - lo) / nb)
+
+
 def _matched_stats(src_pts, tgt_pts, fsel, tgt_idx, w, comm: Comm):
     """RMSE / FDM / FDstd over matched pairs (ghicp_reg.cpp:546-567).
     ``fsel`` [S]: the per-row feature distance at the matched column
@@ -210,19 +235,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                                axis=0))
         mid = comm.pmax(mid)   # replicate identical offset across shards
         kp_t_c = jnp.where(mask_t[:, None], kp_t - mid[None, :], 0.0)
-    # Dense-lane warm fast path (GHICPConfig.dense_fast_path): the
-    # streaming lane's carry economics applied to the materialized-FD
-    # lane — stats-free iterations whose keep test leaves few rows open
-    # skip the full benefit sweep AND the solver's full-matrix bidding,
-    # re-bidding only the open subset over FD row gathers.  Lane-level,
-    # not kernel-level: it applies to BOTH the fused-kernel path and the
-    # unfused XLA path (small row shards fall below the fused kernel's
-    # tile granularity but warm economics still hold).
-    dense_fast = ((not use_stream) and config.dense_fast_path
-                  and config.feature == FeatureType.BSC
-                  and config.correspondence == CorrespondenceType.KM
-                  and config.dense_open_cap > 0)
-    if use_fused or dense_fast:
+    if use_fused:
         # All computed once, before the while_loop traces the body: center
         # both keypoint sets by a common offset so the kernels'/closures'
         # norm-expansion ED stays f32-accurate at 100m-scale coordinates.
@@ -243,16 +256,21 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
     # bf16's ~2^-9 relative rounding of integer Hamming distances is far
     # below the schedule's own sensitivity.)
     fd_stats = fd_b if (use_fused and config.auction_bf16) else fd
-    if dense_fast:
-        dcap = min(config.dense_open_cap, S)
-        # The routing gate compares the GLOBAL open count against a GLOBAL
-        # capacity so the warm/full branch choice is identical for any
-        # device layout of the same problem (bit-parity single vs sharded).
-        dcap_gate = min(config.dense_open_cap, total_rows)
-        fd_max_static = comm.pmax(jnp.max(jnp.where(
+    # Multiplicative-blend (FPFH/RoPS) warm-start drift bound input: the
+    # min similarity over valid pairs, measured ONCE (features are fixed).
+    # cd = ed * fd^(-k) with k = 1/(it_eff+1) DECREASING: the exponent
+    # change only lowers costs (fd <= 1 -> fd^{dk} <= 1), i.e. benefits
+    # rise — the safe direction needing no price deflation.  Costs RISE
+    # only through ED motion, amplified by at most fd_min^(-k_next) —
+    # finite, so these lanes now warm-start like BSC instead of paying a
+    # cold auction every iteration (VERDICT r4 task 5; the reference
+    # treats all feature lanes uniformly, ghicp_reg.cpp:216-341).
+    fd_min_static = None
+    if (mult_blend and fd is not None
+            and config.correspondence == CorrespondenceType.KM):
+        fd_min_static = jnp.maximum(comm.pmin(jnp.min(jnp.where(
             mask_s[:, None] & mask_t[None, :],
-            fd_stats.astype(jnp.float32), 0.0)))
-
+            fd.astype(jnp.float32), 1.0))), 1e-6)
     def body(st: _State) -> _State:
         it_eff = st.it.astype(jnp.float32) + st.it_shift
         if config.feature == FeatureType.BSC:
@@ -268,7 +286,8 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
             wed = jnp.float32(1.0)
 
         budget = jnp.int32(config.auction_max_rounds)
-        if config.auction_warm_rounds > 0 and not use_stream:
+        if (config.auction_warm_rounds > 0 and not use_stream
+                and total_rows >= config.auction_warm_min_rows):
             # Warm-phase sweep budget: once the assignment+price warm start
             # carries most of the matching (past the feature-dominant early
             # schedule), fewer full-matrix bidding sweeps per solve suffice
@@ -280,13 +299,18 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
             # large at iteration 0, where no assignment warm start exists
             # yet and the pose-forming early solves need the full budget
             # (measured at the sparse NMS-1.0 config: immediate budget 1
-            # costs 0.12 -> 0.18 deg over the trajectory).
+            # costs 0.12 -> 0.18 deg over the trajectory).  ALSO gated on
+            # total_rows >= auction_warm_min_rows (static): sparse
+            # identity-start trajectories spend 20-30 pose-forming
+            # iterations past warm_after where budget 1 still costs pose
+            # (BENCH_r04 verdict-pair drift, VERDICT r4 task 2) and the
+            # solve is cheap at those counts anyway.
             budget = jnp.where(st.it > config.auction_warm_after,
                                jnp.int32(config.auction_warm_rounds),
                                budget)
         ed_max_fused = None
         fsel = None
-        if use_fused or dense_fast:
+        if use_fused:
             from ghicp_tpu.matching.cost import bsc_penalty
             from ghicp_tpu.matching.matchers import MatchResult
             from ghicp_tpu.ops.top2 import top2_rows
@@ -302,125 +326,6 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                               jnp.maximum(st.prices - st.price_unc, 0.0),
                               0.0)
             use_pallas_t2 = _jax.default_backend() == "tpu"
-        if dense_fast:
-            # --- dense-FD sweep closures for the warm fast path ---------
-            # The same stream_solve machinery as the matrix-free lane, with
-            # FD read from the static materialized matrix instead of
-            # recomputed from factors: full sweeps build [S, T] benefits
-            # in XLA (rare — only mid-bidding spills past the compact
-            # cap), compact sweeps gather the open rows' FD ([cap, T]) and
-            # selection is O(S) gathers.
-            def dense_select(jc):
-                t_sel = kp_t_c[jc]
-                eds = scale * jnp.linalg.norm(kps_c - t_sel, axis=-1)
-                fds = fd_stats[rows, jc].astype(jnp.float32)
-                return wed * eds + wfd * fds, eds, fds
-
-            def _dense_sweep_result(b_m, p, ac, m_sub, eds, fds):
-                from ghicp_tpu.ops.stream_kernel import SweepResult
-                R_ = b_m.shape[0]
-                v1, j1, v2 = top2_rows(b_m, p, use_pallas=use_pallas_t2)
-                rr = jnp.arange(R_)
-                realc = (ac >= 0) & (ac < T)
-                jcc = jnp.where(realc, ac, 0)
-                vsel = jnp.where(realc, b_m[rr, jcc] - p[jcc],
-                                 jnp.float32(-3.0e38))
-                cdm = jnp.where(m_sub, -b_m, 0.0)
-                return SweepResult(
-                    v1=v1, j1=j1, v2=v2, j2=jnp.zeros((R_,), jnp.int32),
-                    vsel=vsel, cnt=jnp.sum(m_sub.astype(jnp.float32)),
-                    cd_sum=jnp.sum(cdm), cd_sumsq=jnp.sum(cdm * cdm),
-                    cd_max=jnp.max(cdm),
-                    ed_max=jnp.max(jnp.where(m_sub, eds, 0.0)),
-                    b_max=jnp.max(jnp.where(m_sub, b_m,
-                                            jnp.float32(-3.0e38))),
-                    fd_max=jnp.max(jnp.where(m_sub, fds, 0.0)))
-
-            def dense_full_sweep(p, ac):
-                eds = euclidean_matrix(kps_c, kp_t_c, scale)
-                fds = fd_stats.astype(jnp.float32)
-                cds = wed * eds + wfd * fds
-                m_sub = mask_s[:, None] & mask_t[None, :]
-                b_m = jnp.where(m_sub, -cds, jnp.float32(-3.0e38))
-                return _dense_sweep_result(b_m, p, ac, m_sub, eds, fds)
-
-            def dense_sub_sweep(idx, sub_mask, p, ac_sub):
-                kss = kps_c[idx]
-                fds = fd_stats[idx].astype(jnp.float32)
-                d = jnp.matmul(kss, kp_t_c.T,
-                               precision=_jax.lax.Precision.HIGHEST)
-                d2 = jnp.maximum(
-                    jnp.sum(kss * kss, axis=1)[:, None]
-                    + jnp.sum(kp_t_c * kp_t_c, axis=1)[None, :]
-                    - 2.0 * d, 0.0)
-                eds = scale * jnp.sqrt(d2)
-                cds = wed * eds + wfd * fds
-                m_sub = sub_mask[:, None] & mask_t[None, :]
-                b_m = jnp.where(m_sub, -cds, jnp.float32(-3.0e38))
-                return _dense_sweep_result(b_m, p, ac_sub, m_sub, eds, fds)
-
-            def _warm_solve(_):
-                from ghicp_tpu.matching.stream_auction import stream_solve
-
-                def penalty_fn(mean, std):
-                    return bsc_penalty(mean, std, it_eff, st.rms, st.fdm,
-                                       st.fdstd, st.para1, st.para2, scale,
-                                       wed, wfd, config.penalty_initial)
-
-                sres = stream_solve(
-                    kps_c, kp_t_c, None, mask_s, mask_t, wed, wfd, scale,
-                    penalty_fn, eps_final=config.km_eps,
-                    rel_eps=config.auction_rel_eps, max_sweeps=budget,
-                    p0=st.prices, price_uncertainty=st.price_unc,
-                    acol0=st.acol, pen_prev=st.pen_prev, comm=comm,
-                    total_rows=total_rows, use_kernel=False,
-                    sweep_fn=dense_full_sweep, select_fn=dense_select,
-                    carry=st.scarry, stats_free=True, open_cap=dcap,
-                    compact_extra_sweeps=config.stream_compact_budget,
-                    sweep_sub_fn=dense_sub_sweep)
-                return (sres.match.tgt_idx, sres.match.w,
-                        sres.match.n_matches, sres.energy, sres.rounds,
-                        sres.prices, sres.eps_used, sres.acol, sres.cd_sel,
-                        sres.penalty, sres.v1_next, sres.b_max_next,
-                        sres.ed_max, sres.punc)
-
-            # Routing gate: replicate stream_solve's carry keep test
-            # (O(S) gathers + vector math) to count the rows the warm
-            # solve would leave open.  Overestimates only reroute to the
-            # full path — never wrong, just slower.
-            zero = jnp.float32(0.0)
-            pen_w = bsc_penalty(zero, zero, it_eff, st.rms, st.fdm,
-                                st.fdstd, st.para1, st.para2, scale,
-                                wed, wfd, config.penalty_initial)
-            jc0 = jnp.where(real0, st.acol, 0)
-            cd0, _, _ = dense_select(jc0)
-            vsel0 = jnp.where(real0 & mask_s & mask_t[jc0],
-                              -cd0 - p_mid[jc0], jnp.float32(-3.0e38))
-            dp_w = jnp.abs(pen_w - st.pen_prev)
-            car = st.scarry
-            A = car.v1_ub + car.v1_drift + jnp.max(st.price_unc) + dp_w
-            tight = jnp.where(A > 0, A, A / (1.0 + car.decay_ratio))
-            bound = jnp.minimum(A + car.fd_term, tight)
-            sink_w = -pen_w
-            spread_w = jnp.maximum(
-                jnp.minimum(car.b_max + car.fd_term, 0.0) - sink_w, 0.0)
-            eps_w = jnp.maximum(jnp.float32(config.km_eps),
-                                config.auction_rel_eps * spread_w)
-            eps0_w = jnp.clip(dp_w + 2.0 * eps_w, eps_w,
-                              jnp.maximum(spread_w / 8.0, eps_w))
-            own_ok0 = real0 & (owner0[jc0] == row_gid)
-            keep_w = own_ok0 & (vsel0 >= bound - eps0_w)
-            sunk_w = (st.acol == _SINK) & (sink_w >= bound - eps0_w)
-            # psum: the branch choice must be mesh-uniform (the warm solve
-            # contains collectives), and the count is compared against a
-            # GLOBAL capacity so the choice is layout-independent.
-            n_open = comm.psum(jnp.sum(
-                (~(keep_w | sunk_w)).astype(jnp.int32)))
-            import os as _os
-            _dbg_gate = bool(_os.environ.get("GHICP_DEBUG_GATE"))
-            fast_g = car.ok & (it_eff > 1.0) & (n_open <= dcap_gate)
-            if config.stream_refresh_every > 0:
-                fast_g = fast_g & (st.it % config.stream_refresh_every != 0)
         if use_stream:
             from ghicp_tpu.matching.cost import bsc_penalty
             from ghicp_tpu.matching.stream_auction import stream_solve
@@ -603,25 +508,6 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
             from ghicp_tpu.matching import auction as _au
             from ghicp_tpu.ops.cost_kernel import fused_benefit
 
-            # Factor-streaming GS solve (NOTES round-4 "next dense-lane
-            # speed" item): when the whole solve can run through the
-            # factor GS kernel, the benefit matrix is never materialized —
-            # the hint/stats kernel skips its [S, T] store (write_b=False)
-            # and the auction recomputes benefit tiles from the FD stripes
-            # + coordinate factors per sweep.  Per warm iteration the
-            # dense lane's HBM traffic drops from (fd read + b write +
-            # b read) to (fd read x2).
-            use_factor_gs = (config.factor_gs_kernel
-                             and config.auction_round_kernel
-                             and not comm.distributed
-                             and config.auction_phases == 1
-                             and config.dense_open_cap == 0
-                             and not dense_fast
-                             and (_jax.default_backend() == "tpu"
-                                  or _au._KERNEL_INTERPRET)
-                             and S % _au._gs_ts(T) == 0
-                             and _au._gs_ts(T) * T <= 256 * 8192)
-
             def _full_solve(_):
                 # Full fused+GS iteration.  Warm-start CS hints come out of
                 # the SAME sweep that builds the benefit matrix: deflate the
@@ -637,8 +523,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                             kps_c, kp_t_c, fd_b, mask_s, mask_t, wed, wfd,
                             scale, ts=128, interpret=_FUSED_INTERPRET,
                             out_dtype=b_dtype, p_defl=p_mid, acol0=st.acol,
-                            mult_blend=mult_blend, with_stats=ws,
-                            write_b=not use_factor_gs)
+                            mult_blend=mult_blend, with_stats=ws)
                     return run
 
                 if config.feature == FeatureType.BSC:
@@ -673,7 +558,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                 dpen = jnp.abs(penalty - st.pen_prev)
                 drift = st.price_unc + dpen
                 ares = auction_match_benefits(
-                    None if use_factor_gs else b, penalty, mask_s, mask_t,
+                    b, penalty, mask_s, mask_t,
                     eps_final=config.km_eps,
                     max_rounds=budget,
                     comm=comm, total_rows=total_rows,
@@ -683,88 +568,142 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                     n_phases=config.auction_phases, b_max=b_max,
                     acol0=st.acol, hint_v1=v1_mid + dpen,
                     hint_vsel=vsel_mid,
-                    compact_cap=config.dense_open_cap,
-                    compact_budget=config.stream_compact_budget,
-                    keep_slack_extra=dpen,
-                    factors=((kps_c, kp_t_c, fd_b, mask_s, mask_t,
-                              wed, wfd, scale) if use_factor_gs else None),
-                    mult_blend=mult_blend,
-                    quantize_b=config.auction_bf16)
-                # Carry for the dense fast path: per-row v1 bound derived
-                # from the solve's OWN CS guarantees, via O(S) gathers —
-                # every returned row satisfies vsel >= v1 - slack at the
-                # final prices (auction bidding invariant for re-bid rows,
-                # keep test for kept rows, argmax-exactness for greedy
-                # completions, the sink rule for sunk rows), so
-                # v1 <= (-cd_sel - p[jc]) + slack.  v1 at pre-solve prices
-                # is uselessly loose once bidding raised prices (measured:
-                # keeps never engaged at bench scale), and a full
-                # final-price rowmax pass costs ~0.3ms/iteration.
-                if dense_fast:
-                    real_a = (ares.acol >= 0) & (ares.acol < T)
-                    jca = jnp.where(real_a, ares.acol, 0)
-                    slack = 2.0 * ares.eps_used + dpen
-                    v1_carry = jnp.where(
-                        real_a, -ares.cd_sel - ares.prices[jca],
-                        -penalty) + slack
-                else:
-                    v1_carry = v1_mid + dpen
+                    keep_slack_extra=dpen)
+                v1_carry = v1_mid + dpen
                 return (ares.match.tgt_idx, ares.match.w,
                         ares.match.n_matches, ares.energy, ares.rounds,
                         ares.prices, ares.eps_used, ares.acol, ares.cd_sel,
                         penalty, v1_carry, b_max, comm.pmax(ed_max_f),
                         ares.punc)
 
-            if dense_fast:
-                outs = jax.lax.cond(fast_g, _warm_solve, _full_solve, None)
+            # Single-launch warm iteration (GHICPConfig.warm_fused_kernel):
+            # once the penalty schedule is stats-free and an assignment
+            # warm start exists, benefit construction + exact v1/vsel at
+            # the bidding prices + the keep test + GS bidding + greedy
+            # completion all run in ONE Pallas launch — HBM traffic is one
+            # FD stream instead of (fd read + b write + b read).
+            use_warm_kernel = (config.warm_fused_kernel
+                               and (config.feature == FeatureType.BSC
+                                    or mult_blend)
+                               and config.auction_round_kernel
+                               and not comm.distributed
+                               and config.auction_phases == 1
+                               and (_jax.default_backend() == "tpu"
+                                    or _au._KERNEL_INTERPRET)
+                               and S % _au._gs_ts(T) == 0
+                               and _au._gs_ts(T) * T <= 256 * 8192)
+
+            def _warm_kernel_solve(_):
+                from ghicp_tpu.ops.auction_rounds import \
+                    auction_warm_fused_pallas
+                zero = jnp.float32(0.0)
+                # Stats-free penalty (the gate guarantees it_eff > 1: both
+                # schedules take their rms branch past iteration 1 —
+                # ghicp_reg.cpp:279-293 for BSC, :327-335 for FPFH/RoPS).
+                if mult_blend:
+                    penalty = st.rms * st.para1 * scale * st.para2
+                else:
+                    penalty = bsc_penalty(zero, zero, it_eff, st.rms,
+                                          st.fdm, st.fdstd, st.para1,
+                                          st.para2, scale, wed, wfd,
+                                          config.penalty_initial)
+                dpen = jnp.abs(penalty - st.pen_prev)
+                # Fully-deflated bidding-start prices (owner-zeroed).  No
+                # mid stage here: the kernel measures v1/vsel EXACTLY at
+                # these prices, so no +dpen hint adjustment is needed.
+                p_start = jnp.where(
+                    owner0 >= 0,
+                    jnp.maximum(st.prices - (st.price_unc + dpen), 0.0),
+                    0.0)
+                jc0 = jnp.where(real0, st.acol, 0)
+                own_ok = real0 & (owner0[jc0] == row_gid)
+                acol_real = jnp.where(real0, st.acol, -1)
+                sunk0 = (st.acol == _SINK).astype(jnp.int32)
+                ts_gs = _au._gs_ts(T)
+                esc_after = jnp.maximum(budget // 4, 1)
+                esc_period = jnp.maximum(budget // 16, 1)
+                p_k, owner_k, sunk_k, r_k, gcol_k, stats_k = \
+                    auction_warm_fused_pallas(
+                        kps_c, kp_t_c, fd_b, mask_s, mask_t, wed, wfd,
+                        scale, p_start, owner0, acol_real, sunk0, own_ok,
+                        -penalty, config.km_eps, config.auction_rel_eps,
+                        dpen, budget, ts=ts_gs, inner_cap=1,
+                        esc_after=esc_after, esc_period=esc_period,
+                        mult_blend=mult_blend,
+                        quantize=config.auction_bf16,
+                        interpret=_au._KERNEL_INTERPRET)
+                b_max_k = stats_k[0]
+                eps_k, eps_keep_k = stats_k[2], stats_k[3]
+                # ED max BOUND from coordinate norms (the kernel no longer
+                # spends a masked [S, T] reduce on the exact value; the
+                # consumer is the next warm start's drift bound, where the
+                # triangle-inequality bound costs only proportional slack
+                # in dwfd * ed_max — tiny once wfd has decayed).
+                ed_max_k = scale * (
+                    jnp.max(jnp.where(mask_s,
+                                      jnp.linalg.norm(kps_c, axis=-1), 0.0))
+                    + jnp.max(jnp.where(mask_t,
+                                        jnp.linalg.norm(kp_t_c, axis=-1),
+                                        0.0)))
+                col_ids = jnp.arange(T, dtype=jnp.int32)
+                acol_k = jnp.full((S,), -1, jnp.int32).at[
+                    jnp.where(owner_k >= 0, owner_k, T)].set(
+                    col_ids, mode="drop")
+                acol_k = jnp.where((sunk_k == 1) & (acol_k < 0), _SINK,
+                                   acol_k)
+                acol_k = jnp.where((acol_k == -1) & (gcol_k >= 0),
+                                   jnp.where(gcol_k < T, gcol_k, _SINK),
+                                   acol_k)
+                eps_bound = eps_k * jnp.exp2(
+                    jnp.maximum(r_k - esc_after, 0).astype(jnp.float32)
+                    / esc_period.astype(jnp.float32))
+                punc_k = jnp.where(p_k != p_start, 2.0 * eps_bound,
+                                   eps_keep_k)
+                # Matched-pair selection via factor gathers.  The
+                # elementwise f32 dot can differ from the kernel's MXU
+                # HIGHEST dot by ~1 ulp of its bf16 passes; for pairs with
+                # CD exactly at the penalty boundary the gate below may
+                # therefore disagree with the in-kernel sink decision at
+                # the last bit — a tolerance the epsilon bound dwarfs (a
+                # [S,1,8]-batched dot_general for exact parity lowers to
+                # pathological tiny matmuls on this backend).
+                matched = (acol_k >= 0) & (acol_k < T)
+                jc = jnp.where(matched, acol_k, 0)
+                tsel = kp_t_c[jc]
+                dd = jnp.sum(kps_c * tsel, axis=1)
+                s2 = jnp.sum(kps_c * kps_c, axis=1)
+                t2 = jnp.sum(tsel * tsel, axis=1)
+                ed_sel = scale * jnp.sqrt(
+                    jnp.maximum(s2 + t2 - 2.0 * dd, 0.0))
+                fd_sel = fd_b[jnp.arange(S), jc].astype(jnp.float32)
+                if mult_blend:
+                    cd_f = ed_sel * jnp.exp(
+                        -wfd * jnp.log(jnp.maximum(fd_sel, 1e-6)))
+                else:
+                    cd_f = wed * ed_sel + wfd * fd_sel
+                m_sel = mask_s & mask_t[jc]
+                bsel = jnp.where(m_sel, -cd_f, jnp.float32(-3.0e38))
+                if config.auction_bf16:
+                    bsel = bsel.astype(jnp.bfloat16).astype(jnp.float32)
+                real_m = mask_s & matched & (bsel > -penalty)
+                w_m = real_m.astype(jnp.float32)
+                cor_m = comm.psum(jnp.sum(w_m))
+                matched_cd = comm.psum(jnp.sum(jnp.where(real_m, -bsel,
+                                                         0.0)))
+                n_sq = jnp.float32(max(total_rows, T))
+                energy_k = matched_cd + penalty * (n_sq - cor_m)
+                return (jc.astype(jnp.int32), w_m,
+                        cor_m.astype(jnp.int32), energy_k, r_k, p_k,
+                        eps_bound, acol_k, -bsel, penalty,
+                        jnp.zeros((S,), jnp.float32), b_max_k,
+                        ed_max_k, punc_k)
+
+            if use_warm_kernel:
+                warm_g = (it_eff > 1.0) & (st.it > 1)
+                outs = jax.lax.cond(warm_g, _warm_kernel_solve,
+                                    _full_solve, None)
             else:
                 outs = _full_solve(None)
-            (tgt_i, w_i, nm_i, energy, rounds, prices, eps_used, acol_new,
-             cd_sel, penalty, v1_next_c, b_max_c, ed_max_c,
-             punc_new) = outs
-            match = MatchResult(tgt_idx=tgt_i, w=w_i, n_matches=nm_i)
-            ed_max_fused = ed_max_c
-        elif dense_fast:
-            # Unfused XLA lane WITH the warm fast path (BSC+KM by the
-            # dense_fast predicate — e.g. row shards below the fused
-            # kernel's tile granularity).  The ED/blend full-matrix passes
-            # move inside the full-solve branch so warm iterations skip
-            # them entirely.
-            def _full_solve_x(_):
-                ed_l = euclidean_matrix(st.kps, kp_t, scale)
-                cost = blend_bsc(ed_l, fd, mask_s, mask_t, it_eff, st.rms,
-                                 st.fdm, st.fdstd, st.para1, st.para2,
-                                 scale, config.weight_changing_rate,
-                                 config.penalty_initial, comm)
-                penalty_l = cost.penalty
-                dpen = jnp.abs(penalty_l - st.pen_prev)
-                drift = st.price_unc + dpen
-                ares = auction_match(cost.cd, penalty_l, mask_s, mask_t,
-                                     eps_final=config.km_eps,
-                                     max_rounds=budget,
-                                     comm=comm, total_rows=total_rows,
-                                     rel_eps=config.auction_rel_eps,
-                                     p0=st.prices, price_uncertainty=drift,
-                                     quantize_bf16=config.auction_bf16,
-                                     use_round_kernel=(
-                                         config.auction_round_kernel),
-                                     n_phases=config.auction_phases,
-                                     acol0=st.acol, keep_slack_extra=dpen)
-                # Carry hints (one fused rowmax pass): v1 measured at the
-                # FINAL prices — tight, like the fused branch (v1 at
-                # pre-solve prices is loose by the whole in-solve price
-                # rise and the keep test then never engages).
-                m_full = mask_s[:, None] & mask_t[None, :]
-                b_l = jnp.where(m_full, -cost.cd, jnp.float32(-3.0e38))
-                v1_end = jnp.max(b_l - ares.prices[None, :], axis=1)
-                b_max_l = comm.pmax(jnp.max(b_l))
-                ed_max_l = comm.pmax(jnp.max(jnp.where(m_full, ed_l, 0.0)))
-                return (ares.match.tgt_idx, ares.match.w,
-                        ares.match.n_matches, ares.energy, ares.rounds,
-                        ares.prices, ares.eps_used, ares.acol, ares.cd_sel,
-                        penalty_l, v1_end, b_max_l, ed_max_l, ares.punc)
-
-            outs = jax.lax.cond(fast_g, _warm_solve, _full_solve_x, None)
             (tgt_i, w_i, nm_i, energy, rounds, prices, eps_used, acol_new,
              cd_sel, penalty, v1_next_c, b_max_c, ed_max_c,
              punc_new) = outs
@@ -868,9 +807,16 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
         for _ in range(irls_rounds):
             resid = jnp.linalg.norm(tf.apply(rt_step, st.kps) - tgt_pts,
                                     axis=-1)
-            rsum = jnp.maximum(comm.psum(jnp.sum(w_est)), 1e-12)
-            rmean = comm.psum(jnp.sum(w_est * resid)) / rsum
-            c = config.robust_trim_c * rmean + 1e-12
+            # Tukey scale from the matched-residual MEDIAN, not the mean:
+            # on coverage-asymmetric pairs (per-origin TLS scans) the
+            # penalty floor keeps the gate wide and a large fraction of
+            # the complete matching is geometric junk at meters — a
+            # mean-based c is then outlier-owned and trims nothing
+            # (measured: scan-pair translation drifting to 0.47 m with a
+            # 0.03 m coarse init), while the median sits at the inlier/
+            # boundary scale and locks onto the consensus set.
+            rscale = _masked_median_log(resid, w_est > 0, comm)
+            c = config.robust_trim_c * rscale + 1e-12
             u = jnp.minimum(resid / c, 1.0)
             wr = w_est * (1.0 - u * u) ** 2   # Tukey biweight
             rt_step = estimate(st.kps, tgt_pts, wr, dof=config.reg_dof,
@@ -898,15 +844,6 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
 
         m = st.metrics
         i = st.it
-        if dense_fast and _dbg_gate:
-            # Diagnostic lane (axon has no debug callbacks): stash the
-            # gate's open count, the ownership-failure count, and the
-            # median keep margin in informational metric slots.
-            energy = n_open.astype(jnp.float32)
-            iou = jnp.sum((real0 & ~own_ok0).astype(jnp.float32))
-            margin_dbg = jnp.where(own_ok0, vsel0 - (bound - eps0_w),
-                                   jnp.nan)
-            rmse_after = jnp.nanmedian(margin_dbg)
         metrics = IterationMetrics(
             energy=m.energy.at[i].set(energy),
             rmse=m.rmse.at[i].set(rmse),
@@ -963,22 +900,17 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                     v1_drift=d_ed,
                     fd_term=dwfd * fd_cap,
                     decay_ratio=dwfd / jnp.maximum(wfd_next, 1e-30))
-            elif dense_fast:
-                # Dense fast path's carry: same structure as the streaming
-                # lane, with the FD max known exactly (static matrix,
-                # measured once before the loop).
-                wfd_next = jnp.exp(-(i_eff + 1.0) / r)
-                scarry_new = StreamCarry(
-                    ok=jnp.bool_(True),
-                    v1_ub=v1_next_c,
-                    b_max=b_max_c,
-                    ed_max=ed_max + d_ed,
-                    fd_max=fd_max_static,
-                    v1_drift=d_ed,
-                    fd_term=dwfd * fd_max_static,
-                    decay_ratio=dwfd / jnp.maximum(wfd_next, 1e-30))
         elif config.feature in (FeatureType.FPFH, FeatureType.ROPS):
-            drift_next = jnp.float32(3.0e38)
+            if fd_min_static is not None:
+                # Only the ED rise can over-price a column; the blend
+                # amplifies it by at most fd^(-k) <= fd_min^(-k_next).
+                i_eff = i.astype(jnp.float32) + st.it_shift
+                k_next = 1.0 / (i_eff + 2.0)
+                drift_next = d_ed * jnp.exp(
+                    k_next * jnp.log(1.0 / fd_min_static))
+            else:
+                # Streaming mult lane: fd_min unmeasured -> cold start.
+                drift_next = jnp.float32(3.0e38)
         else:
             drift_next = d_ed
         return _State(
@@ -1028,6 +960,104 @@ def ghicp_loop(kp_s: Array, mask_s: Array, kp_t: Array, mask_t: Array,
                        matches=final.matches)
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def _final_resolve_jit(state: _State, kp_t: Array, mask_s: Array,
+                       mask_t: Array, fd: Optional[Array],
+                       bbx_magnitude: Array, config: GHICPConfig,
+                       stream=None):
+    """One full-budget KM re-solve at the FINAL pose: the honest matching.
+
+    The engine's production budgets truncate hard and greedy-complete
+    contested rows with duplicate target columns — harmless to the pose
+    (margin weights + IRLS discount them) but a violation of KM's
+    one-to-one output semantics (km.cpp:144-162) in the exported
+    correspondences, and a floor under the matched RMSE the success
+    verdict reads (ghicp_reg.cpp:918-924).  This resolve warm-starts from
+    the final state's prices+assignment (duplicate losers fail the
+    ownership test and re-bid) with a generous sweep budget, so only the
+    contested tail re-auctions — one extra solve per registration.
+
+    Runs at the ABSOLUTE ``km_eps`` (rel_eps 0, the exact-parity mode):
+    the production rel_eps floor (spread/64) is sized for per-iteration
+    solves whose slack the next iteration absorbs — at the FINAL matching
+    it is ~an NMS radius of per-pair slack and measurably inflates the
+    honest matched RMSE (measured 1.60 vs the 1.23 Hungarian optimum on
+    the CLI flagship scene; km_eps lands within a few percent).
+
+    Returns (matches [S], n_matches, rmse) over the clean matching.
+    """
+    from ghicp_tpu.matching.cost import bsc_penalty  # noqa: F401
+    scale = config.scale_factor * bbx_magnitude
+    S = state.kps.shape[0]
+    T = kp_t.shape[0]
+    it_eff = jnp.maximum(state.it.astype(jnp.float32) - 1.0, 0.0) \
+        + state.it_shift
+    penalty = state.pen_prev      # the gate the last iteration applied
+    mult_blend = config.feature in (FeatureType.FPFH, FeatureType.ROPS)
+    if config.feature == FeatureType.BSC:
+        wfd = jnp.exp(-it_eff / config.weight_changing_rate)
+        wed = 1.0 - wfd
+    elif mult_blend:
+        wfd = 1.0 / (it_eff + 1.0)
+        wed = jnp.float32(1.0)
+    else:
+        wfd = jnp.float32(0.0)
+        wed = jnp.float32(1.0)
+    budget = jnp.int32(config.final_resolve_rounds)
+    if stream is not None:
+        from ghicp_tpu.matching.stream_auction import stream_solve
+        from ghicp_tpu.ops.stream_kernel import RingFeatures
+        if isinstance(stream, RingFeatures):
+            raise ValueError("final resolve: ring lane unsupported (run "
+                             "it on the gathered factors instead)")
+        mid = 0.5 * (jnp.min(jnp.where(mask_t[:, None], kp_t, 3e38), axis=0)
+                     + jnp.max(jnp.where(mask_t[:, None], kp_t, -3e38),
+                               axis=0))
+        kp_t_c = jnp.where(mask_t[:, None], kp_t - mid[None, :], 0.0)
+        kps_c = state.kps - mid[None, :]
+        use_k = jax.default_backend() == "tpu" or _STREAM_INTERPRET
+        sres = stream_solve(
+            kps_c, kp_t_c, stream, mask_s, mask_t, wed, wfd, scale,
+            lambda mean, std: penalty, eps_final=config.km_eps,
+            rel_eps=0.0, max_sweeps=budget,
+            p0=state.prices, price_uncertainty=state.price_unc,
+            acol0=state.acol, pen_prev=state.pen_prev,
+            interpret=_STREAM_INTERPRET, mult_blend=mult_blend,
+            use_kernel=use_k, open_cap=config.stream_open_cap,
+            compact_extra_sweeps=config.stream_compact_budget,
+            no_features=(config.feature == FeatureType.NONE),
+            esc_period=max(config.final_resolve_rounds // 16, 1))
+        match, tgt_idx, w = sres.match, sres.match.tgt_idx, sres.match.w
+    else:
+        ed = euclidean_matrix(state.kps, kp_t, scale)
+        if config.feature == FeatureType.BSC:
+            cd = jnp.where(mask_s[:, None] & mask_t[None, :],
+                           wed * ed + wfd * fd.astype(jnp.float32),
+                           jnp.inf)
+        elif mult_blend:
+            cd = jnp.where(mask_s[:, None] & mask_t[None, :],
+                           ed / jnp.power(jnp.maximum(
+                               fd.astype(jnp.float32), 1e-6), wfd),
+                           jnp.inf)
+        else:
+            cd = jnp.where(mask_s[:, None] & mask_t[None, :], ed, jnp.inf)
+        ares = auction_match(cd, penalty, mask_s, mask_t,
+                             eps_final=config.km_eps, max_rounds=budget,
+                             rel_eps=0.0,
+                             p0=state.prices,
+                             price_uncertainty=state.price_unc,
+                             quantize_bf16=config.auction_bf16,
+                             use_round_kernel=config.auction_round_kernel,
+                             n_phases=1, acol0=state.acol,
+                             keep_slack_extra=jnp.float32(0.0))
+        match, tgt_idx, w = ares.match, ares.match.tgt_idx, ares.match.w
+    matches = jnp.where(w > 0, tgt_idx, -1)
+    tgt_pts = kp_t[tgt_idx]
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    se = jnp.sum(w * jnp.sum((state.kps - tgt_pts) ** 2, axis=-1))
+    return matches, match.n_matches, jnp.sqrt(se / n)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "limit_step"))
 def _ghicp_chunk(state: _State, kp_t: Array, mask_s: Array, mask_t: Array,
                  fd: Optional[Array], bbx_magnitude: Array,
@@ -1052,7 +1082,9 @@ def ghicp_register_chunked(kp_s: Array, mask_s: Array, kp_t: Array,
                            init_transform: Optional[Array] = None,
                            it_shift: float = 0.0,
                            stream=None,
-                           iteration_callback=None) -> GHICPResult:
+                           iteration_callback=None,
+                           overhead_out: Optional[dict] = None
+                           ) -> GHICPResult:
     """Host-stepped GH-ICP: the same loop dispatched ``chunk`` iterations at
     a time.
 
@@ -1086,11 +1118,36 @@ def ghicp_register_chunked(kp_s: Array, mask_s: Array, kp_t: Array,
                                np.asarray(state.matches))
         if bool(conv) or int(it) >= config.max_iterations:
             break
-    success = state.rmse_after < 1.5 * config.non_max_radius
+    if overhead_out is not None:
+        # Fixed per-dispatch overhead probe (roofline reporting): dispatch
+        # the SAME chunk executable once more — the loop condition is
+        # already false (converged or at max_iterations) so zero
+        # iterations execute — and time the dispatch + scalar fetch.
+        # device_ms_per_iter = (wall - overhead) / iterations.
+        import time as _time
+        t0 = _time.perf_counter()
+        state2 = _ghicp_chunk(state, kp_t, mask_s, mask_t, fd,
+                              jnp.asarray(bbx_magnitude, jnp.float32),
+                              config, chunk, stream=stream)
+        jax.device_get(jnp.stack(
+            [state2.converged.astype(jnp.int32), state2.it]))
+        overhead_out["dispatch_overhead"] = _time.perf_counter() - t0
+    matches = state.matches
+    final_rmse = state.rmse_after
+    if (config.final_resolve_rounds > 0
+            and config.correspondence == CorrespondenceType.KM):
+        # Clean one-to-one final matching + the RMSE the success verdict
+        # reads (see _final_resolve_jit).  The reference's last-iteration
+        # KM matching is one-to-one by construction; ours is only after
+        # this resolve.
+        matches, _, final_rmse = _final_resolve_jit(
+            state, kp_t, mask_s, mask_t, fd,
+            jnp.asarray(bbx_magnitude, jnp.float32), config, stream=stream)
+    success = final_rmse < 1.5 * config.non_max_radius
     return GHICPResult(transform=state.rt, iterations=state.it,
                        converged=state.converged, success=success,
-                       final_rmse=state.rmse_after, metrics=state.metrics,
-                       matches=state.matches)
+                       final_rmse=final_rmse, metrics=state.metrics,
+                       matches=matches)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "it_shift"))
@@ -1127,11 +1184,8 @@ def ghicp_register_batched(kp_s: Array, mask_s: Array, kp_t: Array,
     cleanly and are fast at station-graph keypoint capacities.
     """
     import dataclasses as _dc
-    # dense_fast_path also off: vmap lowers lax.cond to select, which
-    # executes BOTH the warm and the full solve for every pair — the fast
-    # path would cost extra instead of saving.
     cfg = _dc.replace(config, fused_cost_kernel=False,
-                      auction_round_kernel=False, dense_fast_path=False)
+                      auction_round_kernel=False)
     if init_transform is None:
         fn = jax.vmap(lambda a, b, c, d, e, f: ghicp_loop(
             a, b, c, d, e, f, cfg, LOCAL))

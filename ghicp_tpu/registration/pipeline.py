@@ -194,6 +194,7 @@ def _launch_compile_warmup(cap: int, config: GHICPConfig, use_stream: bool):
                 ransac_coarse_align.lower(
                     kp0, m0, kp0, m0, fd0, tau=tau,
                     n_hyp=config.ransac_hypotheses,
+                    n_cand=config.ransac_candidates,
                     frames_s=frames0, frames_t=frames0).compile()
         except Exception:
             pass
@@ -210,7 +211,8 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
                   keypoint_capacity: Optional[int] = None,
                   initial_transform: Optional[np.ndarray] = None,
                   profile_dir: Optional[str] = None,
-                  iteration_callback=None) -> RegistrationOutput:
+                  iteration_callback=None,
+                  overhead_out: Optional[dict] = None) -> RegistrationOutput:
     """Register ``source`` onto ``target`` (both raw [n,3] float arrays).
 
     Follows ghicp_main.cpp's stage order; returns the final [4,4] transform
@@ -222,7 +224,7 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
         with jax.profiler.trace(profile_dir):
             return register_pair(source_pts, target_pts, config,
                                  keypoint_capacity, initial_transform, None,
-                                 iteration_callback)
+                                 iteration_callback, overhead_out)
     timings: Dict[str, float] = {}
     t0 = time.perf_counter()
     cs = PointCloud.from_points(source_pts)
@@ -452,6 +454,7 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
             rr = ransac_coarse_align(kp_s, kp_s_mask, kp_t, kp_t_mask,
                                      fd_dist, tau=tau,
                                      n_hyp=config.ransac_hypotheses,
+                                     n_cand=config.ransac_candidates,
                                      frames_s=frames_s, frames_t=frames_t)
         if int(rr.inliers) >= config.ransac_min_inliers:
             T0 = rr.transform
@@ -468,7 +471,8 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
                                     chunk=config.engine_chunk,
                                     init_transform=T0, it_shift=it_shift,
                                     stream=stream_feats,
-                                    iteration_callback=iteration_callback)
+                                    iteration_callback=iteration_callback,
+                                    overhead_out=overhead_out)
     jax.block_until_ready(result.transform)
     timings["register"] = time.perf_counter() - t0
 

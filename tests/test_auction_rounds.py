@@ -233,108 +233,100 @@ def test_gs_eps_escalation_parity_and_convergence():
         assert np.array_equal(np.asarray(x), np.asarray(y))
 
 
-def test_gs_fused_factor_kernel_matches_materialized():
-    """The factor-streaming GS kernel (benefits recomputed per tile from
-    coordinate + FD factors) must be bit-identical to the plain GS kernel
-    running on the materialized bf16 benefit matrix built from the same
-    factors (ops/cost_kernel.py arithmetic)."""
-    import jax.numpy as jnp
-
-    from ghicp_tpu.ops.auction_rounds import (auction_phase_gs_fused_pallas,
-                                              auction_phase_gs_pallas)
-    from ghicp_tpu.ops.cost_kernel import fused_benefit_ref
-
-    rng = np.random.default_rng(5)
-    S, C = 512, 640
+def _warm_fixture(seed=11, S=256, C=384):
+    # C comfortably above S: a square problem's forced-sink endgame needs
+    # price mass ~penalty*C to push the surplus rows out — thousands of
+    # fixed-eps sweeps (production solves rely on escalation + greedy
+    # completion there); surplus columns keep these unit tests in the
+    # fast-converging regime the contracts are about.
+    rng = np.random.default_rng(seed)
     kps = rng.uniform(-4, 4, (S, 3)).astype(np.float32)
     kpt = rng.uniform(-4, 4, (C, 3)).astype(np.float32)
     fd = rng.integers(0, 200, (S, C)).astype(np.float32).astype(jnp.bfloat16)
     ms = np.ones(S, bool)
-    ms[500:] = False
+    ms[S - 6:] = False
     mt = np.ones(C, bool)
-    mt[630:] = False
-    wed, wfd, scale = 0.7, 0.3, 0.15
-    b, *_ = fused_benefit_ref(jnp.asarray(kps), jnp.asarray(kpt),
-                              jnp.asarray(fd), jnp.asarray(ms),
-                              jnp.asarray(mt), wed, wfd, scale,
-                              out_dtype=jnp.bfloat16)
-    p0 = jnp.zeros(C, jnp.float32)
-    o0 = jnp.full((C,), -1, jnp.int32)
-    s0 = jnp.zeros(S, jnp.int32)
-    open0 = jnp.asarray(ms).astype(jnp.int32)
-    for budget, comp in ((1, 0), (6, 0), (40, 1)):
-        a = auction_phase_gs_pallas(b, p0, o0, s0, open0, 0.05, -8.0,
-                                    budget, ts=128, inner_cap=1,
-                                    esc_after=0, esc_period=1,
-                                    complete_open=comp, interpret=True)
-        f = auction_phase_gs_fused_pallas(
-            jnp.asarray(kps), jnp.asarray(kpt), jnp.asarray(fd),
-            jnp.asarray(ms), jnp.asarray(mt), wed, wfd, scale,
-            p0, o0, s0, open0, 0.05, -8.0, budget, ts=128, inner_cap=1,
-            esc_after=0, esc_period=1, complete_open=comp, quantize=True,
-            interpret=True)
-        for k, (x, y) in enumerate(zip(a, f)):
-            assert np.array_equal(np.asarray(x), np.asarray(y)), (budget, k)
+    mt[C - 10:] = False
+    return kps, kpt, fd, jnp.asarray(ms), jnp.asarray(mt)
 
 
-def test_auction_match_benefits_factor_path_parity():
-    """Solve-level parity: auction_match_benefits driven by factors
-    (matrix-free GS) returns the same assignment/prices/energy as the
-    materialized-b solve, warm start included — and the factor gate must
-    actually engage (asserted via the kernel-only shape conditions)."""
-    import jax.numpy as jnp
+def test_warm_fused_kernel_cold_energy_bound():
+    """Cold start through the single-launch warm kernel: the assignment's
+    energy must be within the auction's n*eps bound of the Hungarian
+    optimum on the same gated benefit matrix (km.cpp:40 semantics)."""
+    from scipy.optimize import linear_sum_assignment
 
-    import ghicp_tpu.matching.auction as au
+    from ghicp_tpu.ops.auction_rounds import auction_warm_fused_pallas
     from ghicp_tpu.ops.cost_kernel import fused_benefit_ref
 
-    rng = np.random.default_rng(11)
-    S, C = 512, 512
-    kps = rng.uniform(-4, 4, (S, 3)).astype(np.float32)
-    kpt = (kps[rng.permutation(S)[:C]]
-           + rng.normal(0, 0.1, (C, 3))).astype(np.float32)
-    fd = rng.integers(0, 200, (S, C)).astype(np.float32).astype(jnp.bfloat16)
-    ms = jnp.ones(S, bool)
-    mt = jnp.ones(C, bool)
-    wed, wfd, scale = 0.6, 0.4, 0.2
-    factors = (jnp.asarray(kps), jnp.asarray(kpt), jnp.asarray(fd),
-               ms, mt, jnp.float32(wed), jnp.float32(wfd),
-               jnp.float32(scale))
-    out = fused_benefit_ref(*factors)
-    b, b_max = out[0], out[6]
-    penalty = jnp.float32(40.0)
+    kps, kpt, fd, ms, mt = _warm_fixture()
+    S, C = fd.shape
+    wed, wfd, scale = 0.7, 0.3, 0.15
+    penalty = 40.0
+    p0 = jnp.zeros(C, jnp.float32)
+    o0 = jnp.full((C,), -1, jnp.int32)
+    p, owner, sunk, r, gcol, stats = auction_warm_fused_pallas(
+        jnp.asarray(kps), jnp.asarray(kpt), fd, ms, mt, wed, wfd, scale,
+        p0, o0, jnp.full((S,), -1, jnp.int32), jnp.zeros(S, jnp.int32),
+        jnp.zeros(S, bool), -penalty, 0.5, 0.0, 0.0, 400,
+        ts=128, esc_after=0, esc_period=1, interpret=True)
+    # derive the matching
+    acol = np.full(S, -1, np.int64)
+    own = np.asarray(owner)
+    for c in range(C):
+        if own[c] >= 0:
+            acol[own[c]] = c
+    b = np.asarray(fused_benefit_ref(
+        jnp.asarray(kps), jnp.asarray(kpt), fd, ms, mt, wed, wfd,
+        scale, out_dtype=jnp.bfloat16)[0].astype(jnp.float32))
+    # all masked/real rows resolved (no leftovers at a 200-round budget)
+    assert int(np.sum((acol < 0) & ~np.asarray(sunk, bool))) == 0
+    gate = b > -penalty
+    matched = (acol >= 0) & gate[np.arange(S), np.where(acol >= 0, acol, 0)]
+    energy = (-b[np.arange(S), np.where(acol >= 0, acol, 0)][matched].sum()
+              + penalty * (max(S, C) - matched.sum()))
+    # Hungarian on the same square problem
+    big = penalty
+    cost = np.full((max(S, C), max(S, C)), big, np.float64)
+    cost[:S, :C] = np.where(gate, -b, big)
+    ri, ci = linear_sum_assignment(cost)
+    opt = cost[ri, ci].sum()
+    eps = float(stats[2])
+    assert energy <= opt + (S + 2) * eps + 1e-3, (energy, opt, eps)
 
-    old = au._KERNEL_INTERPRET
-    au._KERNEL_INTERPRET = True
-    try:
-        # The factor gate must actually engage under the interpret hook —
-        # otherwise this test would silently compare b against b.
-        assert au._factor_gate(S, C, True, au.LOCAL, 1, 0, None, None)
-        common = dict(eps_final=0.05, max_rounds=6, rel_eps=1.0 / 64,
-                      use_round_kernel=True, n_phases=1, b_max=b_max)
-        r_mat = au.auction_match_benefits(b, penalty, ms, mt, **common)
-        r_fac = au.auction_match_benefits(None, penalty, ms, mt,
-                                          factors=factors, quantize_b=True,
-                                          **common)
-        assert np.array_equal(np.asarray(r_mat.acol), np.asarray(r_fac.acol))
-        np.testing.assert_allclose(np.asarray(r_mat.prices),
-                                   np.asarray(r_fac.prices), rtol=1e-6)
-        np.testing.assert_allclose(float(r_mat.energy), float(r_fac.energy),
-                                   rtol=1e-5)
-        np.testing.assert_allclose(np.asarray(r_mat.cd_sel),
-                                   np.asarray(r_fac.cd_sel), rtol=1e-5,
-                                   atol=1e-4)
-        # Warm-started re-solve (hints + previous assignment), both paths.
-        v1h, vselh = out[7], out[8]
-        warm = dict(p0=r_mat.prices, price_uncertainty=jnp.float32(0.1),
-                    acol0=r_mat.acol, hint_v1=v1h, hint_vsel=vselh,
-                    keep_slack_extra=jnp.float32(0.02))
-        w_mat = au.auction_match_benefits(b, penalty, ms, mt, **common,
-                                          **warm)
-        w_fac = au.auction_match_benefits(None, penalty, ms, mt,
-                                          factors=factors, quantize_b=True,
-                                          **common, **warm)
-        assert np.array_equal(np.asarray(w_mat.acol), np.asarray(w_fac.acol))
-        np.testing.assert_allclose(np.asarray(w_mat.prices),
-                                   np.asarray(w_fac.prices), rtol=1e-6)
-    finally:
-        au._KERNEL_INTERPRET = old
+
+def test_warm_fused_kernel_keeps_converged_state():
+    """Re-solving a converged problem through the warm kernel with exact
+    prices and zero drift must keep the assignment (the in-kernel eps-CS
+    keep test) and leave prices untouched for kept columns."""
+    from ghicp_tpu.ops.auction_rounds import auction_warm_fused_pallas
+
+    kps, kpt, fd, ms, mt = _warm_fixture(seed=3)
+    S, C = fd.shape
+    wed, wfd, scale = 0.6, 0.4, 0.2
+    penalty = 35.0
+    p0 = jnp.zeros(C, jnp.float32)
+    o0 = jnp.full((C,), -1, jnp.int32)
+    p1, owner1, sunk1, r1, gcol1, stats1 = auction_warm_fused_pallas(
+        jnp.asarray(kps), jnp.asarray(kpt), fd, ms, mt, wed, wfd, scale,
+        p0, o0, jnp.full((S,), -1, jnp.int32), jnp.zeros(S, jnp.int32),
+        jnp.zeros(S, bool), -penalty, 0.5, 0.0, 0.0, 400,
+        ts=128, esc_after=0, esc_period=1, interpret=True)
+    own1 = np.asarray(owner1)
+    acol1 = np.full(S, -1, np.int32)
+    for c in range(C):
+        if own1[c] >= 0:
+            acol1[own1[c]] = c
+    own_ok = acol1 >= 0
+    p2, owner2, sunk2, r2, gcol2, stats2 = auction_warm_fused_pallas(
+        jnp.asarray(kps), jnp.asarray(kpt), fd, ms, mt, wed, wfd, scale,
+        p1, owner1, jnp.asarray(acol1), sunk1,
+        jnp.asarray(own_ok), -penalty, 0.5, 0.0, 0.0, 400,
+        ts=128, esc_after=0, esc_period=1, interpret=True)
+    # the converged assignment satisfies eps-CS at its own prices: every
+    # previously-owned column must keep its owner, prices unchanged
+    assert np.array_equal(np.asarray(owner2), own1)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-6)
+    assert int(r2) == 1  # round 0 only; nothing re-bids
+    # sunk rows stay sunk
+    assert np.array_equal(np.asarray(sunk2) > 0, np.asarray(sunk1) > 0)

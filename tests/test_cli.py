@@ -48,7 +48,14 @@ def test_cli_flagship_bsc_km(tmp_path, capsys):
     """The flagship `B K` lane through the 13-arg surface, with the
     keypoint/correspondence export flags (ghicp_main.cpp:56-78;
     dataio.hpp:609-626; km.cpp:144-162)."""
-    sp, tp, op, src, tgt = _cli_pair(tmp_path, seed=3, n=20000, extent=10.0)
+    # n=200000 (~10 raw points per 0.15 voxel, the bench pair's sampling
+    # regime): at sparser sampling the two clouds' keypoint sets are only
+    # ~60% mutually repeatable and the HONEST one-to-one matched RMSE (the
+    # round-5 final resolve; the reference's KM output is one-to-one too,
+    # km.cpp:144-162) genuinely exceeds the 1.5*NMS success bound at a
+    # perfect pose — the dup-flattered pre-resolve RMSE used to mask that.
+    sp, tp, op, src, tgt = _cli_pair(tmp_path, seed=3, n=200000,
+                                     extent=10.0)
     kb = str(tmp_path / "kp")
     cp = str(tmp_path / "corres.txt")
     rc = main([tp, sp, op, "B", "K", "0.15", "0.5", "1.0", "1.1", "0.1",

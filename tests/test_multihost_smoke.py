@@ -33,7 +33,9 @@ def test_two_process_station_graph():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=540)
+            # Covers the station graph + the cross-process single-pair
+            # dense and streaming engine runs (three compile cycles).
+            out, _ = p.communicate(timeout=840)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

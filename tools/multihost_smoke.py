@@ -68,5 +68,88 @@ for i in (1, 2):
                                        -1, 1)))
     tr = np.linalg.norm(err[:3, 3])
     assert rot < 2.0 and tr < 0.3, (i, rot, tr)
-print(f"[process {pid}] MULTIHOST SMOKE OK (2 processes, station graph "
-      f"errors < 2 deg / 0.3 m)")
+print(f"[process {pid}] station graph OK", flush=True)
+
+# --- cross-process SINGLE-PAIR SPMD (VERDICT r4 task 4) --------------------
+# Row-shard ONE registration over the GLOBAL 2-process x 2-device mesh —
+# the DCN-across-hosts analog of SURVEY §5's distributed mandate.  The
+# engine's collectives (cost stats psum, auction price/winner pmax,
+# Kabsch reductions, convergence flags) all cross the process boundary.
+import __graft_entry__ as ge
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ghicp_tpu.features.bsc import pack_bits
+from ghicp_tpu.ops.stream_kernel import StreamFeatures, make_stream_features
+from ghicp_tpu.registration.ghicp import ghicp_register
+from ghicp_tpu.shard.spmd import AXIS, ghicp_register_sharded
+
+S = T = 512
+src_k, tgt_k, fd_np, bits_s, bits_t, T_gt = ge._registration_problem(
+    S, T, seed=2)
+mesh_g = Mesh(np.array(jax.devices()), (AXIS,))
+assert mesh_g.devices.size == 4 and jax.process_count() == 2
+
+
+def gshard(x_np, spec):
+    sh = NamedSharding(mesh_g, spec)
+    x_np = np.asarray(x_np)
+    return jax.make_array_from_callback(x_np.shape, sh,
+                                        lambda idx: x_np[idx])
+
+
+cfg1 = GHICPConfig(feature=FeatureType.BSC,
+                   correspondence=CorrespondenceType.KM,
+                   max_iterations=4, auction_max_rounds=400)
+bbx = np.float32(40.0)
+out_g = ghicp_register_sharded(
+    gshard(src_k, P(AXIS)), gshard(np.ones(S, bool), P(AXIS)),
+    gshard(tgt_k, P()), gshard(np.ones(T, bool), P()),
+    gshard(fd_np, P(AXIS)), gshard(bbx, P()), cfg1, mesh_g)
+T_pair = np.asarray(jax.device_get(out_g.transform))
+
+# single-process reference on the local backend (same problem)
+out_l = ghicp_register(jnp.asarray(src_k), jnp.ones(S, bool),
+                       jnp.asarray(tgt_k), jnp.ones(T, bool),
+                       jnp.asarray(fd_np), jnp.float32(bbx), cfg1)
+T_loc = np.asarray(out_l.transform)
+
+
+def pose_delta(A, B):
+    dR = A[:3, :3] @ B[:3, :3].T
+    c = np.clip((np.trace(dR) - 1.0) / 2.0, -1.0, 1.0)
+    return (float(np.degrees(np.arccos(c))),
+            float(np.linalg.norm(A[:3, 3] - B[:3, 3])))
+
+
+rot_g, tr_g = pose_delta(T_pair, T_gt)
+assert rot_g < 1.5 and tr_g < 0.25, ("xproc dense", rot_g, tr_g)
+rot_d, tr_d = pose_delta(T_pair, T_loc)
+assert rot_d < 1.0 and tr_d < 0.2, ("xproc dense vs local", rot_d, tr_d)
+print(f"[process {pid}] xproc dense lane OK ({rot_g:.3f} deg/{tr_g:.3f} m "
+      f"vs GT, {rot_d:.3f}/{tr_d:.3f} vs single-process)", flush=True)
+
+# streaming (matrix-free) lane over the same global mesh
+feats = make_stream_features(packed_s=pack_bits(jnp.asarray(bits_s)),
+                             packed_t=pack_bits(jnp.asarray(bits_t)),
+                             n_bits=bits_s.shape[-1])
+feats_g = StreamFeatures(fs=gshard(feats.fs, P(None, AXIS, None)),
+                         ft=gshard(feats.ft, P()),
+                         na=gshard(feats.na, P(None, AXIS)),
+                         nb=gshard(feats.nb, P()))
+cfg_s = GHICPConfig(feature=FeatureType.BSC,
+                    correspondence=CorrespondenceType.KM,
+                    max_iterations=4, auction_max_rounds=32,
+                    streaming_cost="on")
+out_s = ghicp_register_sharded(
+    gshard(src_k, P(AXIS)), gshard(np.ones(S, bool), P(AXIS)),
+    gshard(tgt_k, P()), gshard(np.ones(T, bool), P()),
+    None, gshard(bbx, P()), cfg_s, mesh_g, stream=feats_g)
+T_str = np.asarray(jax.device_get(out_s.transform))
+rot_s, tr_s = pose_delta(T_str, T_gt)
+assert rot_s < 1.5 and tr_s < 0.25, ("xproc stream", rot_s, tr_s)
+rot_sd, tr_sd = pose_delta(T_str, T_pair)
+assert rot_sd < 1.0 and tr_sd < 0.2, ("xproc stream vs dense", rot_sd, tr_sd)
+
+print(f"[process {pid}] MULTIHOST SMOKE OK (2 processes: station graph, "
+      f"cross-process single-pair dense {rot_g:.3f} deg/{tr_g:.3f} m and "
+      f"streaming {rot_s:.3f} deg/{tr_s:.3f} m)")
