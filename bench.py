@@ -209,6 +209,16 @@ def main():
     cfg_tp = dataclasses.replace(cfg, coarse_init="none",
                                  converge_translation=0.0,
                                  converge_rotation=0.0, max_iterations=120,
+                                 # The post-convergence one-to-one resolve
+                                 # is a ONE-TIME per-registration cost (and
+                                 # this workload never converges — its
+                                 # mid-churn state makes the resolve
+                                 # maximally expensive); excluding it keeps
+                                 # this line a pure sustained-iteration
+                                 # rate, comparable with r1-r4.  Real
+                                 # registrations pay it once (measured on
+                                 # the NMS-1.0 verdict line above).
+                                 final_resolve_rounds=0,
                                  # one device dispatch + one scalar fetch for
                                  # the whole 120-iteration run: each extra
                                  # chunk boundary costs a tunnel round trip

@@ -41,26 +41,70 @@ def _weighted_centroids(src: Array, dst: Array, w: Array,
     return cs, cd, wsum
 
 
+def _rotation_horn(H: Array) -> Array:
+    """Optimal rotation from a 3x3 cross-covariance via Horn's quaternion
+    method: the dominant eigenvector of the 4x4 N matrix, found by
+    NORMALIZED REPEATED SQUARING (6 squarings = power iteration to the
+    64th power) plus one Rayleigh matvec.
+
+    Pure 4x4 matmuls/vector ops: the 3x3 ``jnp.linalg.svd`` + ``det``
+    custom calls cost 0.27 ms per invocation on this backend (measured),
+    and the engine runs the estimator 3x per iteration (base + IRLS) —
+    0.8 ms/iteration of pure eigensolver dispatch.  Quaternions
+    parametrize SO(3) only, so the SVD path's reflection repair
+    (det-sign trick, ghicp_reg.cpp:857-866) is built in.
+    """
+    Sxx, Sxy, Sxz = H[0, 0], H[0, 1], H[0, 2]
+    Syx, Syy, Syz = H[1, 0], H[1, 1], H[1, 2]
+    Szx, Szy, Szz = H[2, 0], H[2, 1], H[2, 2]
+    N = jnp.stack([
+        jnp.stack([Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx]),
+        jnp.stack([Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz]),
+        jnp.stack([Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy]),
+        jnp.stack([Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz]),
+    ])                                                  # [4,4] symmetric
+    # Shift so the wanted (largest) eigenvalue is largest in magnitude.
+    shift = jnp.sum(jnp.abs(H)) + 1e-9
+    M = N + shift * jnp.eye(4, dtype=N.dtype)
+
+    def sq(M, _):
+        M = jnp.matmul(M, M, precision=_HI)
+        return M / jnp.maximum(jnp.linalg.norm(M), 1e-30), 0
+
+    M, _ = jax.lax.scan(sq, M / jnp.maximum(jnp.linalg.norm(M), 1e-30),
+                        None, length=6)
+    q = jnp.sum(M, axis=1)                   # M @ ones: dominant column mix
+    q = jnp.matmul(N + shift * jnp.eye(4, dtype=N.dtype), q, precision=_HI)
+    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-30)
+    w_, x, y, z = q[0], q[1], q[2], q[3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w_ * z),
+                   2 * (x * z + w_ * y)]),
+        jnp.stack([2 * (x * y + w_ * z), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - w_ * x)]),
+        jnp.stack([2 * (x * z - w_ * y), 2 * (y * z + w_ * x),
+                   1 - 2 * (x * x + y * y)]),
+    ])
+
+
 def kabsch_6dof(src: Array, dst: Array, weights: Array,
                 comm: Comm = LOCAL) -> Array:
     """Weighted Kabsch/Umeyama: the rigid T minimizing sum_i w_i |T(s_i)-d_i|^2.
 
     Returns a [4,4] float32 transform.  Degenerate weight vectors (all zero)
-    return identity.  Reflection is repaired via the det sign trick, matching
-    the SVD estimator semantics of the reference (ghicp_reg.cpp:857-866).
-    With a distributed comm, correspondences are row-sharded and the 3x3
-    cross-covariance reduces over the mesh axis (one psum); the tiny SVD then
-    runs replicated on every device.
+    return identity.  The rotation comes from Horn's quaternion method
+    (see :func:`_rotation_horn`) — same optimum as the reference's SVD
+    estimator with reflections excluded by construction
+    (ghicp_reg.cpp:857-866).  With a distributed comm, correspondences are
+    row-sharded and the 3x3 cross-covariance reduces over the mesh axis
+    (one psum); the tiny eigen solve then runs replicated on every device.
     """
     w = weights.astype(jnp.float32)
     cs, cd, wsum = _weighted_centroids(src, dst, w, comm)
     sc = (src - cs) * w[:, None]
     dc = dst - cd
     H = comm.psum(jnp.matmul(sc.T, dc, precision=_HI))  # [3,3]
-    U, S, Vt = jnp.linalg.svd(H.astype(jnp.float32))
-    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], jnp.float32)).at[2, 2].set(d)
-    R = jnp.matmul(jnp.matmul(Vt.T, D, precision=_HI), U.T, precision=_HI)
+    R = _rotation_horn(H.astype(jnp.float32))
     t = cd - jnp.matmul(R, cs, precision=_HI)
     T = tf.from_rt(R, t)
     ok = wsum > 1e-9

@@ -68,15 +68,16 @@ def time_chain(fn, label):
     print(f"{label}: {best / K * 1000:.3f} ms/launch", flush=True)
 
 
-for stage, label in ((1, "sweep0 only"), (2, "sweep0+keep+round0"),
-                     (0, "full warm kernel (budget 1)")):
-    def fn(p, stage=stage):
-        pp, ow, sk, r, gc, st = auction_warm_fused_pallas(
-            kps, kpt, fd, ms, mt, wed, wfd, scale, p, owner1, acol1_j,
-            sunk1, jnp.asarray(ownok), -pen, 0.01, 1.0 / 64, 0.0, 1,
-            ts=256, esc_after=1, esc_period=1, probe_stage=stage)
-        return pp
-    time_chain(fn, label)
+for tsv in (256, 512):
+    for stage, label in ((1, f"sweep0 only ts={tsv}"),
+                         (0, f"full warm kernel ts={tsv}")):
+        def fn(p, stage=stage, tsv=tsv):
+            pp, ow, sk, r, gc, st = auction_warm_fused_pallas(
+                kps, kpt, fd, ms, mt, wed, wfd, scale, p, owner1, acol1_j,
+                sunk1, jnp.asarray(ownok), -pen, 0.01, 1.0 / 64, 0.0, 1,
+                ts=tsv, esc_after=1, esc_period=1, probe_stage=stage)
+            return pp
+        time_chain(fn, label)
 
 
 def fn_fused(p):
@@ -102,31 +103,3 @@ def fn_gs(p):
 time_chain(fn_gs, "old: GS kernel (1 sweep, 512 open rows)")
 
 
-# ---- engine-level per-iteration cost: warm kernel on vs off -------------
-import dataclasses
-
-from ghicp_tpu.core.config import (CorrespondenceType, FeatureType,
-                                   GHICPConfig)
-from ghicp_tpu.registration.ghicp import _ghicp_chunk, _initial_state
-
-fd32 = fd.astype(jnp.float32)
-bbx = jnp.float32(40.0)
-for warm_on, irls, confw in ((True, 2, True), (True, 0, True),
-                             (True, 0, False), (False, 2, True)):
-    cfg = GHICPConfig(feature=FeatureType.BSC,
-                      correspondence=CorrespondenceType.KM,
-                      converge_translation=0.0, converge_rotation=0.0,
-                      max_iterations=4000, warm_fused_kernel=warm_on,
-                      robust_irls_rounds=irls, confidence_weighting=confw)
-    st = _initial_state(kps, T, cfg)
-    st = _ghicp_chunk(st, kpt, ms, mt, fd32, bbx, cfg, 40)   # warm up 40
-    jax.block_until_ready(st.rt)
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        st2 = _ghicp_chunk(st, kpt, ms, mt, fd32, bbx, cfg, 40)
-        jax.block_until_ready(st2.rt)
-        best = min(best, time.perf_counter() - t0)
-    print(f"engine 40 warm iters (warm_fused={warm_on} irls={irls} "
-          f"conf={confw}): {best / 40 * 1000:.3f} ms/iter", flush=True)
-    st = st2
