@@ -150,7 +150,14 @@ def ransac_coarse_align(kp_s: Array, mask_s: Array, kp_t: Array,
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
     rows = jax.random.randint(k1, (n_hyp, 3), 0, S)      # [H, 3]
-    cols = jax.random.randint(k2, (n_hyp, 3), 0, n_cand)
+    # Triples draw from the TOP-2 candidates only: a random triple is true
+    # with probability p^3, and candidate precision decays with feature
+    # rank, so widening the triple pool to all n_cand candidates DILUTES
+    # hypothesis generation (measured: RoPS, which has no frame
+    # hypotheses to fall back on, dropped from 90 consensus inliers to 2
+    # when triples sampled 4 candidates).  The any-candidate CONSENSUS
+    # SCORING below still benefits from the full candidate list.
+    cols = jax.random.randint(k2, (n_hyp, 3), 0, min(2, n_cand))
 
     s3 = kp_s[rows]                                      # [H, 3, 3]
     tgt_idx = cand[rows, cols]                           # [H, 3]
