@@ -313,9 +313,7 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
         if use_fused:
             from ghicp_tpu.matching.cost import bsc_penalty
             from ghicp_tpu.matching.matchers import MatchResult
-            from ghicp_tpu.ops.top2 import top2_rows
             kps_c = st.kps - mid[None, :]
-            rows = jnp.arange(S)
             real0 = (st.acol >= 0) & (st.acol < T)
             row_gid = comm.axis_index() * S + jnp.arange(S, dtype=jnp.int32)
             owner0 = jnp.full((T,), -1, jnp.int32).at[
@@ -325,7 +323,6 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
             p_mid = jnp.where(owner0 >= 0,
                               jnp.maximum(st.prices - st.price_unc, 0.0),
                               0.0)
-            use_pallas_t2 = _jax.default_backend() == "tpu"
         if use_stream:
             from ghicp_tpu.matching.cost import bsc_penalty
             from ghicp_tpu.matching.stream_auction import stream_solve
@@ -1005,29 +1002,16 @@ def _final_resolve_jit(state: _State, kp_t: Array, mask_s: Array,
         wed = jnp.float32(1.0)
     budget = jnp.int32(config.final_resolve_rounds)
     if stream is not None:
-        from ghicp_tpu.matching.stream_auction import stream_solve
-        from ghicp_tpu.ops.stream_kernel import RingFeatures
-        if isinstance(stream, RingFeatures):
-            raise ValueError("final resolve: ring lane unsupported (run "
-                             "it on the gathered factors instead)")
-        mid = 0.5 * (jnp.min(jnp.where(mask_t[:, None], kp_t, 3e38), axis=0)
-                     + jnp.max(jnp.where(mask_t[:, None], kp_t, -3e38),
-                               axis=0))
-        kp_t_c = jnp.where(mask_t[:, None], kp_t - mid[None, :], 0.0)
-        kps_c = state.kps - mid[None, :]
-        use_k = jax.default_backend() == "tpu" or _STREAM_INTERPRET
-        sres = stream_solve(
-            kps_c, kp_t_c, stream, mask_s, mask_t, wed, wfd, scale,
-            lambda mean, std: penalty, eps_final=config.km_eps,
-            rel_eps=0.0, max_sweeps=budget,
-            p0=state.prices, price_uncertainty=state.price_unc,
-            acol0=state.acol, pen_prev=state.pen_prev,
-            interpret=_STREAM_INTERPRET, mult_blend=mult_blend,
-            use_kernel=use_k, open_cap=config.stream_open_cap,
-            compact_extra_sweeps=config.stream_compact_budget,
-            no_features=(config.feature == FeatureType.NONE),
-            esc_period=max(config.final_resolve_rounds // 16, 1))
-        match, tgt_idx, w = sres.match, sres.match.tgt_idx, sres.match.w
+        # Streaming lane: NO extra solve.  A tight-eps re-solve releases
+        # the entire coarse-eps in-loop matching (64 full O(S*T) sweeps,
+        # 5.5 s at 48k) and a coarse-eps re-solve degrades it (re-bid
+        # rows land ~spread/64 away).  The engine's own final matching,
+        # deduplicated by construction below, already carries the lane's
+        # certified quality — the one-to-one invariant and the honest
+        # RMSE cost nothing.
+        tgt_idx = jnp.where((state.acol >= 0) & (state.acol < T),
+                            state.acol, 0)
+        w = (state.matches >= 0).astype(jnp.float32)
     else:
         ed = euclidean_matrix(state.kps, kp_t, scale)
         if config.feature == FeatureType.BSC:
@@ -1051,11 +1035,20 @@ def _final_resolve_jit(state: _State, kp_t: Array, mask_s: Array,
                              n_phases=1, acol0=state.acol,
                              keep_slack_extra=jnp.float32(0.0))
         match, tgt_idx, w = ares.match, ares.match.tgt_idx, ares.match.w
-    matches = jnp.where(w > 0, tgt_idx, -1)
+    # One-to-one BY CONSTRUCTION: budget-exhausted greedy completions may
+    # duplicate columns; keep one row per column (max row id) and report
+    # the losers unmatched — the km.cpp:144-162 output invariant holds at
+    # any budget.
+    rows = jnp.arange(S, dtype=jnp.int32)
+    own = jnp.full((T,), -1, jnp.int32).at[
+        jnp.where(w > 0, tgt_idx, T)].max(rows, mode="drop")
+    keep1 = (w > 0) & (own[tgt_idx] == rows)
+    w1 = keep1.astype(jnp.float32)
+    matches = jnp.where(keep1, tgt_idx, -1)
     tgt_pts = kp_t[tgt_idx]
-    n = jnp.maximum(jnp.sum(w), 1.0)
-    se = jnp.sum(w * jnp.sum((state.kps - tgt_pts) ** 2, axis=-1))
-    return matches, match.n_matches, jnp.sqrt(se / n)
+    n = jnp.maximum(jnp.sum(w1), 1.0)
+    se = jnp.sum(w1 * jnp.sum((state.kps - tgt_pts) ** 2, axis=-1))
+    return matches, jnp.sum(w1).astype(jnp.int32), jnp.sqrt(se / n)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "limit_step"))

@@ -473,7 +473,9 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
                                     stream=stream_feats,
                                     iteration_callback=iteration_callback,
                                     overhead_out=overhead_out)
-    jax.block_until_ready(result.transform)
+    # matches includes the post-convergence one-to-one resolve — block on
+    # it INSIDE the timed stage (it is real per-registration work).
+    jax.block_until_ready((result.transform, result.matches))
     timings["register"] = time.perf_counter() - t0
 
     return RegistrationOutput(
