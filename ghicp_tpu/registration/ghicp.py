@@ -588,6 +588,11 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                                and (_jax.default_backend() == "tpu"
                                     or _au._KERNEL_INTERPRET)
                                and S % _au._gs_ts(T) == 0
+                               # small problems don't need the fusion and
+                               # Mosaic rejects the split-one-hot release
+                               # reshape at tiny column counts (measured:
+                               # compile failure at 256x256)
+                               and S >= 1024 and T >= 1024
                                and _au._gs_ts(T) * T <= 256 * 8192)
 
             def _warm_kernel_solve(_):
@@ -627,7 +632,13 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                         dpen, budget, ts=ts_gs, inner_cap=1,
                         esc_after=esc_after, esc_period=esc_period,
                         mult_blend=mult_blend,
-                        quantize=config.auction_bf16,
+                        # No bf16 roundtrip: nothing is materialized for
+                        # this solve to stay bit-parallel WITH — f32
+                        # benefits drop a [ts,C] pass per tile visit and
+                        # the cross-iteration price mismatch vs cold bf16
+                        # solves (~2^-8 relative) sits inside the punc
+                        # slack the warm start already deflates by.
+                        quantize=False,
                         interpret=_au._KERNEL_INTERPRET)
                 b_max_k = stats_k[0]
                 eps_k, eps_keep_k = stats_k[2], stats_k[3]
@@ -680,8 +691,6 @@ def _make_body(kp_t: Array, mask_s: Array, mask_t: Array, fd: Optional[Array],
                     cd_f = wed * ed_sel + wfd * fd_sel
                 m_sel = mask_s & mask_t[jc]
                 bsel = jnp.where(m_sel, -cd_f, jnp.float32(-3.0e38))
-                if config.auction_bf16:
-                    bsel = bsel.astype(jnp.bfloat16).astype(jnp.float32)
                 real_m = mask_s & matched & (bsel > -penalty)
                 w_m = real_m.astype(jnp.float32)
                 cor_m = comm.psum(jnp.sum(w_m))

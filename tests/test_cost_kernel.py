@@ -179,3 +179,55 @@ def test_engine_fused_rops_matches_xla_path():
     r2, t2 = transform_error(out_fused.transform, T_gt)
     assert r1 < 1.5 and t1 < 0.3, (r1, t1)
     assert r2 < 1.5 and t2 < 0.3, (r2, t2)
+
+
+def test_engine_warm_kernel_matches_two_launch_path():
+    """The single-launch warm iteration (warm_fused_kernel, engaged at
+    >= 1024 keypoints) lands the same registration as the two-launch
+    fused+GS path on the same problem (interpret mode; the soundness-
+    critical keep/epsilon plumbing otherwise only runs on real TPU)."""
+    import dataclasses
+
+    import ghicp_tpu.matching.auction as au
+    import ghicp_tpu.registration.ghicp as gh
+    from ghicp_tpu.core.config import (CorrespondenceType, FeatureType,
+                                       GHICPConfig)
+    from ghicp_tpu.registration.ghicp import ghicp_register
+    from ghicp_tpu.registration.pipeline import transform_error
+
+    import __graft_entry__ as ge
+    S = T = 1024
+    src, tgt, fd_np, bits_s, bits_t, T_gt = ge._registration_problem(
+        S, T, seed=13)
+    kp_s = jnp.asarray(src)
+    kp_t = jnp.asarray(tgt)
+    ms = jnp.ones((S,), bool)
+    mt = jnp.ones((T,), bool)
+    fd = jnp.asarray(fd_np)
+    base = GHICPConfig(feature=FeatureType.BSC,
+                       correspondence=CorrespondenceType.KM,
+                       max_iterations=6, auction_max_rounds=4)
+    old_f, old_k = gh._FUSED_INTERPRET, au._KERNEL_INTERPRET
+    gh._FUSED_INTERPRET = True
+    au._KERNEL_INTERPRET = True
+    try:
+        outs = {}
+        for warm in (True, False):
+            cfg = dataclasses.replace(base, warm_fused_kernel=warm)
+            out = ghicp_register(kp_s, ms, kp_t, mt, fd, jnp.float32(40.0),
+                                 cfg)
+            outs[warm] = out
+            rot, tr = transform_error(np.asarray(out.transform),
+                                      np.asarray(T_gt))
+            assert rot < 1.0 and tr < 0.2, (warm, rot, tr)
+        dR = (np.asarray(outs[True].transform)[:3, :3]
+              @ np.asarray(outs[False].transform)[:3, :3].T)
+        c = np.clip((np.trace(dR) - 1.0) / 2.0, -1.0, 1.0)
+        d_rot = float(np.degrees(np.arccos(c)))
+        d_t = float(np.linalg.norm(
+            np.asarray(outs[True].transform)[:3, 3]
+            - np.asarray(outs[False].transform)[:3, 3]))
+        assert d_rot < 0.5 and d_t < 0.1, (d_rot, d_t)
+    finally:
+        gh._FUSED_INTERPRET = old_f
+        au._KERNEL_INTERPRET = old_k
