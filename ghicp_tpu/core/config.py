@@ -170,6 +170,23 @@ class GHICPConfig:
     ransac_hypotheses: int = 1 << 17      # hypothesis sweep width
     ransac_min_inliers: int = 12          # below this consensus the coarse
                                           # pose is ignored (identity init)
+    identity_hypotheses: int = 1          # identity-start multi-hypothesis
+                                          # (coarse_init="none" only; 1 =
+                                          # off): run the engine this many
+                                          # times with schedule-shifted
+                                          # trajectories (it_shift 0, rate,
+                                          # 3*rate — progressively less
+                                          # FD-dominated early phases) and
+                                          # keep the run with the lowest
+                                          # honest final matched RMSE.
+                                          # Identity start at TLS scales is
+                                          # a basin lottery on descriptor-
+                                          # hostile pairs (one seed in five
+                                          # lands ~86 deg, NOTES round 4);
+                                          # the hypotheses explore distinct
+                                          # basins for N x the engine cost.
+                                          # The default RANSAC coarse init
+                                          # remains the production answer
     ransac_candidates: int = 4            # feature-nearest target candidates
                                           # per source row (dense-FD lane).
                                           # Consensus scoring tests each row

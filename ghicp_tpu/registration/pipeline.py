@@ -466,13 +466,88 @@ def register_pair(source_pts: np.ndarray, target_pts: np.ndarray,
         t0 = time.perf_counter()
     # Host-stepped dispatch: one device call per few iterations (remote-TPU
     # transports impose single-execution deadlines at large keypoint counts).
-    result = ghicp_register_chunked(kp_s, kp_s_mask, kp_t, kp_t_mask, fd,
-                                    jnp.float32(bbx), config,
-                                    chunk=config.engine_chunk,
-                                    init_transform=T0, it_shift=it_shift,
-                                    stream=stream_feats,
-                                    iteration_callback=iteration_callback,
-                                    overhead_out=overhead_out)
+    if (T0 is None and config.coarse_init == "none"
+            and config.identity_hypotheses > 1):
+        # Identity-start multi-hypothesis (GHICPConfig.identity_hypotheses):
+        # schedule-shifted trajectories explore distinct basins of the
+        # FD-dominated early phase; the honest final matched RMSE picks
+        # the winner (at a shared config, a mis-converged basin's complete
+        # one-to-one matching is measurably worse — ~86 deg basins sit at
+        # several times the aligned RMSE).  All hypotheses share one
+        # compiled engine (it_shift is a traced scalar).
+        rate = config.weight_changing_rate
+        shifts = (0.0, rate, 3.0 * rate)[:config.identity_hypotheses]
+        # Selector: GEOMETRIC consensus (fraction of source keypoints with
+        # a target keypoint within ~3 voxels under the final transform),
+        # NOT the matched RMSE — the complete-matching RMSE measures
+        # keypoint spacing and a mis-converged basin can score LOWER
+        # (measured: a 12.4 deg trajectory at rmse 1.475 vs the aligned
+        # one at 1.874).  Same signal the RANSAC scorer uses.
+        tau = 3.0 * config.voxel_size
+        stride = max(kp_s.shape[0] // 2048, 1)
+        kp_s_sub = kp_s[::stride]
+        kp_sm_sub = kp_s_mask[::stride]
+
+        @jax.jit
+        def consensus(T):
+            # HIGHEST matmul precision: at 25 m coordinates the default
+            # bf16 cross term carries +-2 m^2 of noise and the sub-voxel
+            # tau test reads pure noise (measured: a 13-degree wrong pose
+            # scored 0.60 instead of its true 0.37).
+            p = kp_s_sub @ T[:3, :3].T + T[:3, 3]
+            hi = jax.lax.Precision.HIGHEST
+            d2 = (jnp.sum(p * p, axis=1)[:, None]
+                  + jnp.sum(kp_t * kp_t, axis=1)[None, :]
+                  - 2.0 * jnp.matmul(p, kp_t.T, precision=hi))
+            d2 = jnp.min(jnp.where(kp_t_mask[None, :], d2, jnp.inf), axis=1)
+            return jnp.sum((d2 < tau * tau) & kp_sm_sub)
+
+        best = None
+        best_score = -1
+        for sh in shifts:
+            cand = ghicp_register_chunked(
+                kp_s, kp_s_mask, kp_t, kp_t_mask, fd, jnp.float32(bbx),
+                config, chunk=config.engine_chunk, init_transform=None,
+                it_shift=sh, stream=stream_feats,
+                iteration_callback=iteration_callback,
+                overhead_out=overhead_out)
+            score = int(consensus(cand.transform))
+            if score > best_score:
+                best, best_score = cand, score
+        n_sub = int(np.asarray(jnp.sum(kp_sm_sub)))
+        import os as _os
+        if _os.environ.get("GHICP_DEBUG_IDENTITY"):
+            import sys as _sys
+            print(f"[identity-hypotheses] best_score={best_score} "
+                  f"n_sub={n_sub} thresh="
+                  f"{0.55 * config.estimated_overlap * max(n_sub, 1):.0f}",
+                  file=_sys.stderr, flush=True)
+        # Calibration (bench scale): a correct pose scores ~0.70 of rows
+        # within 3 voxels (keypoint repeatability at full overlap), a
+        # 13-degree wrong basin ~0.37; overlap scales both, so gate at
+        # 0.55x the expected overlap.
+        if best_score < 0.55 * config.estimated_overlap * max(n_sub, 1):
+            # No hypothesis verified geometrically: the pair's early
+            # FD-dominated phase has no identity-reachable basin (the
+            # round-1 lottery, NOTES).  Fall back to the feature-guided
+            # RANSAC pipeline as the last hypothesis — still "register
+            # without a trusted init", just not from the identity pose.
+            return register_pair(
+                source_pts, target_pts,
+                dataclasses.replace(config, coarse_init="ransac",
+                                    identity_hypotheses=1),
+                keypoint_capacity, None, None, iteration_callback,
+                overhead_out)
+        result = best
+    else:
+        result = ghicp_register_chunked(kp_s, kp_s_mask, kp_t, kp_t_mask,
+                                        fd, jnp.float32(bbx), config,
+                                        chunk=config.engine_chunk,
+                                        init_transform=T0,
+                                        it_shift=it_shift,
+                                        stream=stream_feats,
+                                        iteration_callback=iteration_callback,
+                                        overhead_out=overhead_out)
     # matches includes the post-convergence one-to-one resolve — block on
     # it INSIDE the timed stage (it is real per-registration work).
     jax.block_until_ready((result.transform, result.matches))
